@@ -1,0 +1,122 @@
+"""Canonicalization via connected components (SURVEY.md M10).
+
+Reference semantics: multi-source alias identity — getMultipleMappingForEntity
+(ckg/graphdb_builder/mapping.py:117-144) unions ids reachable through shared
+aliases, and cross-ontology MAPS_TO edges (ontologies/parsers/efoParser.py:28-40)
+link equivalent terms across namespaces. The canonical representative here is
+the lexicographic minimum id of each connected component — order-independent,
+so the output is identical at any parallelism (the determinism gate).
+
+Algorithm: iterative hash-join min-label propagation with pointer jumping
+(label <- label-of-label each round), giving O(log diameter) convergence —
+the DataFrame rendition of the Afrati et al. / "large-star small-star"
+family of MapReduce CC algorithms. Skew notes:
+
+- the per-node min over neighbor labels is an algebraic aggregate, so Spark's
+  map-side partial aggregation absorbs high-degree ("hot entity") nodes
+  before the shuffle — the reduce side only ever sees one partial min per
+  map partition per key (this is the salting-equivalent for min()).
+- the pointer-jumping self-join keys on label values; a mega-component makes
+  one label hot, which AQE skew-join splits
+  (spark.sql.adaptive.skewJoin.enabled, on in session.py).
+- ``localCheckpoint`` every round truncates the growing lineage so plans
+  stay bounded regardless of iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "ident_a",
+    dst: str = "ident_b",
+    max_iter: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Return (ident string, component string) for every vertex in ``edges``.
+
+    ``component`` is the lexicographic min id of the vertex's component.
+    Deterministic; converges in O(log diameter) passes.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("ident"))
+        .distinct()
+        .withColumn("label", F.col("ident"))
+    )
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # min label over neighbors (map-side combine handles degree skew)
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("ident", "b"), on="b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("a", "ident")
+        )
+        new_labels = (
+            labels.join(nbr_min, on="ident", how="left")
+            .select(
+                "ident",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+        )
+        # pointer jumping: label <- label(label)
+        jump = labels.select(
+            F.col("ident").alias("label"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            new_labels.join(jump, on="label", how="left")
+            .select(
+                "ident",
+                F.least(F.col("label"), F.coalesce("jlabel", "label")).alias("label"),
+            )
+        )
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=True)
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="ident")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("ident", F.col("label").alias("component"))
+
+
+def canonical_mapping(identity_edges: DataFrame, all_idents: DataFrame,
+                      ident_col: str = "ident") -> DataFrame:
+    """(ident, canonical_id) for every known ident.
+
+    Idents that appear in no identity edge are their own canonical id
+    (left join + coalesce keeps them without a second shuffle pass).
+    """
+    comps = connected_components(identity_edges)
+    return (
+        all_idents.select(F.col(ident_col).alias("ident"))
+        .distinct()
+        .join(comps, on="ident", how="left")
+        .select(
+            "ident",
+            F.coalesce("component", "ident").alias("canonical_id"),
+        )
+    )

@@ -1,0 +1,225 @@
+"""Mention detection (SURVEY.md M8) — dictionary matching over turn text.
+
+The reference consumes precomputed JensenLab tagger output (dictionary NER;
+see ckg/graphdb_builder/builder/cypher.yml:371 and
+databases/parsers/textminingParser.py:96-120). Here the tagger itself is
+re-expressed in Spark, with identical semantics implemented twice:
+
+1. ``extract_mentions`` — the scale path, 100% JVM: lowercase/normalize the
+   text, split to a token array, generate n-grams for every alias length
+   present in the vocabulary (a pure Catalyst ``transform(sequence(...))``
+   over the token array — no shuffle, no Python), then broadcast-hash-join
+   the exploded grams against the distinct normalized alias set. Whole-stage
+   codegen covers tokenize -> gram -> join; cost is linear in corpus tokens x
+   max alias length.
+
+2. ``extract_mentions_arrow`` — an Arrow-batched ``mapInPandas`` variant
+   (per BASELINE.json north_star: "vectorized Arrow/pandas UDFs ... batched
+   mention detection with dictionary/trie lookup"). The alias dictionary is
+   a broadcast variable (hash set keyed by n-gram), built once per executor.
+   Used for free-form text where custom token rules are needed; tests assert
+   bit-identical output vs the JVM path.
+
+Matching semantics (both paths):
+- normalization: lowercase, every non-alphanumeric run becomes a single
+  space (the tagger's token-boundary behavior; alias keys are lowercased
+  exactly as ckg/graphdb_builder/mapping.py:69 does).
+- ``match_all``: every alias occurrence is reported (used by the DuckDB
+  oracle queries — trivially SQL-expressible).
+- ``resolve_longest_match``: leftmost-longest greedy resolution (the
+  tagger's priority rule, cf. the longest-alias-first ordering at
+  mapping.py:259), computed JVM-side as a fold (``aggregate``) over the
+  per-turn match list sorted by (pos, -len). No per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_KEYS = ("conv_id", "turn_idx")
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase + collapse non-alphanumerics to single spaces + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+
+
+def tokens_col(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def prepare_alias_grams(aliases: DataFrame, alias_col: str = "alias_lc") -> DataFrame:
+    """Distinct normalized alias surface forms + word counts.
+
+    Returns columns (gram string, n_words int). Broadcast-scale by design
+    (the reference loads the same dictionary into an in-process dict,
+    mapping.py:164-205).
+    """
+    g = normalize_text(F.col(alias_col))
+    return (
+        aliases.select(g.alias("gram"))
+        .where(F.col("gram") != "")
+        .distinct()
+        .withColumn("n_words", F.size(F.split(F.col("gram"), " ")))
+    )
+
+
+def _gram_lengths(alias_grams: DataFrame) -> list[int]:
+    return sorted(
+        r["n_words"] for r in alias_grams.select("n_words").distinct().collect()
+    )
+
+
+def extract_mentions(
+    turns: DataFrame,
+    alias_grams: DataFrame,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    text_col: str = "text",
+    gram_lengths: Iterable[int] | None = None,
+) -> DataFrame:
+    """JVM-only dictionary matching. Output: keys + (pos, n_words, alias_lc).
+
+    ``pos`` is the 0-based token offset of the match start. One output row
+    per alias occurrence (match_all semantics); run
+    ``resolve_longest_match`` afterwards for tagger-style overlap pruning.
+    """
+    ns = list(gram_lengths) if gram_lengths is not None else _gram_lengths(alias_grams)
+    toks = turns.select(*keys, tokens_col(F.col(text_col)).alias("toks"))
+
+    per_n = []
+    for n in ns:
+        # positions 1..size-n+1 (guarded: sequence(a,b) with a>b is DESCENDING
+        # in Spark, so gate on size >= n explicitly)
+        grams = toks.select(
+            *keys,
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {n} THEN "
+                    f"transform(sequence(1, size(toks)-{n}+1), "
+                    f"i -> named_struct('pos', i-1, 'gram', array_join(slice(toks, i, {n}), ' '))) "
+                    f"ELSE array() END"
+                )
+            ).alias("g"),
+        ).select(*keys, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        per_n.append(grams)
+
+    all_grams = per_n[0]
+    for g in per_n[1:]:
+        all_grams = all_grams.unionByName(g)
+
+    matched = all_grams.join(F.broadcast(alias_grams), on="gram", how="inner")
+    return matched.select(
+        *keys,
+        F.col("pos").cast("int").alias("pos"),
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("gram").alias("alias_lc"),
+    )
+
+
+def extract_mentions_arrow(
+    turns: DataFrame,
+    alias_grams: DataFrame,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrow-batched mapInPandas dictionary matcher (same output contract).
+
+    The normalized alias set is shipped as a Spark broadcast variable; each
+    Arrow batch is tokenized with vectorized pandas string ops and probed
+    against the per-executor hash dictionary. No per-row Python dispatch —
+    the UDF is invoked once per record batch (north rule M8).
+    """
+    import re
+
+    spark = turns.sparkSession
+    gram_rows = alias_grams.select("gram", "n_words").collect()
+    gram_set = frozenset(r["gram"] for r in gram_rows)
+    ns = sorted({r["n_words"] for r in gram_rows})
+    bc = spark.sparkContext.broadcast((gram_set, ns))
+
+    key_fields = ", ".join(
+        f"{k} {turns.schema[k].dataType.simpleString()}" for k in keys
+    )
+    out_schema = f"{key_fields}, pos int, n_words int, alias_lc string"
+    norm_re = re.compile(r"[^a-z0-9]+")
+
+    def matcher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grams, lens = bc.value
+        for pdf in batches:
+            out_keys: dict[str, list] = {k: [] for k in keys}
+            pos_l: list[int] = []
+            n_l: list[int] = []
+            al_l: list[str] = []
+            texts = pdf[text_col].fillna("").str.lower().map(
+                lambda s: norm_re.sub(" ", s).strip()
+            )
+            key_vals = [pdf[k].tolist() for k in keys]
+            for row_i, t in enumerate(texts.tolist()):
+                toks = t.split(" ") if t else []
+                sz = len(toks)
+                for n in lens:
+                    if sz < n:
+                        continue
+                    if n == 1:
+                        cand = toks
+                    else:
+                        cand = [" ".join(toks[i : i + n]) for i in range(sz - n + 1)]
+                    for i, g in enumerate(cand):
+                        if g in grams:
+                            for kidx, k in enumerate(keys):
+                                out_keys[k].append(key_vals[kidx][row_i])
+                            pos_l.append(i)
+                            n_l.append(n)
+                            al_l.append(g)
+            out = pd.DataFrame({**out_keys, "pos": pos_l, "n_words": n_l,
+                                "alias_lc": al_l})
+            yield out
+
+    return turns.mapInPandas(matcher, schema=out_schema)
+
+
+def resolve_longest_match(
+    mentions: DataFrame, keys: Sequence[str] = DEFAULT_KEYS
+) -> DataFrame:
+    """Leftmost-longest greedy overlap resolution, fully JVM-side.
+
+    Collect the per-turn match list, sort by (pos asc, length desc,
+    alias asc), then fold: keep a match iff it starts at/after the end of
+    the previously kept match. Per-turn match counts are tiny (<= dozens),
+    so the collect_list is safe; the fold is a Catalyst ``aggregate``.
+    """
+    key_cols = [F.col(k) for k in keys]
+    packed = mentions.groupBy(*key_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("pos"),
+                    (-F.col("n_words")).alias("neg_n"),
+                    F.col("alias_lc"),
+                    F.col("n_words"),
+                )
+            )
+        ).alias("ms")
+    )
+    kept = packed.withColumn(
+        "kept",
+        F.expr(
+            "aggregate(ms, "
+            "named_struct('fin', cast(-1 as int), "
+            "             'acc', cast(array() as array<struct<pos:int,n_words:int,alias_lc:string>>)), "
+            "(s, m) -> IF(m.pos >= s.fin, "
+            "  named_struct('fin', m.pos + m.n_words, "
+            "               'acc', array_append(s.acc, named_struct('pos', m.pos, 'n_words', m.n_words, 'alias_lc', m.alias_lc))), "
+            "  s), "
+            "s -> s.acc)"
+        ),
+    )
+    return kept.select(*keys, F.explode("kept").alias("m")).select(
+        *keys,
+        F.col("m.pos").alias("pos"),
+        F.col("m.n_words").alias("n_words"),
+        F.col("m.alias_lc").alias("alias_lc"),
+    )

@@ -1,0 +1,178 @@
+"""Node/edge materialization (SURVEY.md K1/K2, M5, M7).
+
+Output schemas mirror the reference's import TSVs:
+- nodes:  [ID, :LABEL, name, description, type, synonyms] written by
+  write_entities (ckg/graphdb_builder/builder_utils.py:290-305 and
+  ontologies/ontologies_controller.py:143) -> here a typed DataFrame
+  (id, label, name, description, type, synonyms array<string>, source).
+- edges:  [START_ID, END_ID, TYPE, source, score, evidence_type] — the
+  jensenlabConfig.yml header; rows are the (subj, pred, obj) triples of the
+  north rule. Mention edges follow textminingParser.py:96-120
+  (MENTIONED_IN_PUBLICATION -> MENTIONED_IN_TURN, turn-scoped); co-mention
+  edges follow the 2-hop publication join in
+  report_manager/queries/datasets_cypher.yml:224-232; MAPS_TO follows
+  efoParser.py:28-40 / cypher.yml:36-46.
+
+Determinism: every dropDuplicates here is keyed on the full output tuple,
+and scores are exact counts — identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+EDGE_COLUMNS = ["subj", "pred", "obj", "source", "score", "evidence_type"]
+
+
+def turn_key(conv_col="conv_id", idx_col="turn_idx"):
+    return F.concat_ws(":", F.col(conv_col), F.col(idx_col).cast("string"))
+
+
+def canonicalize_linked(linked: DataFrame, canonical: DataFrame) -> DataFrame:
+    """Rewrite linked-mention ids to canonical component ids (broadcast join)."""
+    return (
+        linked.join(F.broadcast(canonical), on="ident", how="left")
+        .withColumn("canonical_id", F.coalesce("canonical_id", "ident"))
+    )
+
+
+def mention_edges(linked_canon: DataFrame) -> DataFrame:
+    """(entity)-[MENTIONED_IN_TURN]->(turn), score = occurrences in the turn."""
+    return (
+        linked_canon.groupBy(
+            F.col("canonical_id").alias("subj"),
+            turn_key().alias("obj"),
+            F.col("entity_type").alias("evidence_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("score"))
+        .select(
+            "subj",
+            F.lit("MENTIONED_IN_TURN").alias("pred"),
+            "obj",
+            F.lit("tagger").alias("source"),
+            "score",
+            "evidence_type",
+        )
+    )
+
+
+def comention_edges(linked_canon: DataFrame) -> DataFrame:
+    """(e1)-[CO_MENTIONED_WITH]->(e2), e1 < e2, score = #turns co-mentioning.
+
+    Symmetric-pair dedup uses the least/greatest trick (the Spark form of
+    the reference's stored.add((a,b)); stored.add((b,a)) at
+    stringParser.py:54-57). Self-join keyed on the turn; turn fan-out is
+    bounded by mentions-per-turn so no skew guard is needed beyond AQE.
+    """
+    per_turn = linked_canon.select(
+        turn_key().alias("tk"), F.col("canonical_id").alias("e")
+    ).distinct()
+    a, b = per_turn.alias("a"), per_turn.alias("b")
+    pairs = (
+        a.join(b, on="tk")
+        .where(F.col("a.e") < F.col("b.e"))
+        .select(
+            F.col("a.e").alias("subj"),
+            F.col("b.e").alias("obj"),
+            F.col("tk").alias("tk"),
+        )
+    )
+    return (
+        pairs.groupBy("subj", "obj")
+        .agg(F.countDistinct("tk").cast("double").alias("score"))
+        .select(
+            "subj",
+            F.lit("CO_MENTIONED_WITH").alias("pred"),
+            "obj",
+            F.lit("tagger").alias("source"),
+            "score",
+            F.lit("co_occurrence").alias("evidence_type"),
+        )
+    )
+
+
+def maps_to_edges(canonical: DataFrame) -> DataFrame:
+    """(ident)-[MAPS_TO]->(canonical_id) for merged idents."""
+    return (
+        canonical.where(F.col("ident") != F.col("canonical_id"))
+        .select(
+            F.col("ident").alias("subj"),
+            F.lit("MAPS_TO").alias("pred"),
+            F.col("canonical_id").alias("obj"),
+            F.lit("canonicalization").alias("source"),
+            F.lit(1.0).alias("score"),
+            F.lit("identity").alias("evidence_type"),
+        )
+    )
+
+
+def parent_edges(parent_rels: DataFrame, canonical: DataFrame) -> DataFrame:
+    """HAS_PARENT edges rewritten onto canonical ids."""
+    c1 = canonical.withColumnRenamed("ident", "start_id").withColumnRenamed(
+        "canonical_id", "c_start"
+    )
+    c2 = canonical.withColumnRenamed("ident", "end_id").withColumnRenamed(
+        "canonical_id", "c_end"
+    )
+    return (
+        parent_rels.join(F.broadcast(c1), on="start_id", how="left")
+        .join(F.broadcast(c2), on="end_id", how="left")
+        .select(
+            F.coalesce("c_start", "start_id").alias("subj"),
+            F.lit("HAS_PARENT").alias("pred"),
+            F.coalesce("c_end", "end_id").alias("obj"),
+            F.lit("ontology").alias("source"),
+            F.lit(1.0).alias("score"),
+            F.lit("hierarchy").alias("evidence_type"),
+        )
+        .where(F.col("subj") != F.col("obj"))
+        .dropDuplicates(["subj", "obj"])
+    )
+
+
+def materialize_edges(
+    linked_canon: DataFrame,
+    canonical: DataFrame,
+    parent_rels: DataFrame | None = None,
+) -> DataFrame:
+    e = mention_edges(linked_canon).unionByName(comention_edges(linked_canon))
+    e = e.unionByName(maps_to_edges(canonical))
+    if parent_rels is not None:
+        e = e.unionByName(parent_edges(parent_rels, canonical))
+    return e.dropDuplicates(["subj", "pred", "obj", "source"])
+
+
+def materialize_nodes(terms: DataFrame, canonical: DataFrame) -> DataFrame:
+    """One node per canonical id; attributes from the min member id
+    (deterministic MERGE-on-id analog of cypher.yml:25-27), synonyms =
+    union of all member names/synonyms."""
+    t = terms.join(
+        F.broadcast(canonical.withColumnRenamed("ident", "id")), on="id", how="left"
+    ).withColumn("canonical_id", F.coalesce("canonical_id", "id"))
+
+    w = Window.partitionBy("canonical_id").orderBy(F.col("id").asc())
+    ranked = t.withColumn("_rn", F.row_number().over(w))
+
+    attrs = ranked.where(F.col("_rn") == 1).select(
+        F.col("canonical_id").alias("id"),
+        "label",
+        "name",
+        "description",
+        "type",
+    )
+    syns = (
+        t.select(
+            "canonical_id",
+            F.explode(
+                F.array_union(F.coalesce("synonyms", F.array()), F.array("name"))
+            ).alias("syn"),
+        )
+        .groupBy("canonical_id")
+        .agg(F.sort_array(F.collect_set("syn")).alias("synonyms"))
+        .withColumnRenamed("canonical_id", "id")
+    )
+    return (
+        attrs.join(syns, on="id", how="left")
+        .withColumn("source", F.lit("ontology"))
+        .select("id", "label", "name", "description", "type", "synonyms", "source")
+    )

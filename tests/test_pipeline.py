@@ -1,0 +1,73 @@
+"""End-to-end pipeline: triple P/R vs oracle, per-turn invariant, resume."""
+
+import os
+
+import pandas as pd
+from pyspark.sql import Window, functions as F
+
+from ckg_spark.oracle_ref import oracle_triples, triple_prf
+from ckg_spark.plans import lineage as LIN
+from ckg_spark.plans.pipeline import run_pipeline
+
+
+def test_pipeline_triples_match_oracle(spark, vocab, vocab_tables,
+                                       transcripts_df, transcripts_pdf, tmp_path):
+    res = run_pipeline(spark, transcripts_df, vocab_tables, str(tmp_path / "kg"))
+    got = res.edges.toPandas()
+    exp = oracle_triples(transcripts_pdf, vocab)
+    prf = triple_prf(exp, got)
+    assert prf["expected"] > 100
+    assert prf["precision"] >= 0.95 and prf["recall"] >= 0.95, prf
+    # exact match expected on synthetic data
+    assert prf["f1"] == 1.0, prf
+    # score values match too
+    k = ["subj", "pred", "obj", "source"]
+    merged = exp.merge(got, on=k, suffixes=("_e", "_g"))
+    assert (merged["score_e"] == merged["score_g"]).all()
+
+
+def test_per_turn_invariant(spark, transcripts_df, transcripts_pdf):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ordered = (
+        transcripts_df.withColumn("rn", F.row_number().over(w))
+        .select("conv_id", "turn_idx", "rn", "text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = transcripts_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (ordered["text"].values == exp["text"].values).all()
+    # dense ordering: row_number == turn_idx + 1 per conversation
+    assert (ordered["rn"] == ordered["turn_idx"] + 1).all()
+
+
+def test_pipeline_resume_skips_committed_stages(spark, vocab_tables,
+                                                transcripts_df, tmp_path):
+    out = str(tmp_path / "kg2")
+    r1 = run_pipeline(spark, transcripts_df, vocab_tables, out)
+    assert r1.resumed_stages == []
+    e1 = r1.edges.toPandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    n_lineage_1 = len(LIN.read_lineage(out))
+    # simulate a crash after stage 20: delete later stages' commits
+    for stage in ["30_canonical", "40_nodes", "41_edges"]:
+        os.remove(os.path.join(out, stage, "_SUCCESS"))
+    r2 = run_pipeline(spark, transcripts_df, vocab_tables, out)
+    assert set(r2.resumed_stages) == {"10_mentions", "20_linked"}
+    assert len(LIN.read_lineage(out)) == n_lineage_1 + 3
+    # resumed run produces the identical triple set
+    e2 = r2.edges.toPandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(e1[e2.columns], e2, check_dtype=False)
+
+
+def test_determinism_across_parallelism(spark, vocab, vocab_tables,
+                                        transcripts_df, tmp_path):
+    """Same triples regardless of partition count (scaling-gate precondition)."""
+    r_lo = run_pipeline(spark, transcripts_df.repartition(2), vocab_tables,
+                        str(tmp_path / "lo"))
+    r_hi = run_pipeline(spark, transcripts_df.repartition(32), vocab_tables,
+                        str(tmp_path / "hi"))
+    k = ["subj", "pred", "obj", "source", "score", "evidence_type"]
+    lo = r_lo.edges.toPandas()[k].sort_values(k).reset_index(drop=True)
+    hi = r_hi.edges.toPandas()[k].sort_values(k).reset_index(drop=True)
+    pd.testing.assert_frame_equal(lo, hi)
