@@ -1,0 +1,212 @@
+"""Deduplication operators for large-scale text corpora.
+
+Reference analog: the per-parser in-memory ``set()`` dedup
+(ckg/graphdb_builder/databases/parsers/stringParser.py:10,54-57) and
+drop_duplicates(keep='first') (proteomicsParser.py:382) — generalized here to
+the dedup suite a 100 TB training-data pipeline needs:
+
+- exact: hash-groupBy on normalized text (pure shuffle-on-digest; the digest
+  groupBy keys on a 128-bit md5 so hot identical documents hash-spread only
+  by their own mass — AQE skew split covers pathological clone armies).
+- MinHash + LSH: shingle -> 64 minhash slots via affine transforms of one
+  xxhash64 base hash (all JVM column arithmetic, no UDF) -> band buckets ->
+  candidate pairs via bucket self-join -> exact-jaccard verify -> connected
+  components -> canonical keep-min-id.
+- SimHash: 64-bit signature from a JVM fold over token hashes; near-dup =
+  small hamming distance within band buckets.
+- n-gram Jaccard: exact verify used standalone for adjacent-id pairs (the
+  SQL-oracle-checkable slice).
+
+Scale notes: every stage is expressible as explode + groupBy + equi-join;
+candidate generation never materializes the O(n^2) pair space — only
+same-bucket pairs, and ``bucket_cap`` guards degenerate buckets (a bucket of
+k docs contributes k(k-1)/2 pairs; capping protects against boilerplate
+floods, the standard trick in web-dedup pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .extract import normalize_text
+
+def normalized_doc(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), normalize_text(F.col(text_col)).alias("norm")
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min id per distinct normalized text. Output: (doc_id, norm_hash, group_size)."""
+    d = normalized_doc(df, id_col, text_col).withColumn("norm_hash", F.md5("norm"))
+    return (
+        d.groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .select("doc_id", "norm_hash", "group_size")
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per doc: (doc_id, shingle)."""
+    toks = normalized_doc(df, id_col, text_col).withColumn(
+        "toks", F.split(F.col("norm"), " ")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {k} THEN "
+                f"transform(sequence(1, size(toks)-{k}+1), i -> array_join(slice(toks, i, {k}), ' ')) "
+                f"WHEN size(toks) > 0 AND toks[0] != '' THEN array(array_join(toks, ' ')) "
+                f"ELSE array() END"
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = 64) -> DataFrame:
+    """(doc_id, sig array<bigint>) — n_hashes min values of permuted shingle hashes.
+
+    Each "permutation" is xxhash64 with a distinct integer seed column —
+    pure JVM, ANSI-safe (no modular arithmetic to overflow), aggregated with
+    n_hashes min() (algebraic, map-side combined, skew-immune).
+    """
+    aggs = [
+        F.min(F.xxhash64(F.lit(i * 2654435761 + 12345), F.col("shingle"))).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4,
+                        bucket_cap: int = 200) -> DataFrame:
+    """Same-band-bucket candidate pairs (doc_a < doc_b), distinct.
+
+    bands*rows must equal the signature length. ``bucket_cap`` drops
+    degenerate buckets (boilerplate floods) before the quadratic self-join.
+    """
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> named_struct('band', b, 'bh', xxhash64(b, array_join(slice(sig, b*{rows}+1, {rows}), '_'))))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    counts = banded.groupBy("band", "bh").count().where(F.col("count") <= bucket_cap)
+    small = banded.join(counts.select("band", "bh"), on=["band", "bh"], how="left_semi")
+
+    a, b = small.alias("a"), small.alias("b")
+    return (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for each candidate pair."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # count common shingles via equi-join on (doc_b, shingle)
+    common = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), on="doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b"),
+            on=["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+def dedup_minhash_lsh(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      threshold: float = 0.8, k: int = 3, n_hashes: int = 64,
+                      bands: int = 16, rows: int = 4) -> DataFrame:
+    """Full near-dup pipeline: (doc_id, canonical_id) for docs in a near-dup
+    cluster; canonical = min id of the connected component over verified pairs."""
+    from .canonicalize import connected_components
+
+    sh = shingles(df, id_col, text_col, k=k)
+    sigs = minhash_signatures(sh, n_hashes=n_hashes)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows)
+    verified = exact_jaccard(cands, sh).where(F.col("jaccard") >= threshold)
+    edges = verified.select(
+        F.col("doc_a").cast("string").alias("ident_a"),
+        F.col("doc_b").cast("string").alias("ident_b"),
+    )
+    return connected_components(edges).select(
+        F.col("ident").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc, as a JVM fold over distinct token hashes.
+
+    bit_i(sig) = sign of sum over tokens of (+1 if bit_i(hash(token)) else -1).
+    """
+    toks = (
+        normalized_doc(df, id_col, text_col)
+        .select("doc_id", F.explode(F.split("norm", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    packed = toks.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    return packed.select(
+        "doc_id",
+        F.expr(
+            "aggregate("
+            "  zip_with("
+            "    aggregate(hs, array_repeat(0L, 64), "
+            "      (acc, h) -> zip_with(acc, sequence(0, 63), "
+            "        (a, i) -> a + IF(((h >> i) & 1) = 1, 1, -1))), "
+            "    sequence(0, 63), (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)), "
+            "  0L, (s, bit) -> s | bit)"
+        ).alias("simhash"),
+    )
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (any pair within
+    hamming distance <= 3 shares at least one identical chunk), verify exact
+    hamming distance JVM-side."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "c -> named_struct('chunk', c, 'cv', (simhash >> (c * 16)) & 65535))"
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, on=["chunk", "cv"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,141 @@
+"""Graph algorithms + query catalog + sources + streaming ingest."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ckg_spark.operators import graph_algos as G
+from ckg_spark.queries import catalog as Q
+from ckg_spark.sources.readers import parse_obo
+from ckg_spark.sources.transcripts import transcripts_from_documents
+
+
+def _edges(spark):
+    rows = [
+        ("a", "MENTIONED_IN_TURN", "t1"), ("a", "MENTIONED_IN_TURN", "t2"),
+        ("b", "MENTIONED_IN_TURN", "t1"), ("c", "MENTIONED_IN_TURN", "t3"),
+        ("a", "CO_MENTIONED_WITH", "b"), ("b", "CO_MENTIONED_WITH", "c"),
+    ]
+    return spark.createDataFrame(
+        [(s, p, o, "tagger", 1.0, "x") for s, p, o in rows],
+        "subj string, pred string, obj string, source string, score double, evidence_type string",
+    )
+
+
+def test_degrees_and_topk(spark):
+    e = _edges(spark)
+    d = {r["id"]: (r["out_degree"], r["in_degree"]) for r in G.degrees(e).collect()}
+    assert d["a"] == (3, 0) and d["t1"] == (0, 2) and d["b"] == (2, 1)
+    top = G.top_k_by_degree(e, k=2).toPandas()
+    assert list(top["id"])[0] == "a"
+
+
+def test_hot_node_guard(spark):
+    e = _edges(spark)
+    kept = G.hot_node_filtered_edges(e, max_degree=3)
+    assert kept.where(F.col("subj") == "a").count() == 0
+    assert kept.where(F.col("subj") == "b").count() == 2
+
+
+def test_pagerank_sums_to_one(spark):
+    e = _edges(spark).where(F.col("pred") == "CO_MENTIONED_WITH")
+    pr = G.pagerank(e, iters=8).toPandas()
+    assert abs(pr["rank"].sum() - 1.0) < 1e-6
+    # chain a->b->c: c should outrank a
+    r = pr.set_index("id")["rank"]
+    assert r["c"] > r["a"]
+
+
+def test_k_hop(spark):
+    e = _edges(spark)
+    seeds = spark.createDataFrame([("a",)], "id string")
+    got = G.k_hop(e, seeds, hops=2).toPandas().set_index("id")["hop"].to_dict()
+    assert got["a"] == 0
+    assert got["t1"] == 1 and got["b"] == 1
+    assert got["t3"] not in (0, 1) if "t3" in got else True
+    assert got.get("c") == 2  # a-(co)->b-(co)->c
+
+
+def test_label_propagation_two_communities(spark):
+    rows = [("x1", "x2"), ("x2", "x3"), ("x1", "x3"), ("y1", "y2"), ("y2", "y3")]
+    e = spark.createDataFrame(
+        [(a, "R", b, "s", 1.0, "e") for a, b in rows],
+        "subj string, pred string, obj string, source string, score double, evidence_type string",
+    )
+    got = G.label_propagation(e, iters=4).toPandas()
+    lab = got.set_index("id")["label"].to_dict()
+    assert lab["x1"] == lab["x2"] == lab["x3"]
+    assert lab["y1"] == lab["y2"] == lab["y3"]
+    assert lab["x1"] != lab["y1"]
+
+
+def test_query_catalog(spark, vocab_tables, transcripts_df, tmp_path):
+    from ckg_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(spark, transcripts_df, vocab_tables, str(tmp_path / "qkg"))
+    counts = Q.run_query(spark, "edge_counts_by_pred", res.nodes, res.edges).toPandas()
+    assert set(counts["pred"]) >= {"MENTIONED_IN_TURN", "CO_MENTIONED_WITH", "MAPS_TO"}
+    top = Q.run_query(spark, "entity_mention_counts", res.nodes, res.edges, k=5).toPandas()
+    assert len(top) == 5 and top["total_mentions"].is_monotonic_decreasing
+    ent = top.iloc[0]["id"]
+    com = Q.run_query(spark, "top_comentions_for_entity", res.nodes, res.edges,
+                      entity=ent, k=3).toPandas()
+    assert len(com) <= 3
+    hubs = Q.run_query(spark, "hub_entities", res.nodes, res.edges, k=4).toPandas()
+    assert len(hubs) == 4
+    assert set(Q.queries_involving("MAPS_TO")) >= {"merged_identities"}
+
+
+def test_parse_obo(tmp_path):
+    obo = tmp_path / "mini.obo"
+    obo.write_text(
+        """format-version: 1.2
+
+[Term]
+id: DOID:0001
+name: test disease
+namespace: disease
+synonym: "sickness one" EXACT []
+is_a: DOID:0000 ! root
+
+[Term]
+id: DOID:0002
+name: obsolete thing
+is_obsolete: true
+
+[Typedef]
+id: part_of
+"""
+    )
+    got = parse_obo(str(obo))
+    assert list(got["terms"]["id"]) == ["DOID:0001"]
+    assert set(got["aliases"]["alias_lc"]) == {"test disease", "sickness one"}
+    assert list(got["parent_rels"].itertuples(index=False))[0][:2] == ("DOID:0001", "DOID:0000")
+
+
+def test_transcripts_from_documents(spark):
+    t = transcripts_from_documents(spark, "/root/testdata/sf0.001", words_per_turn=10)
+    pdf = t.where(F.col("conv_id") == "doc-0").toPandas().sort_values("turn_idx")
+    assert pdf["turn_idx"].tolist() == list(range(len(pdf)))
+    assert (pdf["role"].iloc[:3] == ["user", "assistant", "tool"]).all()
+    # re-derivation is deterministic
+    t2 = transcripts_from_documents(spark, "/root/testdata/sf0.001", words_per_turn=10)
+    assert t.exceptAll(t2).count() == 0 and t2.exceptAll(t).count() == 0
+
+
+def test_streaming_ingest(spark, vocab, vocab_tables, transcripts_pdf, tmp_path):
+    from ckg_spark.streaming.ingest import stream_mention_edges
+    from ckg_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    in_dir, out_dir, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    os.makedirs(in_dir, exist_ok=True)
+    half = len(transcripts_pdf) // 2
+    transcripts_pdf.iloc[:half].to_parquet(f"{in_dir}/part1.parquet", index=False)
+    transcripts_pdf.iloc[half:].to_parquet(f"{in_dir}/part2.parquet", index=False)
+
+    q = stream_mention_edges(spark, in_dir, TRANSCRIPT_SCHEMA, vocab_tables,
+                             out_dir, cp)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() > 0
+    assert got.where(F.col("pred") != "MENTIONED_IN_TURN").count() == 0
