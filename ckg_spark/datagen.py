@@ -115,6 +115,8 @@ def ensure_transcripts(tier: str, vocab: Vocab | None = None,
         os.makedirs(base_dir, exist_ok=True)
         df = gen_transcripts(TIER_SIZES[tier], vocab=vocab, seed=seed)
         tmp = path + ".tmp"
-        df.to_parquet(tmp, index=False)
+        # small row groups so Spark can split the single file into many scan
+        # partitions (a pandas-default single row group serializes the scan)
+        df.to_parquet(tmp, index=False, row_group_size=20_000)
         os.replace(tmp, path)
     return path

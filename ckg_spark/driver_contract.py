@@ -1,0 +1,927 @@
+"""Driver-facing query surface: Spark queries + DuckDB oracle SQL pairs.
+
+Each entry exercises one (or a cluster) of the SURVEY.md §2 operators over
+the read-only driver testdata (TESTDATA.md). Column names and numeric
+rounding are aligned on both sides because the driver compares
+(row count, schema, order-insensitive value hash).
+
+Conventions:
+- every float aggregate is round(x, 2..4) on BOTH sides (double summation
+  order differs between engines; rounding absorbs the last-ulp noise);
+- counts/sizes cast to bigint on both sides;
+- timestamps never returned raw — formatted to strings;
+- the inline VOCAB/ALIAS tables are literal on both sides so the
+  mention/link/co-mention oracles are self-contained SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .operators import extract as X
+from .operators import dedup as D
+from .operators import similarity as SIM
+from .operators import textstats as TS
+from .operators.canonicalize import connected_components
+
+# ---------------------------------------------------------------------------
+# inline vocabulary for the mention/link queries (words present in the
+# documents corpus; includes multi-word grams and a 1:N ambiguous alias)
+# ---------------------------------------------------------------------------
+VOCAB_TERMS = [
+    "spark", "merge", "vector", "window", "filter", "customer",
+    "hash join", "table scan", "sort merge",
+]
+
+# (alias, ident, rank): 'merge' is ambiguous -> E10 (rank 3) and E11 (rank 1)
+ALIAS_ROWS = [
+    ("spark", "E01", 1), ("vector", "E02", 1), ("window", "E03", 1),
+    ("filter", "E04", 1), ("customer", "E05", 1),
+    ("hash join", "E06", 1), ("table scan", "E07", 1), ("sort merge", "E08", 1),
+    ("merge", "E10", 3), ("merge", "E11", 1),
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _vocab_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(t,) for t in VOCAB_TERMS], "term string")
+
+
+def _vocab_values_sql() -> str:
+    return ", ".join(f"('{t}')" for t in VOCAB_TERMS)
+
+
+def _alias_values_sql() -> str:
+    return ", ".join(f"('{a}', '{i}', {r})" for a, i, r in ALIAS_ROWS)
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct (doc_id, term) via the JVM extractor over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = X.prepare_alias_grams(_vocab_df(spark), alias_col="term")
+    m = X.extract_mentions(docs, grams, keys=("doc_id",), text_col="text")
+    return m.select("doc_id", F.col("alias_lc").alias("term")).distinct()
+
+
+_MENTIONS_ORACLE = f"""
+WITH vocab(term) AS (VALUES {_vocab_values_sql()}),
+norm AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS t
+         FROM documents)
+SELECT DISTINCT n.doc_id, v.term
+FROM norm n JOIN vocab v
+  ON regexp_matches(n.t, '(^|[^a-z0-9])' || v.term || '([^a-z0-9]|$)')
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_project(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    # floor(x*100)/100 instead of round(): both engines see the identical
+    # double, floor is exact, so no round-half-mode divergence on half-cents
+    return li.where(
+        (F.col("l_quantity") > 45) & (F.col("l_discount").between(0.05, 0.07))
+    ).select(
+        "l_orderkey", "l_linenumber",
+        (F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100) / 100).alias("revenue"),
+    )
+
+
+Q02_SQL = """
+SELECT l_orderkey, l_linenumber,
+       floor(l_extendedprice * (1 - l_discount) * 100) / 100 AS revenue
+FROM lineitem WHERE l_quantity > 45 AND l_discount BETWEEN 0.05 AND 0.07
+"""
+
+
+def q03_star_join(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+Q03_SQL = """
+SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q04_semi_join(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+Q04_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q05_anti_join(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+Q05_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q06_group_collect(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        )
+    )
+
+
+Q06_SQL = """
+SELECT c_mktsegment,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q07_first_order(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_date"),
+        )
+    )
+
+
+Q07_SQL = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_date
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+"""
+
+
+def q08_window_lag(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+Q08_SQL = """
+SELECT user_id, event_id,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+FROM events
+"""
+
+
+def q09_running_sum(spark, sf):
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("running_value")
+    )
+
+
+Q09_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM events
+"""
+
+
+def q10_topk_revenue(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+Q10_SQL = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY o_custkey
+ORDER BY revenue DESC, o_custkey LIMIT 10
+"""
+
+
+def q11_pivot_events(spark, sf):
+    e = _t(spark, sf, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return e.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ]
+    )
+
+
+Q11_SQL = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q12_union(spark, sf):
+    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+Q12_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION SELECT s_nationkey FROM supplier
+"""
+
+
+def q13_intersect(spark, sf):
+    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+Q13_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT SELECT s_nationkey FROM supplier
+"""
+
+
+def q14_except(spark, sf):
+    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+        .subtract(s.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+Q14_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT SELECT s_nationkey FROM supplier
+"""
+
+
+def q15_symmetric_dedup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    lo = F.least("l_partkey", "l_suppkey").alias("lo")
+    hi = F.greatest("l_partkey", "l_suppkey").alias("hi")
+    return li.select(lo, hi).distinct()
+
+
+Q15_SQL = """
+SELECT DISTINCT least(l_partkey, l_suppkey) AS lo,
+                greatest(l_partkey, l_suppkey) AS hi
+FROM lineitem
+"""
+
+
+def q16_scalar_funcs(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.upper("event_type").alias("etype"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.concat_ws("#", "event_type", F.col("user_id").cast("string")).alias("composite"),
+        F.round(F.sqrt(F.abs(F.col("value"))), 4).alias("sqrt_val"),
+    )
+
+
+Q16_SQL = """
+SELECT event_id, upper(event_type) AS etype,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       strftime(ts, '%Y-%m-%d') AS day,
+       event_type || '#' || CAST(user_id AS VARCHAR) AS composite,
+       round(sqrt(abs(value)), 4) AS sqrt_val
+FROM events
+"""
+
+
+def q17_cov(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice") / F.avg("l_extendedprice"), 4).alias("cov"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q17_SQL = """
+SELECT l_returnflag, round(stddev_samp(l_extendedprice) / avg(l_extendedprice), 4) AS cov,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q18_median(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+    )
+
+
+Q18_SQL = """
+SELECT l_linestatus, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q19_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+Q19_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q20_indicator_agg(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") < 10, 1).otherwise(0)).cast("long").alias("n_low"),
+        F.round(F.avg(F.when(F.col("value") < 10, 1.0).otherwise(0.0)), 4).alias("pct_low"),
+    )
+
+
+Q20_SQL = """
+SELECT event_type, sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS n_low,
+       round(avg(CASE WHEN value < 10 THEN 1.0 ELSE 0.0 END), 4) AS pct_low
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / KG queries over documents
+# ---------------------------------------------------------------------------
+
+def q21_mentions(spark, sf):
+    return _mentions(spark, sf)
+
+
+Q21_SQL = _MENTIONS_ORACLE
+
+
+def q22_mention_doc_counts(spark, sf):
+    return (
+        _mentions(spark, sf)
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    )
+
+
+Q22_SQL = f"""
+WITH m AS ({_MENTIONS_ORACLE})
+SELECT term, count(DISTINCT doc_id) AS n_docs FROM m GROUP BY term
+"""
+
+
+def q23_comention_pairs(spark, sf):
+    m = _mentions(spark, sf)
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(b, on="doc_id")
+        .where(F.col("a.term") < F.col("b.term"))
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+Q23_SQL = f"""
+WITH m AS ({_MENTIONS_ORACLE})
+SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY a.term, b.term
+"""
+
+
+def q24_link_best(spark, sf):
+    m = _mentions(spark, sf)
+    aliases = spark.createDataFrame(ALIAS_ROWS, "alias string, ident string, rank int")
+    cands = m.join(F.broadcast(aliases), m["term"] == aliases["alias"], "inner")
+    w = Window.partitionBy("doc_id", "term").orderBy(
+        F.col("rank").asc(), F.col("ident").asc()
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "term", "ident")
+    )
+
+
+Q24_SQL = f"""
+WITH m AS ({_MENTIONS_ORACLE}),
+aliases(alias, ident, rank) AS (VALUES {_alias_values_sql()}),
+cand AS (
+  SELECT m.doc_id, m.term, a.ident,
+         row_number() OVER (PARTITION BY m.doc_id, m.term
+                            ORDER BY a.rank, a.ident) AS rn
+  FROM m JOIN aliases a ON m.term = a.alias)
+SELECT doc_id, term, ident FROM cand WHERE rn = 1
+"""
+
+
+def q25_term_cc(spark, sf):
+    """Connected components over the 'co-mentioned in >= 200 docs' term graph
+    (threshold keeps the graph sparse and deterministic at sf0.01)."""
+    edges = (
+        q23_comention_pairs(spark, sf)
+        .where(F.col("n_docs") >= 200)
+        .select(F.col("term_a").alias("ident_a"), F.col("term_b").alias("ident_b"))
+    )
+    return connected_components(edges).select(
+        F.col("ident").alias("term"), F.col("component")
+    )
+
+
+Q25_SQL = f"""
+WITH RECURSIVE m AS ({_MENTIONS_ORACLE}),
+pairs AS (
+  SELECT a.term AS ta, b.term AS tb, count(*) AS n
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= 200),
+verts(v) AS (SELECT DISTINCT ta FROM pairs UNION SELECT DISTINCT tb FROM pairs),
+edges(a, b) AS (SELECT ta, tb FROM pairs UNION SELECT tb, ta FROM pairs),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+SELECT src AS term, min(dst) AS component FROM reach GROUP BY src
+"""
+
+
+def q26_dedup_exact(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return D.dedup_exact(docs)
+
+
+Q26_SQL = """
+WITH n AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
+           FROM documents)
+SELECT min(doc_id) AS doc_id, norm_hash, count(*) AS group_size
+FROM n GROUP BY norm_hash
+"""
+
+
+def q27_token_stats(spark, sf):
+    docs = _t(spark, sf, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        TS.token_count(c).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(TS.tokens(c))).cast("long").alias("n_distinct"),
+        F.round(TS.punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(TS.stopword_ratio(c, "en"), 4).alias("stop_ratio_en"),
+    )
+
+
+Q27_SQL = """
+WITH toks AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0 ELSE len(tk) END AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0 ELSE len(list_distinct(tk)) END AS n_distinct,
+       round(CASE WHEN length(text) > 0 THEN
+         (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) * 1.0 / length(text)
+         ELSE 0.0 END, 4) AS punct_ratio,
+       round(CASE WHEN len(tk) > 0 THEN
+         len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(tk)
+         ELSE 0.0 END, 4) AS stop_ratio_en
+FROM toks
+"""
+
+
+def q28_jaccard_adjacent(spark, sf):
+    docs = _t(spark, sf, "documents")
+    t = docs.select(
+        "doc_id", F.array_distinct(TS.tokens(F.col("text"))).alias("tk")
+    )
+    a = t.alias("a")
+    b = t.select((F.col("doc_id") - 1).alias("doc_id"), F.col("tk").alias("tk_b")).alias("b")
+    return (
+        a.join(b, on="doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.size(F.array_intersect("tk", "tk_b"))
+                / F.size(F.array_union("tk", "tk_b")),
+                4,
+            ).alias("jaccard_next"),
+        )
+    )
+
+
+Q28_SQL = """
+WITH t AS (SELECT doc_id,
+                  list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS tk
+           FROM documents)
+SELECT a.doc_id,
+       round(len(list_intersect(a.tk, b.tk)) * 1.0 /
+             (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jaccard_next
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q29_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    top = SIM.cosine_topk(emb, list(q), k=10)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+Q29_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 4) AS cosine
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+
+def q30_doc_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", TS.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+Q30_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL-expressible) queries
+# ---------------------------------------------------------------------------
+
+def q31_minhash_clusters(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return D.dedup_minhash_lsh(docs, threshold=0.8)
+
+
+def q32_transcript_mention_edges(spark, sf):
+    """Flagship: documents -> deterministic transcripts -> extract -> link ->
+    MENTIONED_IN_TURN edges (the KG pipeline over driver testdata)."""
+    from .operators import link as L
+    from .operators import materialize as M
+    from .sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf)
+    grams = X.prepare_alias_grams(_vocab_df(spark), alias_col="term")
+    mentions = X.extract_mentions(t, grams)
+    alias_table = spark.createDataFrame(
+        [(a, i, r, "Entity", "NAME") for a, i, r in ALIAS_ROWS],
+        "gram string, ident string, rank int, entity_type string, source string",
+    )
+    linked = L.link_mentions(mentions, alias_table, stoplist=None, keep="best")
+    lc = linked.withColumn("canonical_id", F.col("ident"))
+    return M.mention_edges(lc)
+
+
+def q33_simhash_pairs(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return D.simhash_near_dups(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_filter_project": (q02_filter_project, Q02_SQL),
+    "q03_star_join": (q03_star_join, Q03_SQL),
+    "q04_semi_join": (q04_semi_join, Q04_SQL),
+    "q05_anti_join": (q05_anti_join, Q05_SQL),
+    "q06_group_collect": (q06_group_collect, Q06_SQL),
+    "q07_first_order": (q07_first_order, Q07_SQL),
+    "q08_window_lag": (q08_window_lag, Q08_SQL),
+    "q09_running_sum": (q09_running_sum, Q09_SQL),
+    "q10_topk_revenue": (q10_topk_revenue, Q10_SQL),
+    "q11_pivot_events": (q11_pivot_events, Q11_SQL),
+    "q12_union": (q12_union, Q12_SQL),
+    "q13_intersect": (q13_intersect, Q13_SQL),
+    "q14_except": (q14_except, Q14_SQL),
+    "q15_symmetric_dedup": (q15_symmetric_dedup, Q15_SQL),
+    "q16_scalar_funcs": (q16_scalar_funcs, Q16_SQL),
+    "q17_cov": (q17_cov, Q17_SQL),
+    "q18_median": (q18_median, Q18_SQL),
+    "q19_rollup": (q19_rollup, Q19_SQL),
+    "q20_indicator_agg": (q20_indicator_agg, Q20_SQL),
+    "q21_mentions": (q21_mentions, Q21_SQL),
+    "q22_mention_doc_counts": (q22_mention_doc_counts, Q22_SQL),
+    "q23_comention_pairs": (q23_comention_pairs, Q23_SQL),
+    "q24_link_best": (q24_link_best, Q24_SQL),
+    "q25_term_cc": (q25_term_cc, Q25_SQL),
+    "q26_dedup_exact": (q26_dedup_exact, Q26_SQL),
+    "q27_token_stats": (q27_token_stats, Q27_SQL),
+    "q28_jaccard_adjacent": (q28_jaccard_adjacent, Q28_SQL),
+    "q29_cosine_topk": (q29_cosine_topk, Q29_SQL),
+    "q30_doc_fingerprint": (q30_doc_fingerprint, Q30_SQL),
+    # rows-only (no SQL oracle): custom iterative / signature-based ops
+    "q31_minhash_clusters": (q31_minhash_clusters, None),
+    "q32_transcript_mention_edges": (q32_transcript_mention_edges, None),
+    "q33_simhash_pairs": (q33_simhash_pairs, None),
+}
+
+
+def queries_dict():
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_dict():
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# analytics operator queries (SURVEY.md §2.11) over driver testdata
+# ---------------------------------------------------------------------------
+
+def q34_pivot_avg(spark, sf):
+    """A6 pivot with value agg: mean event value per user x type.
+
+    Averages are returned as exact integers scaled by 1e4 (value has exactly
+    2 decimals -> cents are exact ints; integer division is bit-identical in
+    both engines, unlike round(avg(double)) whose half-way mode differs)."""
+    e = _t(spark, sf, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    aggs = []
+    for t in types:
+        s = F.sum(F.when(F.col("event_type") == t, cents))
+        n = F.sum(F.when(F.col("event_type") == t, 1))
+        aggs.append((s * 100 - ((s * 100) % n)) / n)  # floor-division, sign-safe here
+    return e.groupBy("user_id").agg(
+        *[a.cast("long").alias(f"avg_{t}_e4") for a, t in zip(aggs, types)]
+    )
+
+
+Q34_SQL = """
+WITH c AS (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT user_id,
+       (sum(CASE WHEN event_type = 'click' THEN cents END) * 100)
+         // sum(CASE WHEN event_type = 'click' THEN 1 END) AS avg_click_e4,
+       (sum(CASE WHEN event_type = 'view' THEN cents END) * 100)
+         // sum(CASE WHEN event_type = 'view' THEN 1 END) AS avg_view_e4,
+       (sum(CASE WHEN event_type = 'purchase' THEN cents END) * 100)
+         // sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS avg_purchase_e4,
+       (sum(CASE WHEN event_type = 'signup' THEN cents END) * 100)
+         // sum(CASE WHEN event_type = 'signup' THEN 1 END) AS avg_signup_e4,
+       (sum(CASE WHEN event_type = 'error' THEN cents END) * 100)
+         // sum(CASE WHEN event_type = 'error' THEN 1 END) AS avg_error_e4
+FROM c GROUP BY user_id
+"""
+
+
+def q35_zscore(spark, sf):
+    """A7 z-score normalization per group (event_type) via agg+join."""
+    from .operators.analytics import normalize_zscore
+
+    e = _t(spark, sf, "events").select(
+        F.col("event_type").alias("feature"),
+        F.col("event_id").alias("subject"),
+        F.col("value"),
+    )
+    z = normalize_zscore(e, by="feature")
+    return z.select(
+        F.col("subject").alias("event_id"),
+        F.col("feature").alias("event_type"),
+        F.round("value", 6).alias("zscore"),
+    )
+
+
+Q35_SQL = """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS zscore
+FROM events
+"""
+
+
+def q36_quantile_norm(spark, sf):
+    """A7 quantile normalization across users (rank window + rank-mean join)."""
+    from .operators.analytics import normalize_quantile
+
+    e = _t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("subject"),
+        F.col("event_id").cast("string").alias("feature"),
+        F.col("value"),
+    )
+    q = normalize_quantile(e, by="subject")
+    return q.select(
+        F.col("feature").cast("long").alias("event_id"),
+        F.round("value", 6).alias("qnorm"),
+    )
+
+
+Q36_SQL = """
+WITH ranked AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value, CAST(event_id AS VARCHAR)) AS rk
+  FROM events WHERE value IS NOT NULL),
+rank_means AS (SELECT rk, avg(value) AS rmean FROM ranked GROUP BY rk)
+SELECT r.event_id, round(m.rmean, 6) AS qnorm
+FROM ranked r JOIN rank_means m ON r.rk = m.rk
+"""
+
+
+def q37_correlation(spark, sf):
+    """§2.11 correlation: Pearson corr per group."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )
+
+
+Q37_SQL = """
+SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q38_bh_correction(spark, sf):
+    """§2.11 BH/FDR: rank window + reverse running-min, over a deterministic
+    pseudo-p column (percentile rank of value within event_type)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    wn = Window.partitionBy("event_type")
+    pseudo = e.select(
+        "event_id", "event_type",
+        (F.row_number().over(w) / F.count(F.lit(1)).over(wn)).alias("pvalue"),
+    )
+    n = pseudo.count()
+    w_rank = Window.orderBy(F.col("pvalue").asc(), F.col("event_id").asc())
+    w_cummin = Window.orderBy(F.col("pvalue").desc(), F.col("event_id").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pseudo.withColumn("_rank", F.row_number().over(w_rank))
+    adj = ranked.withColumn("_raw", F.col("pvalue") * n / F.col("_rank"))
+    return adj.select(
+        "event_id",
+        F.round(F.least(F.min("_raw").over(w_cummin), F.lit(1.0)), 6).alias("padj"),
+    )
+
+
+Q38_SQL = """
+WITH pseudo AS (
+  SELECT event_id,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS DOUBLE)
+           / count(*) OVER (PARTITION BY event_type) AS pvalue
+  FROM events),
+ranked AS (
+  SELECT event_id, pvalue,
+         row_number() OVER (ORDER BY pvalue, event_id) AS rnk,
+         count(*) OVER () AS n
+  FROM pseudo)
+SELECT event_id,
+       round(least(min(pvalue * n / rnk) OVER (ORDER BY pvalue DESC, event_id DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) AS padj
+FROM ranked
+"""
+
+
+def q39_summary_stats(spark, sf):
+    """A8 summary matrix per group."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("l_quantity").alias("n"),
+        F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.min("l_quantity"), 6).alias("min_qty"),
+        F.round(F.max("l_quantity"), 6).alias("max_qty"),
+    )
+
+
+Q39_SQL = """
+SELECT l_returnflag, l_linestatus, count(l_quantity) AS n,
+       round(avg(l_quantity), 6) AS mean_qty,
+       round(stddev_samp(l_quantity), 6) AS std_qty,
+       round(min(l_quantity), 6) AS min_qty,
+       round(max(l_quantity), 6) AS max_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q40_term_degree(spark, sf):
+    """J7/A11 degree stats over the co-mention term graph."""
+    pairs = q23_comention_pairs(spark, sf)
+    a = pairs.select(F.col("term_a").alias("term"), "n_docs")
+    b = pairs.select(F.col("term_b").alias("term"), "n_docs")
+    return (
+        a.unionByName(b)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("degree"),
+             F.sum("n_docs").cast("long").alias("weight"))
+    )
+
+
+Q40_SQL = f"""
+WITH m AS ({_MENTIONS_ORACLE}),
+pairs AS (
+  SELECT a.term AS ta, b.term AS tb, count(*) AS n
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term),
+ends AS (SELECT ta AS term, n FROM pairs UNION ALL SELECT tb, n FROM pairs)
+SELECT term, count(*) AS degree, CAST(sum(n) AS BIGINT) AS weight
+FROM ends GROUP BY term
+"""
+
+
+QUERIES.update({
+    "q34_pivot_avg": (q34_pivot_avg, Q34_SQL),
+    "q35_zscore": (q35_zscore, Q35_SQL),
+    "q36_quantile_norm": (q36_quantile_norm, Q36_SQL),
+    "q37_correlation": (q37_correlation, Q37_SQL),
+    "q38_bh_correction": (q38_bh_correction, Q38_SQL),
+    "q39_summary_stats": (q39_summary_stats, Q39_SQL),
+    "q40_term_degree": (q40_term_degree, Q40_SQL),
+})

@@ -1,0 +1,158 @@
+"""Distribution functions for the analytics operators (scipy-free).
+
+The reference leans on scipy/statsmodels for t-tests/ANOVA/FDR
+(ckg/analytics_core/analytics/analytics.py:1470-2260). This container has no
+scipy, so the p-value plumbing is implemented here directly:
+
+- regularized incomplete beta I_x(a,b) via the Lentz continued fraction
+  (Numerical Recipes §6.4 formulation, public algorithm),
+- Student-t and F survival functions in terms of I_x,
+- Fisher exact (hypergeometric tail) via log-gamma sums.
+
+All pure numpy/math on driver- or Arrow-batch-scale data (the per-feature
+grouped UDFs), never per-row on the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _betacf(a: float, b: float, x: float, max_iter: int = 200,
+            eps: float = 3e-12) -> float:
+    """Continued fraction for the incomplete beta function."""
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < 1e-300:
+        d = 1e-300
+    d = 1.0 / d
+    h = d
+    for m in range(1, max_iter + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < 1e-300:
+            d = 1e-300
+        c = 1.0 + aa / c
+        if abs(c) < 1e-300:
+            c = 1e-300
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < 1e-300:
+            d = 1e-300
+        c = 1.0 + aa / c
+        if abs(c) < 1e-300:
+            c = 1e-300
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < eps:
+            break
+    return h
+
+
+def betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log1p(-x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def t_sf(t: float, df: float) -> float:
+    """Two-sided p-value for a Student-t statistic."""
+    if df <= 0 or not math.isfinite(t):
+        return float("nan")
+    x = df / (df + t * t)
+    return betainc(df / 2.0, 0.5, x)
+
+
+def f_sf(f: float, df1: float, df2: float) -> float:
+    """Upper-tail p-value for an F statistic."""
+    if f <= 0 or df1 <= 0 or df2 <= 0:
+        return 1.0
+    x = df2 / (df2 + df1 * f)
+    return betainc(df2 / 2.0, df1 / 2.0, x)
+
+
+def welch_ttest(x: np.ndarray, y: np.ndarray) -> tuple[float, float, float]:
+    """Welch two-sample t-test: (t, df, two-sided p)."""
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    x, y = x[~np.isnan(x)], y[~np.isnan(y)]
+    nx, ny = len(x), len(y)
+    if nx < 2 or ny < 2:
+        return (float("nan"),) * 3
+    vx, vy = x.var(ddof=1), y.var(ddof=1)
+    sx, sy = vx / nx, vy / ny
+    denom = math.sqrt(sx + sy)
+    if denom == 0:
+        return (float("nan"),) * 3
+    t = (x.mean() - y.mean()) / denom
+    df = (sx + sy) ** 2 / (sx**2 / (nx - 1) + sy**2 / (ny - 1))
+    return t, df, t_sf(t, df)
+
+
+def anova_oneway(groups: list[np.ndarray]) -> tuple[float, float, float, float]:
+    """One-way ANOVA: (F, df_between, df_within, p)."""
+    groups = [np.asarray(g, dtype=float) for g in groups]
+    groups = [g[~np.isnan(g)] for g in groups]
+    groups = [g for g in groups if len(g) > 0]
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    if k < 2 or n <= k:
+        return (float("nan"),) * 4
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    df1, df2 = k - 1, n - k
+    if ssw == 0:
+        return (float("inf"), df1, df2, 0.0)
+    f = (ssb / df1) / (ssw / df2)
+    return f, float(df1), float(df2), f_sf(f, df1, df2)
+
+
+def _ln_comb(n: int, k: int) -> float:
+    return math.lgamma(n + 1) - math.lgamma(k + 1) - math.lgamma(n - k + 1)
+
+
+def fisher_exact_greater(a: int, b: int, c: int, d: int) -> float:
+    """One-sided (enrichment) Fisher exact p for table [[a,b],[c,d]]:
+    P(X >= a) under hypergeometric with margins fixed."""
+    n = a + b + c + d
+    row1, col1 = a + b, a + c
+    lo = max(0, row1 + col1 - n)
+    hi = min(row1, col1)
+    denom = _ln_comb(n, col1)
+    p = 0.0
+    for x in range(a, hi + 1):
+        p += math.exp(_ln_comb(row1, x) + _ln_comb(n - row1, col1 - x) - denom)
+    return min(p, 1.0)
+
+
+def cohens_d(x: np.ndarray, y: np.ndarray) -> float:
+    """Cohen's d with pooled std (reference: analytics.py:2522-2634)."""
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    x, y = x[~np.isnan(x)], y[~np.isnan(y)]
+    nx, ny = len(x), len(y)
+    if nx < 2 or ny < 2:
+        return float("nan")
+    pooled = math.sqrt(((nx - 1) * x.var(ddof=1) + (ny - 1) * y.var(ddof=1))
+                       / (nx + ny - 2))
+    if pooled == 0:
+        return float("nan")
+    return (x.mean() - y.mean()) / pooled

@@ -79,12 +79,23 @@ def link_mentions(
         return cands.select(*keys, "pos", "n_words", "alias_lc", "ident",
                             "entity_type", "rank")
 
-    w = Window.partitionBy(*keys, "pos", "n_words").orderBy(
-        F.col("rank").asc(), F.col("ident").asc()
-    )
+    # best candidate as an algebraic min(struct(rank, ident, ...)) — struct
+    # comparison is lexicographic by field order, so this is exactly
+    # "lowest rank, then lowest ident", but with map-side partial
+    # aggregation instead of a row_number window's full sort-shuffle
+    best = F.min(
+        F.struct(
+            F.col("rank"), F.col("ident"), F.col("entity_type"), F.col("alias_lc")
+        )
+    ).alias("b")
     return (
-        cands.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-        .select(*keys, "pos", "n_words", "alias_lc", "ident", "entity_type", "rank")
+        cands.groupBy(*keys, "pos", "n_words")
+        .agg(best)
+        .select(
+            *keys, "pos", "n_words",
+            F.col("b.alias_lc").alias("alias_lc"),
+            F.col("b.ident").alias("ident"),
+            F.col("b.entity_type").alias("entity_type"),
+            F.col("b.rank").alias("rank"),
+        )
     )

@@ -59,27 +59,34 @@ def mention_edges(linked_canon: DataFrame) -> DataFrame:
 def comention_edges(linked_canon: DataFrame) -> DataFrame:
     """(e1)-[CO_MENTIONED_WITH]->(e2), e1 < e2, score = #turns co-mentioning.
 
-    Symmetric-pair dedup uses the least/greatest trick (the Spark form of
-    the reference's stored.add((a,b)); stored.add((b,a)) at
-    stringParser.py:54-57). Self-join keyed on the turn; turn fan-out is
-    bounded by mentions-per-turn so no skew guard is needed beyond AQE.
+    Implementation: per-turn sorted entity set (collect_set — distinct per
+    turn for free), then pair expansion as a JVM nested-transform over the
+    sorted array (k entities -> C(k,2) pairs, k is mentions-per-turn so
+    tiny), then one pair-count aggregation. This replaces a turn-keyed
+    self-join (two shuffles of the full mention stream + countDistinct)
+    with one groupBy + one count — the sorted array also gives the
+    symmetric-pair (a < b) ordering directly (the Spark form of the
+    reference's stored.add((a,b)); stored.add((b,a)) dedup at
+    stringParser.py:54-57).
     """
-    per_turn = linked_canon.select(
-        turn_key().alias("tk"), F.col("canonical_id").alias("e")
-    ).distinct()
-    a, b = per_turn.alias("a"), per_turn.alias("b")
-    pairs = (
-        a.join(b, on="tk")
-        .where(F.col("a.e") < F.col("b.e"))
-        .select(
-            F.col("a.e").alias("subj"),
-            F.col("b.e").alias("obj"),
-            F.col("tk").alias("tk"),
-        )
+    sets = (
+        linked_canon.select(turn_key().alias("tk"), F.col("canonical_id").alias("e"))
+        .groupBy("tk")
+        .agg(F.sort_array(F.collect_set("e")).alias("es"))
+        .where(F.size("es") >= 2)
     )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(es)-1), "
+                "i -> transform(sequence(0, i-1), "
+                "j -> named_struct('subj', es[j], 'obj', es[i]))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.subj").alias("subj"), F.col("p.obj").alias("obj"))
     return (
         pairs.groupBy("subj", "obj")
-        .agg(F.countDistinct("tk").cast("double").alias("score"))
+        .agg(F.count(F.lit(1)).cast("double").alias("score"))
         .select(
             "subj",
             F.lit("CO_MENTIONED_WITH").alias("pred"),
