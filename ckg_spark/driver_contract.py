@@ -925,3 +925,34 @@ QUERIES.update({
     "q39_summary_stats": (q39_summary_stats, Q39_SQL),
     "q40_term_degree": (q40_term_degree, Q40_SQL),
 })
+
+
+def q41_tfidf(spark, sf):
+    """M9 TF-IDF scoring as pure aggregations (tf, df, smoothed idf)."""
+    from .operators.tfidf import tfidf as _tfidf
+
+    docs = _t(spark, sf, "documents")
+    out = _tfidf(docs)
+    return out.select(
+        "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
+Q41_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+       round(tf.tf * (ln((n.n + 1.0) / (dft.df + 1.0)) + 1.0), 6) AS tfidf
+FROM tf JOIN dft USING (term) CROSS JOIN n
+"""
+
+
+QUERIES.update({"q41_tfidf": (q41_tfidf, Q41_SQL)})

@@ -274,3 +274,111 @@ def pairwise_correlation(df: DataFrame, min_n: int = 3) -> DataFrame:
         .agg(F.corr("va", "vb").alias("corr"), F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= min_n)
     )
+
+
+# -- imputation (analytics.py:263-367) -----------------------------------------
+
+def impute_group_median(df: DataFrame) -> DataFrame:
+    """Median imputation per (group, feature) — the distributed default
+    (reference's mixed imputation falls back to group medians for features
+    too sparse for KNN, imputation_mixed_norm_KNN:303)."""
+    med = df.groupBy("group", "feature").agg(
+        F.percentile("value", F.lit(0.5)).alias("_med")
+    )
+    return (
+        df.join(med, on=["group", "feature"], how="left")
+        .withColumn("value", F.coalesce("value", "_med"))
+        .drop("_med")
+    )
+
+
+def impute_normal_distribution(df: DataFrame, shift: float = 1.8,
+                               nstd: float = 0.3, seed: int = 11) -> DataFrame:
+    """MNAR imputation by draws from a down-shifted normal
+    (imputation_normal_distribution:328: mean - 1.8*std, width 0.3*std).
+
+    Determinism: the 'draw' is a seeded hash-derived uniform mapped through
+    a cheap normal approximation — same (subject, feature) always imputes
+    the same value at any parallelism (no Python RNG in executors).
+    """
+    stats_ = df.groupBy("feature").agg(
+        F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sd")
+    )
+    j = df.join(stats_, on="feature", how="left")
+    # uniform in (0,1) from a stable hash of the row identity
+    u = (F.pmod(F.xxhash64("subject", "feature", F.lit(seed)), F.lit(10**9))
+         / F.lit(10**9 - 1))
+    # inverse-CDF-ish approximation via logistic quantile (adequate for MNAR fill)
+    z = (F.log(u / (F.lit(1.0) - u))) / F.lit(1.702)
+    imputed = F.col("_mu") - F.lit(shift) * F.col("_sd") + z * F.lit(nstd) * F.col("_sd")
+    return (
+        j.withColumn("value", F.coalesce("value", imputed))
+        .drop("_mu", "_sd")
+    )
+
+
+def impute_knn(df: DataFrame, k: int = 3) -> DataFrame:
+    """KNN imputation per group (imputation_KNN:263): grouped-map pandas UDF;
+    each group's samples-x-features matrix fits an Arrow batch (the
+    reference holds the SAME matrix in one pandas frame, so this preserves
+    its semantics and its scale envelope; groups are the unit of parallelism)."""
+    import numpy as np
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        wide = pdf.pivot_table(index="subject", columns="feature",
+                               values="value", aggfunc="first")
+        mat = wide.to_numpy(dtype=float)
+        filled = mat.copy()
+        for i in range(mat.shape[0]):
+            row = mat[i]
+            miss = np.isnan(row)
+            if not miss.any():
+                continue
+            obs = ~miss
+            dists = []
+            for j in range(mat.shape[0]):
+                if j == i:
+                    continue
+                other = mat[j]
+                both = obs & ~np.isnan(other)
+                if both.sum() == 0:
+                    continue
+                d = np.sqrt(np.nanmean((row[both] - other[both]) ** 2))
+                dists.append((d, j))
+            dists.sort()
+            nbrs = [j for _, j in dists[:k]]
+            for c in np.where(miss)[0]:
+                vals = [mat[j, c] for j in nbrs if not np.isnan(mat[j, c])]
+                if vals:
+                    filled[i, c] = float(np.mean(vals))
+        out = []
+        g = pdf["group"].iloc[0]
+        for si, s in enumerate(wide.index):
+            for ci, f_ in enumerate(wide.columns):
+                v = filled[si, ci]
+                out.append((g, s, f_, None if np.isnan(v) else float(v)))
+        return pd.DataFrame(out, columns=["group", "subject", "feature", "value"])
+
+    return df.groupBy("group").applyInPandas(
+        per_group, schema="group string, subject string, feature string, value double"
+    )
+
+
+# -- dimensionality reduction (analytics.py:885) --------------------------------
+
+def run_pca(df: DataFrame, n_components: int = 2) -> DataFrame:
+    """PCA via Spark ML over the wide matrix (run_pca:885 analog).
+    Returns (subject, pc array<double>). Deterministic (SVD-based)."""
+    from pyspark.ml.feature import PCA as MLPCA, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    wide = to_wide(df)
+    feat_cols = sorted(c for c in wide.columns if c != "subject")
+    filled = wide.na.fill(0.0, subset=feat_cols)
+    asm = VectorAssembler(inputCols=feat_cols, outputCol="_fv")
+    pca = MLPCA(k=n_components, inputCol="_fv", outputCol="_pc")
+    model = pca.fit(asm.transform(filled))
+    out = model.transform(asm.transform(filled))
+    return out.select(
+        "subject", vector_to_array(F.col("_pc")).alias("pc")
+    )

@@ -53,14 +53,27 @@ def write_stage(df: DataFrame, out_dir: str, stage: str, run_id: str,
         w = w.partitionBy(*partition_by)
     w.parquet(p)
     out = spark.read.parquet(p)
-    rows = out.count()
+    # per-partition row counts (the north rule's "per-partition lineage +
+    # metrics"): one groupBy on spark_partition_id — a map-side count
+    from pyspark.sql import functions as F
+
+    part_counts = {
+        int(r["pid"]): int(r["n"])
+        for r in out.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    rows = sum(part_counts.values())
     _append_lineage(spark, out_dir, {
         "run_id": run_id,
         "stage": stage,
         "rows": rows,
         "wall_s": round(time.time() - t0, 3),
         "path": p,
-        "partitions": out.rdd.getNumPartitions(),
+        "partitions": len(part_counts),
+        "partition_rows": part_counts,
+        "max_partition_rows": max(part_counts.values()) if part_counts else 0,
     })
     return out
 

@@ -128,3 +128,81 @@ def discover_files(spark: SparkSession, root: str, pattern: str = "*.parquet") -
 def with_provenance(df: DataFrame) -> DataFrame:
     """Attach the source file path (per-project partition predicate analog)."""
     return df.withColumn("_source_file", F.input_file_name())
+
+
+def read_fasta(spark: SparkSession, path: str) -> DataFrame:
+    """S4: FASTA scan — '>'-delimited records via the Hadoop text-input
+    record delimiter (builder_utils.py:820-863 analog; replaces BioPython
+    SeqIO + 1000-record batch_iterator with Spark partitioning)."""
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+        conf={"textinputformat.record.delimiter": "\n>"},
+    ).map(lambda kv: kv[1])
+    recs = spark.createDataFrame(rdd.map(lambda s: (s,)), "rec string")
+    cleaned = recs.select(
+        F.regexp_replace("rec", r"^>", "").alias("rec")
+    ).where(F.trim("rec") != "")
+    return cleaned.select(
+        F.regexp_extract("rec", r"^(\S+)", 1).alias("seq_id"),
+        F.regexp_extract("rec", r"^[^\n]*\n", 0).alias("_hdr"),
+        F.regexp_replace(
+            F.regexp_replace("rec", r"^[^\n]*\n", ""), r"\s+", ""
+        ).alias("sequence"),
+        F.trim(F.regexp_replace(F.regexp_extract("rec", r"^([^\n]*)", 1),
+                                r"^(\S+)\s*", "")).alias("description"),
+    ).drop("_hdr")
+
+
+def read_xml_records(spark: SparkSession, path: str, record_tag: str) -> DataFrame:
+    """S6: XML stream scan (drugBankParser.py:24-71 / hmdbParser.py:27-66
+    analog). Files are split into <record_tag> stanzas with the record
+    delimiter trick, then parsed per-record with stdlib ElementTree inside
+    an Arrow-batched mapInPandas — streaming, no whole-document DOM.
+
+    Returns (tag, fields map<string,string>) with one row per record and
+    the record's direct children flattened into the map.
+    """
+    import pandas as pd
+
+    open_tag, close_tag = f"<{record_tag}", f"</{record_tag}>"
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+        conf={"textinputformat.record.delimiter": close_tag},
+    ).map(lambda kv: kv[1])
+    chunks = spark.createDataFrame(rdd.map(lambda s: (s,)), "chunk string")
+
+    def parse(batches):
+        import re as _re
+        import xml.etree.ElementTree as ET
+
+        # the record tag must be followed by whitespace or '>' so that e.g.
+        # <drugbank> does not match as a prefix of <drug
+        open_re = _re.compile(_re.escape(open_tag) + r"(?=[\s>/])")
+
+        for pdf in batches:
+            rows = []
+            for chunk in pdf["chunk"]:
+                m = open_re.search(chunk)
+                if m is None:
+                    continue
+                start = m.start()
+                frag = chunk[start:] + close_tag
+                try:
+                    el = ET.fromstring(frag)
+                except ET.ParseError:
+                    continue
+                fields = {}
+                for child in el:
+                    tag = child.tag.split("}")[-1]
+                    if child.text and child.text.strip():
+                        fields.setdefault(tag, child.text.strip())
+                rows.append((record_tag, fields))
+            yield pd.DataFrame(rows, columns=["tag", "fields"])
+
+    return chunks.mapInPandas(parse, schema="tag string, fields map<string,string>")
