@@ -79,15 +79,46 @@ def extract_mentions(
     keys: Sequence[str] = DEFAULT_KEYS,
     text_col: str = "text",
     gram_lengths: Iterable[int] | None = None,
+    single_scan: bool = False,
 ) -> DataFrame:
     """JVM-only dictionary matching. Output: keys + (pos, n_words, alias_lc).
 
     ``pos`` is the 0-based token offset of the match start. One output row
     per alias occurrence (match_all semantics); run
     ``resolve_longest_match`` afterwards for tagger-style overlap pruning.
+
+    ``single_scan``: the union form below reads the input once per distinct
+    alias length (k scans). On local[N] that is FASTER (measured 2.3x at
+    600k turns: branches pipeline in one codegen stage, no giant per-row
+    array). On an IO-bound 100 TB cluster read, set single_scan=True to
+    build all gram lengths in one projection (one scan, one explode) at the
+    cost of a per-row concat allocation.
     """
     ns = list(gram_lengths) if gram_lengths is not None else _gram_lengths(alias_grams)
     toks = turns.select(*keys, tokens_col(F.col(text_col)).alias("toks"))
+
+    if single_scan:
+        per_n_exprs = [
+            (
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"transform(sequence(1, size(toks)-{n}+1), "
+                f"i -> named_struct('pos', i-1, 'gram', array_join(slice(toks, i, {n}), ' '))) "
+                f"ELSE array() END"
+            )
+            for n in ns
+        ]
+        grams_one = toks.select(
+            *keys,
+            F.explode(F.expr("concat(" + ", ".join(per_n_exprs) + ")")).alias("g"),
+        ).select(*keys, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        return grams_one.join(
+            F.broadcast(alias_grams.select("gram", "n_words")), on="gram", how="inner"
+        ).select(
+            *keys,
+            F.col("pos").cast("int").alias("pos"),
+            F.col("n_words").cast("int").alias("n_words"),
+            F.col("gram").alias("alias_lc"),
+        )
 
     # one union branch per alias length: each branch is explode + broadcast
     # join fused into the same whole-stage-codegen pipeline; measured 2.3x

@@ -11,9 +11,13 @@ string-spliced "post"-query IN-lists, dataset.py:206-220).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
-CATALOG: dict[str, dict] = {
+_YML = os.path.join(os.path.dirname(os.path.abspath(__file__)), "catalog.yml")
+
+_FALLBACK: dict[str, dict] = {
     "node_counts_by_label": {
         "involved_nodes": ["*"],
         "involved_rels": [],
@@ -85,6 +89,21 @@ CATALOG: dict[str, dict] = {
         "defaults": {"k": 15},
     },
 }
+
+
+def _load_catalog() -> dict[str, dict]:
+    """Load catalog.yml (the reference's YAML-catalog shape); fall back to
+    the embedded dict if PyYAML is unavailable."""
+    try:
+        import yaml
+
+        with open(_YML) as f:
+            return yaml.safe_load(f)
+    except Exception:
+        return _FALLBACK
+
+
+CATALOG: dict[str, dict] = _load_catalog()
 
 
 def list_queries() -> list[str]:

@@ -51,3 +51,12 @@ def test_case_and_punctuation_insensitive(spark, vocab_tables):
     # the chosen alias matches in both turns (sub-aliases may also match in
     # match_all mode — that is the intended 1:N behavior)
     assert set(got.loc[got["alias_lc"] == some, "turn_idx"]) == {0, 2}
+
+
+def test_single_scan_matches_union(spark, vocab_tables, transcripts_df):
+    grams = X.prepare_alias_grams(vocab_tables["aliases"])
+    union = _sorted(X.extract_mentions(transcripts_df, grams).toPandas())
+    single = _sorted(
+        X.extract_mentions(transcripts_df, grams, single_scan=True).toPandas()
+    )
+    pd.testing.assert_frame_equal(union, single, check_dtype=False)

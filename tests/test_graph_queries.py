@@ -139,3 +139,17 @@ def test_streaming_ingest(spark, vocab, vocab_tables, transcripts_pdf, tmp_path)
     got = spark.read.parquet(out_dir)
     assert got.count() > 0
     assert got.where(F.col("pred") != "MENTIONED_IN_TURN").count() == 0
+
+
+def test_catalog_recursive_ancestors(spark):
+    """ancestors_of uses a recursive CTE (Spark 4 native) over HAS_PARENT."""
+    edges = spark.createDataFrame(
+        [("a", "HAS_PARENT", "b", "s", 1.0, "h"),
+         ("b", "HAS_PARENT", "c", "s", 1.0, "h"),
+         ("c", "HAS_PARENT", "d", "s", 1.0, "h"),
+         ("x", "HAS_PARENT", "y", "s", 1.0, "h")],
+        "subj string, pred string, obj string, source string, score double, evidence_type string",
+    )
+    nodes = spark.createDataFrame([], "id string, label string")
+    got = Q.run_query(spark, "ancestors_of", nodes, edges, entity="a").toPandas()
+    assert list(got["ancestor"]) == ["b", "c", "d"]
