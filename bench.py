@@ -47,6 +47,7 @@ def run_kg_pipeline(spark, vocab, transcripts_path: str) -> dict:
     from ckg_spark.operators import extract as X
     from ckg_spark.operators import link as L
     from ckg_spark.operators import materialize as M
+    from ckg_spark.operators.canonicalize import canonical_mapping
     from ckg_spark.vocab import vocab_to_spark
 
     tables = vocab_to_spark(spark, vocab)
@@ -64,9 +65,14 @@ def run_kg_pipeline(spark, vocab, transcripts_path: str) -> dict:
     alias_table = L.prepare_alias_table(tables["aliases"])
     mentions = X.extract_mentions(t, grams)
     linked = L.link_mentions(mentions, alias_table, tables["stoplist"], keep="best")
+    # full canonicalization: connected components over the vocab identity
+    # edges (broadcast-scale), rewriting linked idents to component minima
+    canonical = canonical_mapping(
+        tables["identity_edges"], tables["aliases"].select("ident").distinct()
+    )
     # cache: both edge families traverse the linked stream; without this the
     # whole extract+link pipeline runs twice
-    linked = linked.withColumn("canonical_id", F.col("ident")).persist()
+    linked = M.canonicalize_linked(linked, canonical).persist()
     edges = M.mention_edges(linked).unionByName(M.comention_edges(linked))
     n_triples = edges.count()
     wall = time.time() - t0

@@ -59,10 +59,19 @@ def _alias_values_sql() -> str:
 
 
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """distinct (doc_id, term) via the JVM extractor over documents."""
+    """distinct (doc_id, term) via the JVM extractor over documents.
+
+    Note: the testdata documents parquet is a single row group, so the scan
+    itself is one task; at real scale the file layout provides scan
+    parallelism (an explicit repartition here trips Spark's zip-partition
+    planning on the q23/q25 self-joins, and measured as pure overhead at
+    this size)."""
     docs = _t(spark, sf_dir, "documents")
     grams = X.prepare_alias_grams(_vocab_df(spark), alias_col="term")
-    m = X.extract_mentions(docs, grams, keys=("doc_id",), text_col="text")
+    # gram lengths are known from the literal vocab — skip the collect job
+    ns = sorted({len(t.split(" ")) for t in VOCAB_TERMS})
+    m = X.extract_mentions(docs, grams, keys=("doc_id",), text_col="text",
+                           gram_lengths=ns)
     return m.select("doc_id", F.col("alias_lc").alias("term")).distinct()
 
 
