@@ -156,3 +156,77 @@ def cohens_d(x: np.ndarray, y: np.ndarray) -> float:
     if pooled == 0:
         return float("nan")
     return (x.mean() - y.mean()) / pooled
+
+
+def ks_2samp(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
+    """Two-sample Kolmogorov-Smirnov: (D, asymptotic p).
+
+    p from the Kolmogorov distribution series Q(lambda) = 2 sum (-1)^(k-1)
+    exp(-2 k^2 lambda^2) with the Stephens effective-n correction — the
+    classic asymptotic form (reference analog: run_kolmogorov_smirnov,
+    analytics.py:2256 via scipy).
+    """
+    x = np.sort(np.asarray(x, dtype=float))
+    y = np.sort(np.asarray(y, dtype=float))
+    nx, ny = len(x), len(y)
+    if nx == 0 or ny == 0:
+        return float("nan"), float("nan")
+    data = np.concatenate([x, y])
+    cdf_x = np.searchsorted(x, data, side="right") / nx
+    cdf_y = np.searchsorted(y, data, side="right") / ny
+    d = float(np.max(np.abs(cdf_x - cdf_y)))
+    en = math.sqrt(nx * ny / (nx + ny))
+    lam = (en + 0.12 + 0.11 / en) * d
+    p = 0.0
+    for k in range(1, 101):
+        term = 2 * (-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam)
+        p += term
+        if abs(term) < 1e-10:
+            break
+    return d, min(max(p, 0.0), 1.0)
+
+
+def anova_two_way(values: np.ndarray, fa: np.ndarray, fb: np.ndarray):
+    """Two-way ANOVA (balanced or mildly unbalanced, type-I SS on a
+    factor-A-then-B ordering): returns dict of F/p for A, B, interaction
+    (reference: run_two_way_anova, analytics.py:2894)."""
+    values = np.asarray(values, dtype=float)
+    fa = np.asarray(fa)
+    fb = np.asarray(fb)
+    ok = ~np.isnan(values)
+    values, fa, fb = values[ok], fa[ok], fb[ok]
+    n = len(values)
+    la, lb = np.unique(fa), np.unique(fb)
+    a, b = len(la), len(lb)
+    if n == 0 or a < 2 or b < 2:
+        return None
+    grand = values.mean()
+    ss_a = sum(
+        (values[fa == l].mean() - grand) ** 2 * (fa == l).sum() for l in la
+    )
+    ss_b = sum(
+        (values[fb == l].mean() - grand) ** 2 * (fb == l).sum() for l in lb
+    )
+    ss_w = 0.0
+    ss_cells = 0.0
+    for u in la:
+        for v in lb:
+            cell = values[(fa == u) & (fb == v)]
+            if len(cell) == 0:
+                continue
+            ss_w += ((cell - cell.mean()) ** 2).sum()
+            ss_cells += len(cell) * (cell.mean() - grand) ** 2
+    ss_ab = max(ss_cells - ss_a - ss_b, 0.0)
+    df_a, df_b = a - 1, b - 1
+    df_ab = df_a * df_b
+    df_w = n - a * b
+    if df_w <= 0 or ss_w == 0:
+        return None
+    ms_w = ss_w / df_w
+    out = {}
+    for name, ss, dfx in (("a", ss_a, df_a), ("b", ss_b, df_b),
+                          ("ab", ss_ab, df_ab)):
+        f = (ss / dfx) / ms_w if dfx > 0 else float("nan")
+        out[f"f_{name}"] = f
+        out[f"p_{name}"] = f_sf(f, dfx, df_w)
+    return out

@@ -382,3 +382,43 @@ def run_pca(df: DataFrame, n_components: int = 2) -> DataFrame:
     return out.select(
         "subject", vector_to_array(F.col("_pc")).alias("pc")
     )
+
+
+def run_ks_test(df: DataFrame, group_a: str, group_b: str) -> DataFrame:
+    """Two-sample KS per feature (run_kolmogorov_smirnov:2256 analog)."""
+    sub = df.where(F.col("group").isin([group_a, group_b]))
+
+    def per_feature(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf.loc[pdf["group"] == group_a, "value"].dropna().to_numpy()
+        y = pdf.loc[pdf["group"] == group_b, "value"].dropna().to_numpy()
+        d, p = ST.ks_2samp(x, y)
+        return pd.DataFrame({"feature": [pdf["feature"].iloc[0]],
+                             "ks_d": [d], "pvalue": [p]})
+
+    return sub.groupBy("feature").applyInPandas(
+        per_feature, schema="feature string, ks_d double, pvalue double"
+    )
+
+
+def run_two_way_anova(df: DataFrame, factor_a: str = "group",
+                      factor_b: str = "subject_group") -> DataFrame:
+    """Two-way ANOVA per feature over two categorical factor columns
+    (run_two_way_anova:2894 analog)."""
+
+    def per_feature(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = ST.anova_two_way(
+            pdf["value"].to_numpy(), pdf[factor_a].to_numpy(),
+            pdf[factor_b].to_numpy(),
+        )
+        base = {"feature": [pdf["feature"].iloc[0]]}
+        if res is None:
+            res = {k: float("nan") for k in
+                   ("f_a", "p_a", "f_b", "p_b", "f_ab", "p_ab")}
+        base.update({k: [v] for k, v in res.items()})
+        return pd.DataFrame(base)
+
+    return df.groupBy("feature").applyInPandas(
+        per_feature,
+        schema=("feature string, f_a double, p_a double, f_b double, "
+                "p_b double, f_ab double, p_ab double"),
+    )

@@ -183,3 +183,39 @@ def materialize_nodes(terms: DataFrame, canonical: DataFrame) -> DataFrame:
         .withColumn("source", F.lit("ontology"))
         .select("id", "label", "name", "description", "type", "synonyms", "source")
     )
+
+
+def merge_edges(spark, existing_path: str, new_edges: DataFrame) -> DataFrame:
+    """Incremental MERGE of new triples into a materialized edge table
+    (the reference's Cypher MERGE / partial-update mode, cypher.yml:16-34 +
+    the mentions partial update, docs/.../graphdb-builder.rst:245).
+
+    Parquet rendition of Iceberg MERGE INTO: union existing + new, keep the
+    row with the HIGHEST score per (subj, pred, obj, source) — mention
+    re-extraction refreshes counts — and rewrite atomically (tmp dir +
+    rename). On an Iceberg deployment this is a single MERGE INTO commit.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    key = ["subj", "pred", "obj", "source"]
+    if os.path.exists(os.path.join(existing_path, "_SUCCESS")):
+        existing = spark.read.parquet(existing_path)
+        allrows = existing.unionByName(new_edges)
+    else:
+        allrows = new_edges
+    w = Window.partitionBy(*key).orderBy(F.col("score").desc(),
+                                         F.col("evidence_type").asc())
+    merged = (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    tmp = existing_path.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(existing_path):
+        shutil.rmtree(existing_path)
+    os.rename(tmp, existing_path)
+    return spark.read.parquet(existing_path)

@@ -178,3 +178,47 @@ def test_enrichment_planted(spark):
     res = A.run_enrichment(hits, anns, universe_size=100).toPandas().set_index("annotation")
     assert res.loc["hot", "pvalue"] < res.loc["mixed", "pvalue"] < res.loc["cold", "pvalue"]
     assert res.loc["hot", "pvalue"] < 1e-6
+
+
+def test_ks_test(spark, long_df):
+    res = A.run_ks_test(long_df, "A", "B").toPandas().set_index("feature")
+    smallest = set(res["pvalue"].nsmallest(3).index)
+    assert smallest == {"f00", "f01", "f02"}
+    # identical distributions -> D from same data = 0
+    same = A.run_ks_test(
+        long_df.where("group = 'A'").union(
+            long_df.where("group = 'A'").withColumn("group", F.lit("B"))
+        ), "A", "B",
+    ).toPandas()
+    assert (same["ks_d"] == 0).all()
+
+
+def test_ks_asymptotic_p_sane():
+    import numpy as np
+    from ckg_spark.functions.stats import ks_2samp
+    rng = np.random.default_rng(3)
+    x, y = rng.normal(0, 1, 200), rng.normal(0, 1, 200)
+    d, p = ks_2samp(x, y)
+    assert p > 0.05  # same distribution
+    d2, p2 = ks_2samp(x, rng.normal(2, 1, 200))
+    assert p2 < 1e-6  # shifted distribution
+
+
+def test_two_way_anova(spark):
+    import random
+    rng = random.Random(8)
+    rows = []
+    for feat in ["fx", "fy"]:
+        for ga in ["A", "B"]:
+            for gb in ["M", "N"]:
+                for i in range(10):
+                    base = 3.0 if (feat == "fx" and ga == "B") else 0.0
+                    rows.append((ga, gb, f"s{ga}{gb}{i}", feat,
+                                 base + rng.gauss(0, 1)))
+    df = spark.createDataFrame(
+        rows, "group string, subject_group string, subject string, feature string, value double"
+    )
+    res = A.run_two_way_anova(df).toPandas().set_index("feature")
+    assert res.loc["fx", "p_a"] < 0.001      # factor A matters for fx
+    assert res.loc["fy", "p_a"] > 0.01       # not for fy
+    assert res.loc["fx", "p_b"] > 0.01       # factor B never matters

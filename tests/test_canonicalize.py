@@ -42,3 +42,19 @@ def test_canonical_mapping_covers_singletons(spark, vocab, vocab_tables):
         assert cid == vocab.canonical.get(ident, ident)
     # every alias ident present
     assert set(got) == set(vocab.aliases["ident"])
+
+
+def test_cc_medium_scale_with_mega_component(spark):
+    """50k edges with one hub wired to 5k nodes (mega-component / hot-key
+    shape): converges, matches union-find, bounded iterations."""
+    import random
+
+    rng = random.Random(17)
+    ids = [f"M:{i:06d}" for i in range(20_000)]
+    edges = [("M:000000", rng.choice(ids)) for _ in range(5_000)]
+    edges += [(rng.choice(ids), rng.choice(ids)) for _ in range(45_000)]
+    exp = _union_find_canonical(ids, edges)
+    df = spark.createDataFrame(edges, "ident_a string, ident_b string")
+    got = {r["ident"]: r["component"] for r in connected_components(df, max_iter=15).collect()}
+    for v, c in got.items():
+        assert c == exp[v]

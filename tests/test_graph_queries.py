@@ -153,3 +153,61 @@ def test_catalog_recursive_ancestors(spark):
     nodes = spark.createDataFrame([], "id string, label string")
     got = Q.run_query(spark, "ancestors_of", nodes, edges, entity="a").toPandas()
     assert list(got["ancestor"]) == ["b", "c", "d"]
+
+
+def test_streaming_restart_exactly_once(spark, vocab_tables, transcripts_pdf,
+                                        tmp_path):
+    """availableNow stream, stop, land a new file, restart with the same
+    checkpoint: old files are not reprocessed (no duplicate edges)."""
+    from ckg_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from ckg_spark.streaming.ingest import stream_mention_edges
+
+    in_dir, out_dir, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    os.makedirs(in_dir, exist_ok=True)
+    third = len(transcripts_pdf) // 3
+    transcripts_pdf.iloc[:third].to_parquet(f"{in_dir}/f1.parquet", index=False)
+
+    q1 = stream_mention_edges(spark, in_dir, TRANSCRIPT_SCHEMA, vocab_tables,
+                              out_dir, cp)
+    q1.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0
+
+    transcripts_pdf.iloc[third:2 * third].to_parquet(f"{in_dir}/f2.parquet", index=False)
+    q2 = stream_mention_edges(spark, in_dir, TRANSCRIPT_SCHEMA, vocab_tables,
+                              out_dir, cp)
+    q2.awaitTermination(120)
+    all_edges = spark.read.parquet(out_dir)
+    n2 = all_edges.count()
+    assert n2 > n1
+    # exactly-once per file: no (subj, obj) turn-key duplicates
+    assert all_edges.groupBy("subj", "obj").count().where("count > 1").count() == 0
+
+
+def test_knowledge_summary_and_subgraph(spark, vocab_tables, transcripts_df, tmp_path):
+    from ckg_spark.plans.pipeline import run_pipeline
+    from ckg_spark.queries.knowledge import (knowledge_summary,
+                                             reduce_to_subgraph, run_post_query)
+
+    res = run_pipeline(spark, transcripts_df, vocab_tables, str(tmp_path / "ks"))
+    top = knowledge_summary(res.edges, k=10).toPandas()
+    assert len(top) == 10
+    assert top["centrality"].is_monotonic_decreasing
+    assert (top["degree"] > 0).all()
+
+    top_deg = knowledge_summary(res.edges, k=10, method="degree").toPandas()
+    assert len(top_deg) == 10
+
+    seeds = spark.createDataFrame([(top.iloc[0]["id"],)], "id string")
+    sub = reduce_to_subgraph(res.edges, seeds, hops=1)
+    n_sub, n_all = sub.count(), res.edges.count()
+    assert 0 < n_sub < n_all
+
+    # two-phase post query: expand top entities into their mention edges
+    phase1 = spark.createDataFrame(
+        [(r,) for r in top["id"].tolist()], "id string"
+    )
+    phase2 = run_post_query(phase1, res.edges.where("pred = 'MENTIONED_IN_TURN'"),
+                            key_col="id")
+    assert phase2.count() > 0
+    assert phase2.select("subj").distinct().count() <= 10

@@ -71,3 +71,27 @@ def test_determinism_across_parallelism(spark, vocab, vocab_tables,
     lo = r_lo.edges.toPandas()[k].sort_values(k).reset_index(drop=True)
     hi = r_hi.edges.toPandas()[k].sort_values(k).reset_index(drop=True)
     pd.testing.assert_frame_equal(lo, hi)
+
+
+def test_pipeline_arrow_extractor_equivalent(spark, vocab_tables, transcripts_df,
+                                             tmp_path):
+    """The Arrow mapInPandas extractor yields the identical triple set."""
+    r_jvm = run_pipeline(spark, transcripts_df, vocab_tables, str(tmp_path / "j"))
+    r_arrow = run_pipeline(spark, transcripts_df, vocab_tables, str(tmp_path / "a"),
+                           use_arrow_extractor=True)
+    k = ["subj", "pred", "obj", "source", "score", "evidence_type"]
+    jv = r_jvm.edges.toPandas()[k].sort_values(k).reset_index(drop=True)
+    ar = r_arrow.edges.toPandas()[k].sort_values(k).reset_index(drop=True)
+    pd.testing.assert_frame_equal(jv, ar)
+
+
+def test_pipeline_longest_match_matches_oracle(spark, vocab, vocab_tables,
+                                               transcripts_pdf, transcripts_df,
+                                               tmp_path):
+    from ckg_spark.oracle_ref import oracle_triples, triple_prf
+
+    res = run_pipeline(spark, transcripts_df, vocab_tables, str(tmp_path / "lm"),
+                       longest_match=True)
+    exp = oracle_triples(transcripts_pdf, vocab, longest_match=True)
+    prf = triple_prf(exp, res.edges.toPandas())
+    assert prf["f1"] == 1.0, prf
