@@ -1,0 +1,70 @@
+"""Analysis dispatcher (reference: ckg/analytics_core/analytics_factory.py
+:79-703 — the ``analysis_type`` string -> function map behind the report
+pipeline). Same lookup surface over the Spark operators; unsupported tails
+raise with the reference name so callers see exactly what is and isn't
+covered (cf. COVERAGE.md §2.11).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+from . import analytics as A
+
+_DISPATCH: dict[str, Callable[..., DataFrame]] = {
+    # reshaping
+    "wide_format": lambda df, **kw: A.to_wide(df, **kw),
+    "long_format": lambda df, **kw: A.to_long(df, **kw),
+    # missing data / imputation
+    "missing_stats": lambda df, **kw: A.missing_stats(df),
+    "imputation_median": lambda df, **kw: A.impute_group_median(df),
+    "imputation_normal_distribution": lambda df, **kw: A.impute_normal_distribution(df, **kw),
+    "imputation_knn": lambda df, **kw: A.impute_knn(df, **kw),
+    # normalization
+    "normalization_median": lambda df, **kw: A.normalize_median(df, **kw),
+    "normalization_zscore": lambda df, **kw: A.normalize_zscore(df, **kw),
+    "normalization_quantile": lambda df, **kw: A.normalize_quantile(df, **kw),
+    # summaries
+    "summary": lambda df, **kw: A.summary_stats(df),
+    "coefficient_of_variation": lambda df, **kw: A.coefficient_of_variation(df),
+    # dimensionality reduction
+    "pca": lambda df, **kw: A.run_pca(df, **kw),
+    # hypothesis tests
+    "ttest": lambda df, **kw: A.run_ttest(df, **kw),
+    "anova": lambda df, **kw: A.run_anova(df),
+    "2-way anova": lambda df, **kw: A.run_two_way_anova(df, **kw),
+    "kolmogorov_smirnov": lambda df, **kw: A.run_ks_test(df, **kw),
+    "fold_change": lambda df, **kw: A.fold_change(df, **kw),
+    # correction / enrichment / correlation
+    "pvalue_correction_bh": lambda df, **kw: A.bh_correction(df, **kw),
+    "regulation_enrichment": lambda hits, annotations=None, **kw: A.run_enrichment(
+        hits, annotations, **kw),
+    "correlation": lambda df, **kw: A.pairwise_correlation(df, **kw),
+}
+
+# reference analysis_type names that are deliberately out of scope here
+# (driver-scale library tails; see COVERAGE.md §2.11)
+_UNSUPPORTED = {
+    "tsne", "umap", "mapper", "wgcna", "samr", "kaplan_meier", "dabest",
+    "ancova", "mixed_anova", "repeated_measurements_anova",
+    "repeated_measurements_correlation", "ssgsea", "snf",
+}
+
+
+def available() -> list[str]:
+    return sorted(_DISPATCH)
+
+
+def generate_result(analysis_type: str, data: DataFrame, **kwargs: Any) -> DataFrame:
+    """Analysis.generate_result analog: dispatch by name."""
+    if analysis_type in _DISPATCH:
+        return _DISPATCH[analysis_type](data, **kwargs)
+    if analysis_type in _UNSUPPORTED:
+        raise NotImplementedError(
+            f"analysis_type {analysis_type!r} is a driver-scale library tail "
+            f"the engine does not reimplement (see COVERAGE.md §2.11)"
+        )
+    raise KeyError(f"unknown analysis_type {analysis_type!r}; "
+                   f"available: {available()}")

@@ -27,6 +27,10 @@ def knowledge_summary(edges: DataFrame, k: int = 15,
 
     method: 'pagerank' (power iteration) or 'degree'. Ties broken by id —
     deterministic at any parallelism.
+
+    Note: on a mention-only edge set, PageRank concentrates on turn nodes
+    (pure sinks). To rank ENTITIES, pass the co-mention subgraph
+    (edges.where(pred == 'CO_MENTIONED_WITH')) or use method='degree'.
     """
     deg = degrees(edges)
     if method == "pagerank":

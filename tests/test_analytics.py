@@ -222,3 +222,18 @@ def test_two_way_anova(spark):
     assert res.loc["fx", "p_a"] < 0.001      # factor A matters for fx
     assert res.loc["fy", "p_a"] > 0.01       # not for fy
     assert res.loc["fx", "p_b"] > 0.01       # factor B never matters
+
+
+def test_analytics_factory_dispatch(spark, long_df):
+    from ckg_spark.operators import analytics_factory as AF
+
+    res = AF.generate_result("ttest", long_df, group_a="A", group_b="B").toPandas()
+    assert {"feature", "pvalue"} <= set(res.columns)
+    summ = AF.generate_result("summary", long_df)
+    assert summ.count() > 0
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        AF.generate_result("tsne", long_df)
+    with _pytest.raises(KeyError):
+        AF.generate_result("nope", long_df)
+    assert "anova" in AF.available()
