@@ -60,3 +60,12 @@ def test_single_scan_matches_union(spark, vocab_tables, transcripts_df):
         X.extract_mentions(transcripts_df, grams, single_scan=True).toPandas()
     )
     pd.testing.assert_frame_equal(union, single, check_dtype=False)
+
+
+def test_strategies_all_agree(spark, vocab_tables, transcripts_df):
+    grams = X.prepare_alias_grams(vocab_tables["aliases"])
+    lead = _sorted(X.extract_mentions(transcripts_df, grams, strategy="lead").toPandas())
+    union = _sorted(X.extract_mentions(transcripts_df, grams, strategy="union").toPandas())
+    single = _sorted(X.extract_mentions(transcripts_df, grams, single_scan=True).toPandas())
+    pd.testing.assert_frame_equal(lead, union, check_dtype=False)
+    pd.testing.assert_frame_equal(lead, single, check_dtype=False)
