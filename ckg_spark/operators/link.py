@@ -58,44 +58,46 @@ def link_mentions(
     keep='all'  -> every candidate id (reference 1:N semantics)
     keep='best' -> one id per mention span: lowest rank, then lowest ident
                    (deterministic under any parallelism).
+
+    keep='best' costs ZERO shuffle on the mention stream: the winning
+    candidate of a mention depends only on its surface form, so the
+    best-per-gram table is precomputed on the broadcast-scale alias side
+    (a tiny aggregation) and the mention stream takes one narrow broadcast
+    join. (An earlier formulation aggregated min(struct) over the mention
+    stream — correct but shuffled every mention; this is the same result
+    by [gram -> candidates] functional dependency.)
     """
-    cands = mentions.join(
-        F.broadcast(alias_table),
-        mentions["alias_lc"] == alias_table["gram"],
-        "inner",
-    ).drop("gram")
-
-    # excluded aliases never link
-    cands = cands.where(F.col("rank") != 2)
-
+    filtered = alias_table.where(F.col("rank") != 2)
     if stoplist is not None:
-        cands = cands.join(
+        filtered = filtered.join(
             F.broadcast(stoplist.select("entity_type", "ident").distinct()),
             on=["entity_type", "ident"],
             how="left_anti",
         )
 
     if keep == "all":
+        cands = mentions.join(
+            F.broadcast(filtered),
+            mentions["alias_lc"] == filtered["gram"],
+            "inner",
+        ).drop("gram")
         return cands.select(*keys, "pos", "n_words", "alias_lc", "ident",
                             "entity_type", "rank")
 
-    # best candidate as an algebraic min(struct(rank, ident, ...)) — struct
-    # comparison is lexicographic by field order, so this is exactly
-    # "lowest rank, then lowest ident", but with map-side partial
-    # aggregation instead of a row_number window's full sort-shuffle
-    best = F.min(
-        F.struct(
-            F.col("rank"), F.col("ident"), F.col("entity_type"), F.col("alias_lc")
+    best_per_gram = (
+        filtered.groupBy("gram")
+        .agg(
+            F.min(
+                F.struct(F.col("rank"), F.col("ident"), F.col("entity_type"))
+            ).alias("b")
         )
-    ).alias("b")
-    return (
-        cands.groupBy(*keys, "pos", "n_words")
-        .agg(best)
         .select(
-            *keys, "pos", "n_words",
-            F.col("b.alias_lc").alias("alias_lc"),
+            F.col("gram").alias("alias_lc"),
             F.col("b.ident").alias("ident"),
             F.col("b.entity_type").alias("entity_type"),
             F.col("b.rank").alias("rank"),
         )
+    )
+    return mentions.join(F.broadcast(best_per_gram), on="alias_lc", how="inner").select(
+        *keys, "pos", "n_words", "alias_lc", "ident", "entity_type", "rank"
     )
