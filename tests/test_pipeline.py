@@ -95,3 +95,23 @@ def test_pipeline_longest_match_matches_oracle(spark, vocab, vocab_tables,
     exp = oracle_triples(transcripts_pdf, vocab, longest_match=True)
     prf = triple_prf(exp, res.edges.toPandas())
     assert prf["f1"] == 1.0, prf
+
+
+def test_pipeline_correctness_tier(spark, tmp_path):
+    """Larger P/R gate: 20k turns, 800-entity vocab (with cross-namespace
+    twins and ambiguous aliases) — the FIXTURES.md correctness-tier shape."""
+    from ckg_spark.datagen import gen_transcripts
+    from ckg_spark.oracle_ref import oracle_triples, triple_prf
+    from ckg_spark.vocab import build_vocab, vocab_to_spark
+
+    vocab = build_vocab(n_entities=800, seed=23)
+    pdf = gen_transcripts(20_000, vocab=vocab, seed=77)
+    tdf = spark.createDataFrame(pdf)
+    tables = vocab_to_spark(spark, vocab)
+    res = run_pipeline(spark, tdf, tables, str(tmp_path / "big"),
+                       conv_partitions=16)
+    got = res.edges.toPandas()
+    exp = oracle_triples(pdf, vocab)
+    prf = triple_prf(exp, got)
+    assert prf["expected"] > 20_000, prf
+    assert prf["f1"] == 1.0, prf
