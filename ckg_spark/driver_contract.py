@@ -61,12 +61,22 @@ def _alias_values_sql() -> str:
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distinct (doc_id, term) via the JVM extractor over documents.
 
-    Note: the testdata documents parquet is a single row group, so the scan
-    itself is one task; at real scale the file layout provides scan
-    parallelism (an explicit repartition here trips Spark's zip-partition
-    planning on the q23/q25 self-joins, and measured as pure overhead at
-    this size)."""
+    Scan-parallelism: the testdata documents parquet is a single row group,
+    so the scan — and the explode-heavy gram generation fused into the same
+    stage — is ONE task. Above a size threshold we repartition right after
+    the read (one tiny shuffle of raw docs buys N-way parallelism for the
+    token/gram explosion). Below it the repartition is pure overhead and
+    trips Spark's zip-partition planning on the q23/q25 self-joins, so the
+    small-oracle path stays shuffle-free. At real scale the file layout
+    itself provides scan parallelism and neither branch is needed."""
     docs = _t(spark, sf_dir, "documents")
+    try:
+        import os
+
+        if os.path.getsize(f"{sf_dir}/documents.parquet") > 256 * 1024:
+            docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    except OSError:  # directory-style parquet: layout already parallel
+        pass
     grams = X.prepare_alias_grams(_vocab_df(spark), alias_col="term")
     # gram lengths are known from the literal vocab — skip the collect job
     ns = sorted({len(t.split(" ")) for t in VOCAB_TERMS})
@@ -297,11 +307,11 @@ def q11_pivot_events(spark, sf):
 
 Q11_SQL = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events GROUP BY user_id
 """
 
@@ -438,8 +448,8 @@ def q20_indicator_agg(spark, sf):
 
 
 Q20_SQL = """
-SELECT event_type, sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS n_low,
-       round(avg(CASE WHEN value < 10 THEN 1.0 ELSE 0.0 END), 4) AS pct_low
+SELECT event_type, CAST(sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       round(avg(CASE WHEN value < 10 THEN 1.0e0 ELSE 0.0e0 END), 4) AS pct_low
 FROM events GROUP BY event_type
 """
 
@@ -673,6 +683,69 @@ def q32_transcript_mention_edges(spark, sf):
     return M.mention_edges(lc)
 
 
+def _best_alias_values_sql() -> str:
+    return ", ".join(f"('{a}', '{i}', {r})" for a, i, r in ALIAS_ROWS)
+
+
+# Flagship oracle: reproduces the full transcript -> mention-edge pipeline in
+# DuckDB — (1) the deterministic 12-token window split of
+# transcripts_from_documents (list slicing over whitespace tokens), (2)
+# match_all n-gram dictionary extraction per turn (per-gram-length UNION ALL,
+# mirroring extract_mentions' union strategy), (3) keep='best' linking
+# (lowest rank then lowest ident per surface form, rank<>2 excluded), (4)
+# MENTIONED_IN_TURN group-count materialization with score = occurrences.
+Q32_SQL = f"""
+WITH vocab(term) AS (VALUES {_vocab_values_sql()}),
+alias(gram, ident, rnk) AS (VALUES {_alias_values_sql()}),
+tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS dtoks
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, dtoks,
+         unnest(generate_series(
+           0, greatest(CAST(ceil(len(dtoks) / 12.0) AS INT) - 1, 0))) AS w
+  FROM tokd
+),
+turns AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS conv_id, w AS turn_idx,
+         array_to_string(list_slice(dtoks, w * 12 + 1, w * 12 + 12), ' ') AS ttext
+  FROM wins
+),
+norm AS (
+  SELECT conv_id, turn_idx,
+         string_split(trim(regexp_replace(lower(ttext), '[^a-z0-9]+', ' ', 'g')),
+                      ' ') AS toks
+  FROM turns
+),
+g1 AS (SELECT conv_id, turn_idx, unnest(toks) AS gram FROM norm),
+g2pos AS (
+  SELECT conv_id, turn_idx, toks,
+         unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM norm
+),
+g2 AS (SELECT conv_id, turn_idx, toks[i] || ' ' || toks[i + 1] AS gram FROM g2pos),
+grams AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+best AS (
+  SELECT gram, ident FROM (
+    SELECT gram, ident,
+           row_number() OVER (PARTITION BY gram ORDER BY rnk, ident) AS rn
+    FROM alias WHERE rnk <> 2
+  ) WHERE rn = 1
+)
+SELECT b.ident AS subj,
+       'MENTIONED_IN_TURN' AS pred,
+       g.conv_id || ':' || CAST(g.turn_idx AS VARCHAR) AS obj,
+       'tagger' AS source,
+       CAST(count(*) AS DOUBLE) AS score,
+       'Entity' AS evidence_type
+FROM grams g
+JOIN vocab v ON g.gram = v.term
+JOIN best b ON g.gram = b.gram
+GROUP BY g.conv_id, g.turn_idx, b.ident
+"""
+
+
 def q33_simhash_pairs(spark, sf):
     docs = _t(spark, sf, "documents")
     return D.simhash_near_dups(docs, max_hamming=3)
@@ -715,7 +788,7 @@ QUERIES = {
     "q30_doc_fingerprint": (q30_doc_fingerprint, Q30_SQL),
     # rows-only (no SQL oracle): custom iterative / signature-based ops
     "q31_minhash_clusters": (q31_minhash_clusters, None),
-    "q32_transcript_mention_edges": (q32_transcript_mention_edges, None),
+    "q32_transcript_mention_edges": (q32_transcript_mention_edges, Q32_SQL),
     "q33_simhash_pairs": (q33_simhash_pairs, None),
 }
 
@@ -743,28 +816,38 @@ def q34_pivot_avg(spark, sf):
     cents = F.round(F.col("value") * 100).cast("long")
     aggs = []
     for t in types:
-        s = F.sum(F.when(F.col("event_type") == t, cents))
-        n = F.sum(F.when(F.col("event_type") == t, 1))
-        aggs.append((s * 100 - ((s * 100) % n)) / n)  # floor-division, sign-safe here
-    return e.groupBy("user_id").agg(
-        *[a.cast("long").alias(f"avg_{t}_e4") for a, t in zip(aggs, types)]
-    )
+        aggs.append(F.sum(F.when(F.col("event_type") == t, cents)).alias(f"s_{t}"))
+        aggs.append(
+            F.sum(F.when(F.col("event_type") == t, F.lit(1).cast("long"))).alias(f"n_{t}")
+        )
+    g = e.groupBy("user_id").agg(*aggs)
+    # True floor division matching DuckDB `//` even for negative sums:
+    # (a - pmod(a, n)) is exactly divisible by n, so integer `div` is exact
+    # (no double round-trip) and equals floor(a / n) for n > 0.
+    cols = [F.col("user_id")]
+    for t in types:
+        cols.append(
+            F.expr(
+                f"(s_{t} * 100 - pmod(s_{t} * 100, n_{t})) div n_{t}"
+            ).alias(f"avg_{t}_e4")
+        )
+    return g.select(*cols)
 
 
 Q34_SQL = """
 WITH c AS (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
            FROM events)
 SELECT user_id,
-       (sum(CASE WHEN event_type = 'click' THEN cents END) * 100)
-         // sum(CASE WHEN event_type = 'click' THEN 1 END) AS avg_click_e4,
-       (sum(CASE WHEN event_type = 'view' THEN cents END) * 100)
-         // sum(CASE WHEN event_type = 'view' THEN 1 END) AS avg_view_e4,
-       (sum(CASE WHEN event_type = 'purchase' THEN cents END) * 100)
-         // sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS avg_purchase_e4,
-       (sum(CASE WHEN event_type = 'signup' THEN cents END) * 100)
-         // sum(CASE WHEN event_type = 'signup' THEN 1 END) AS avg_signup_e4,
-       (sum(CASE WHEN event_type = 'error' THEN cents END) * 100)
-         // sum(CASE WHEN event_type = 'error' THEN 1 END) AS avg_error_e4
+       CAST((sum(CASE WHEN event_type = 'click' THEN cents END) * 100)
+         // sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS avg_click_e4,
+       CAST((sum(CASE WHEN event_type = 'view' THEN cents END) * 100)
+         // sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS avg_view_e4,
+       CAST((sum(CASE WHEN event_type = 'purchase' THEN cents END) * 100)
+         // sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS avg_purchase_e4,
+       CAST((sum(CASE WHEN event_type = 'signup' THEN cents END) * 100)
+         // sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS avg_signup_e4,
+       CAST((sum(CASE WHEN event_type = 'error' THEN cents END) * 100)
+         // sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS avg_error_e4
 FROM c GROUP BY user_id
 """
 
@@ -847,17 +930,10 @@ def q38_bh_correction(spark, sf):
         "event_id", "event_type",
         (F.row_number().over(w) / F.count(F.lit(1)).over(wn)).alias("pvalue"),
     )
-    n = pseudo.count()
-    w_rank = Window.orderBy(F.col("pvalue").asc(), F.col("event_id").asc())
-    w_cummin = Window.orderBy(F.col("pvalue").desc(), F.col("event_id").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = pseudo.withColumn("_rank", F.row_number().over(w_rank))
-    adj = ranked.withColumn("_raw", F.col("pvalue") * n / F.col("_rank"))
-    return adj.select(
-        "event_id",
-        F.round(F.least(F.min("_raw").over(w_cummin), F.lit(1.0)), 6).alias("padj"),
-    )
+    from .operators.analytics import bh_correction
+
+    adj = bh_correction(pseudo, tiebreak=["event_id"])
+    return adj.select("event_id", F.round("padj", 6).alias("padj"))
 
 
 Q38_SQL = """

@@ -230,3 +230,175 @@ def anova_two_way(values: np.ndarray, fa: np.ndarray, fb: np.ndarray):
         out[f"f_{name}"] = f
         out[f"p_{name}"] = f_sf(f, dfx, df_w)
     return out
+
+
+# -- studentized range (Tukey HSD) --------------------------------------------
+
+def _norm_pdf(z: np.ndarray) -> np.ndarray:
+    return np.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+
+
+def _norm_cdf(z: np.ndarray) -> np.ndarray:
+    return 0.5 * (1.0 + np.vectorize(math.erf)(z / math.sqrt(2.0)))
+
+
+def _range_cdf(w: np.ndarray, k: int, z_nodes: int = 96) -> np.ndarray:
+    """P(range of k iid N(0,1) <= w) = k * int phi(z) [Phi(z)-Phi(z-w)]^(k-1) dz.
+
+    Gauss-Legendre over z in [-8, 8] (public formulation, cf. Gleason 1999 /
+    the classical ptukey algorithm AS 190)."""
+    x, wt = np.polynomial.legendre.leggauss(z_nodes)
+    z = 8.0 * x  # scale [-1,1] -> [-8,8]
+    phi = _norm_pdf(z)
+    Phi = _norm_cdf(z)
+    w = np.atleast_1d(np.asarray(w, dtype=float))
+    inner = Phi[None, :] - _norm_cdf(z[None, :] - w[:, None])
+    inner = np.clip(inner, 0.0, 1.0)
+    vals = k * phi[None, :] * inner ** (k - 1)
+    return np.clip((vals * wt[None, :]).sum(axis=1) * 8.0, 0.0, 1.0)
+
+
+def tukey_sf(q, k: int, df: float, u_nodes: int = 64) -> np.ndarray:
+    """Survival function of the studentized range Q(k, df): P(Q > q).
+
+    Outer integral over the scale u = s/sigma with density
+    f(u) = C * u^(df-1) exp(-df u^2 / 2), C = (df/2)^(df/2) * 2 / Gamma(df/2),
+    evaluated by Gauss-Legendre on [0, u_max]; vectorized over q.
+    """
+    q = np.atleast_1d(np.asarray(q, dtype=float))
+    if not np.isfinite(df) or df > 2000:
+        return 1.0 - _range_cdf(q, k)
+    # chi/sqrt(df) density: mode at sqrt((df-1)/df) <= 1; mass within ~[0, 1+8/sqrt(df)]
+    u_max = 1.0 + 10.0 / math.sqrt(max(df, 1.0))
+    x, wt = np.polynomial.legendre.leggauss(u_nodes)
+    u = 0.5 * u_max * (x + 1.0)
+    wu = 0.5 * u_max * wt
+    log_c = 0.5 * df * math.log(df / 2.0) + math.log(2.0) - math.lgamma(df / 2.0)
+    dens = np.exp(log_c + (df - 1.0) * np.log(u) - 0.5 * df * u * u)
+    # cdf(q) = int f(u) * RangeCdf(q*u) du
+    cdf = np.zeros_like(q)
+    for ui, di, wi in zip(u, dens, wu):
+        cdf += di * wi * _range_cdf(q * ui, k)
+    out = np.clip(1.0 - cdf, 0.0, 1.0)
+    out[~np.isfinite(q) | (q <= 0)] = 1.0
+    return out
+
+
+# -- ANCOVA / repeated-measures / mixed ANOVA kernels -------------------------
+
+def _ols_rss(y: np.ndarray, X: np.ndarray) -> tuple[float, int]:
+    """Residual sum of squares + model rank via lstsq."""
+    beta, res, rank, _ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    return float(resid @ resid), int(rank)
+
+
+def ancova_oneway(y: np.ndarray, groups: np.ndarray,
+                  covs: np.ndarray) -> tuple[float, float, float, float] | None:
+    """One-way ANCOVA: F-test of the group factor adjusting for covariates.
+
+    Full model: intercept + group dummies + covariates; reduced: intercept +
+    covariates. F = ((RSS_r - RSS_f)/(k-1)) / (RSS_f/(n - rank_f)).
+    (Reference run_ancova, analytics.py:1774, fits the same linear model via
+    pingouin/statsmodels OLS.)
+    """
+    y = np.asarray(y, dtype=float)
+    ok = np.isfinite(y)
+    if covs.ndim == 1:
+        covs = covs[:, None]
+    ok &= np.all(np.isfinite(covs), axis=1)
+    y, groups, covs = y[ok], np.asarray(groups)[ok], covs[ok]
+    n = len(y)
+    levels = np.unique(groups)
+    k = len(levels)
+    if n < k + covs.shape[1] + 1 or k < 2:
+        return None
+    dummies = (groups[:, None] == levels[None, :-1]).astype(float)
+    ones = np.ones((n, 1))
+    X_full = np.hstack([ones, dummies, covs])
+    X_red = np.hstack([ones, covs])
+    rss_f, rank_f = _ols_rss(y, X_full)
+    rss_r, _ = _ols_rss(y, X_red)
+    df1 = k - 1
+    df2 = n - rank_f
+    if df2 <= 0 or rss_f <= 0:
+        return None
+    f = ((rss_r - rss_f) / df1) / (rss_f / df2)
+    return f, float(df1), float(df2), f_sf(f, df1, df2)
+
+
+def rm_anova(y: np.ndarray, subject: np.ndarray,
+             within: np.ndarray) -> tuple[float, float, float, float] | None:
+    """One-way repeated-measures ANOVA (balanced complete design).
+
+    SS decomposition: total = subjects + conditions + error;
+    F = MS_cond / MS_error, df = (k-1), (k-1)(n-1).
+    (Reference calculate_repeated_measures_anova, analytics.py:1721, via
+    pingouin.rm_anova.)
+    """
+    y = np.asarray(y, dtype=float)
+    subject = np.asarray(subject)
+    within = np.asarray(within)
+    ok = np.isfinite(y)
+    y, subject, within = y[ok], subject[ok], within[ok]
+    subs, conds = np.unique(subject), np.unique(within)
+    n, k = len(subs), len(conds)
+    if n < 2 or k < 2 or len(y) != n * k:
+        return None  # incomplete design: reference drops those features too
+    grand = y.mean()
+    ss_subj = k * sum((y[subject == s].mean() - grand) ** 2 for s in subs)
+    ss_cond = n * sum((y[within == c].mean() - grand) ** 2 for c in conds)
+    ss_tot = ((y - grand) ** 2).sum()
+    ss_err = max(ss_tot - ss_subj - ss_cond, 0.0)
+    df1 = k - 1
+    df2 = (k - 1) * (n - 1)
+    ms_err = ss_err / df2 if df2 > 0 else 0.0
+    if ms_err <= 0:
+        return None
+    f = (ss_cond / df1) / ms_err
+    return f, float(df1), float(df2), f_sf(f, df1, df2)
+
+
+def mixed_anova_interaction(y: np.ndarray, subject: np.ndarray, within: np.ndarray,
+                            between: np.ndarray) -> tuple[float, float, float, float] | None:
+    """Split-plot (mixed) ANOVA, interaction term (balanced complete design).
+
+    F_inter = MS(within x between) / MS(within x subject-within-group),
+    df = (k-1)(g-1), (k-1)(N-g) with k within levels, g groups, N subjects.
+    (Reference calculate_mixed_anova, analytics.py:1741, keeps only the
+    'Interaction' source row — same here.)
+    """
+    y = np.asarray(y, dtype=float)
+    subject, within, between = (np.asarray(a) for a in (subject, within, between))
+    ok = np.isfinite(y)
+    y, subject, within, between = y[ok], subject[ok], within[ok], between[ok]
+    subs, conds, grps = np.unique(subject), np.unique(within), np.unique(between)
+    N, k, g = len(subs), len(conds), len(grps)
+    if N < 2 or k < 2 or g < 2 or len(y) != N * k:
+        return None
+    grand = y.mean()
+    # cell means: (group, condition)
+    ss_cells = 0.0
+    ss_b = sum((y[between == gr].mean() - grand) ** 2 * (between == gr).sum()
+               for gr in grps)
+    ss_w = sum((y[within == c].mean() - grand) ** 2 * (within == c).sum()
+               for c in conds)
+    for gr in grps:
+        for c in conds:
+            cell = y[(between == gr) & (within == c)]
+            if len(cell):
+                ss_cells += len(cell) * (cell.mean() - grand) ** 2
+    ss_inter = max(ss_cells - ss_b - ss_w, 0.0)
+    # error: within x subject(group) = total - subjects(between-cells) - within - inter
+    ss_subj = k * sum((y[subject == s].mean() - grand) ** 2 for s in subs)
+    ss_tot = ((y - grand) ** 2).sum()
+    ss_err = max(ss_tot - ss_subj - ss_w - ss_inter, 0.0)
+    df1 = (k - 1) * (g - 1)
+    df2 = (k - 1) * (N - g)
+    if df2 <= 0:
+        return None
+    ms_err = ss_err / df2
+    if ms_err <= 0:
+        return None
+    f = (ss_inter / df1) / ms_err
+    return f, float(df1), float(df2), f_sf(f, df1, df2)

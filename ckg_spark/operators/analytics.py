@@ -197,24 +197,88 @@ def run_anova(df: DataFrame) -> DataFrame:
 
 # -- p-value correction (analytics.py:1086-1154) ------------------------------
 
+def with_global_rank(df: DataFrame, sort_cols: list, rank_name: str = "_rank",
+                     keep_pid: bool = False) -> DataFrame:
+    """Scale-safe global dense row numbering (two-pass rank).
+
+    A bare ``Window.orderBy(...)`` (empty PARTITION BY) moves every row into
+    one task — correct but a scale-killer. Instead: range-repartition on the
+    sort key (each partition holds a contiguous key range), rank locally per
+    partition (parallel windows keyed by ``spark_partition_id``), then add
+    broadcast per-partition offsets (a driver-scale count per partition).
+    ``sort_cols`` must be a deterministic total order (include a tiebreaker).
+    """
+    rp = df.repartitionByRange(*sort_cols).withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    local = rp.withColumn("_lrank", F.row_number().over(w))
+    counts = sorted(
+        ((r["_pid"], r["cnt"]) for r in
+         local.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()),
+    )
+    offs, acc = [], 0
+    for pid, cnt in counts:
+        offs.append((pid, acc))
+        acc += cnt
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    out = (
+        local.join(F.broadcast(off_df), on="_pid", how="inner")
+        .withColumn(rank_name, (F.col("_lrank") + F.col("_off")).cast("long"))
+        .drop("_lrank", "_off")
+    )
+    return out if keep_pid else out.drop("_pid")
+
+
 def bh_correction(results: DataFrame, pvalue_col: str = "pvalue",
-                  alpha: float = 0.05) -> DataFrame:
-    """Benjamini-Hochberg FDR: global rank window + running-min of adjusted
-    values from the largest p down (the rank-based formulation; matches
-    statsmodels multipletests(method='fdr_bh'))."""
-    n = results.where(F.col(pvalue_col).isNotNull()).count()
-    w_rank = Window.orderBy(F.col(pvalue_col).asc())
-    w_cummin = Window.orderBy(F.col(pvalue_col).desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = results.where(F.col(pvalue_col).isNotNull()).withColumn(
-        "_rank", F.row_number().over(w_rank)
-    )
+                  alpha: float = 0.05, tiebreak: list | None = None) -> DataFrame:
+    """Benjamini-Hochberg FDR: rank + running-min of adjusted values from the
+    largest p down (matches statsmodels multipletests(method='fdr_bh')).
+
+    Scale-safe: no empty-PARTITION BY window anywhere. Global rank comes from
+    ``with_global_rank`` (range partition + broadcast offsets); the reverse
+    cumulative min is a per-range-partition suffix-min window combined with a
+    broadcast suffix-min over later partitions' minima (driver-scale).
+    Ties in ``pvalue_col`` are broken by ``tiebreak`` (default: xxhash64 of
+    all columns) so the rank is a deterministic total order; tied p-values
+    still receive identical padj (the suffix-min equalizes them).
+    """
+    nn = results.where(F.col(pvalue_col).isNotNull())
+    n = nn.count()
+    if n == 0:
+        return (nn.withColumn("padj", F.lit(None).cast("double"))
+                  .withColumn("rejected", F.lit(None).cast("boolean")))
+    tb = ([F.col(c) for c in tiebreak] if tiebreak
+          else [F.xxhash64(*[F.col(c) for c in results.columns])])
+    sort_cols = [F.col(pvalue_col).asc(), *[t.asc() for t in tb]]
+    ranked = with_global_rank(nn, sort_cols, "_rank", keep_pid=True)
     adj = ranked.withColumn("_raw_adj", F.col(pvalue_col) * n / F.col("_rank"))
+    # suffix-min within each contiguous range partition (descending rank)
+    w_sfx = (Window.partitionBy("_pid").orderBy(F.col("_rank").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    adj = adj.withColumn("_smin", F.min("_raw_adj").over(w_sfx))
+    # per-partition minima -> suffix-min over strictly-later partitions
+    pmins = sorted(
+        ((r["_pid"], r["m"]) for r in
+         adj.groupBy("_pid").agg(F.min("_raw_adj").alias("m")).collect()),
+    )
+    later = []
+    run = float("inf")
+    for pid, m in reversed(pmins):
+        later.append((pid, run if run != float("inf") else None))
+        if m is not None:
+            run = min(run, m)
+    spark = results.sparkSession
+    later_df = spark.createDataFrame(later, "_pid int, _later double")
     return (
-        adj.withColumn("padj", F.least(F.min("_raw_adj").over(w_cummin), F.lit(1.0)))
+        adj.join(F.broadcast(later_df), on="_pid", how="left")
+        .withColumn(
+            "padj",
+            F.least(
+                F.coalesce(F.least("_smin", "_later"), F.col("_smin")), F.lit(1.0)
+            ),
+        )
         .withColumn("rejected", F.col("padj") <= alpha)
-        .drop("_rank", "_raw_adj")
+        .drop("_pid", "_rank", "_raw_adj", "_smin", "_later")
     )
 
 
@@ -422,3 +486,199 @@ def run_two_way_anova(df: DataFrame, factor_a: str = "group",
         schema=("feature string, f_a double, p_a double, f_b double, "
                 "p_b double, f_ab double, p_ab double"),
     )
+
+
+# -- Tukey HSD post-hoc (analytics.py calculate_THSD:1516) ---------------------
+
+def run_thsd(df: DataFrame, alpha: float = 0.05, is_logged: bool = True) -> DataFrame:
+    """Pairwise Tukey-HSD (Tukey-Kramer for unequal n) per feature.
+
+    Spark-first decomposition: per-(feature, group) means/counts and the
+    per-feature pooled MSE are plain JVM aggregations; the pairwise table is
+    a per-feature self-join (fan-out bounded by #groups^2, dictionary-scale);
+    only the studentized-range survival function runs in Python — one
+    vectorized Arrow batch over the final pair rows, never over raw data.
+    Matches pingouin.pairwise_tukey (the reference's engine at
+    analytics.py:1516): q = |m1-m2| / sqrt(MSE/2 * (1/n1+1/n2)),
+    p = tukey_sf(q, k, N-k); log2FC = m1-m2 when is_logged else m1/m2.
+    """
+    gstats = df.where(F.col("value").isNotNull()).groupBy("feature", "group").agg(
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fstats = gstats.groupBy("feature").agg(
+        (F.sum((F.col("n") - 1) * F.col("var")) / F.sum(F.col("n") - 1)).alias("mse"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+    )
+    a = gstats.select("feature", F.col("group").alias("group1"),
+                      F.col("mean").alias("mean1"), F.col("n").alias("n1"))
+    b = gstats.select("feature", F.col("group").alias("group2"),
+                      F.col("mean").alias("mean2"), F.col("n").alias("n2"))
+    pairs = (
+        a.join(b, on="feature")
+        .where(F.col("group1") < F.col("group2"))
+        .join(fstats, on="feature")
+        .withColumn("log2fc", F.col("mean1") - F.col("mean2") if is_logged
+                    else F.col("mean1") / F.col("mean2"))
+        .withColumn(
+            "std_error",
+            F.sqrt(F.col("mse") / 2.0 * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+        )
+        .withColumn("qstat", F.abs(F.col("log2fc")) / F.col("std_error"))
+        .withColumn("df_err", (F.col("n_tot") - F.col("k")).cast("double"))
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _tukey_p(q: pd.Series, k: pd.Series, dfe: pd.Series) -> pd.Series:
+        import numpy as np
+        out = np.ones(len(q))
+        for (ki, di), idx in pd.DataFrame({"k": k, "d": dfe}).groupby(["k", "d"]).groups.items():
+            out[idx] = ST.tukey_sf(q.iloc[idx].to_numpy(), int(ki), float(di))
+        return pd.Series(out)
+
+    res = pairs.withColumn("pvalue", _tukey_p("qstat", "k", "df_err"))
+    fc = F.pow(F.lit(2.0), F.col("log2fc")) if is_logged else F.col("log2fc")
+    return res.select(
+        "feature", "group1", "group2", "mean1", "mean2", "log2fc",
+        fc.alias("fc"), "std_error", "qstat", "pvalue",
+        (F.col("pvalue") <= alpha).alias("rejected"),
+    )
+
+
+# -- ANCOVA / repeated-measures / mixed ANOVA (analytics.py:1774/1860/1896) ----
+
+def run_ancova(df: DataFrame, covariates: DataFrame,
+               covariate_cols: list[str]) -> DataFrame:
+    """One-way ANCOVA per feature: group F-test adjusting for covariates.
+
+    ``covariates``: (subject, <covariate_cols...>) — broadcast-joined onto
+    the long table (dictionary-scale: one row per subject), then per-feature
+    grouped-map OLS (full vs reduced model; see ST.ancova_oneway).
+    """
+    joined = df.join(F.broadcast(covariates), on="subject", how="inner")
+    cols = list(covariate_cols)
+
+    def per_feature(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        res = ST.ancova_oneway(
+            pdf["value"].to_numpy(dtype=float), pdf["group"].to_numpy(),
+            pdf[cols].to_numpy(dtype=float),
+        )
+        f, df1, df2, p = res if res else (float("nan"),) * 4
+        return pd.DataFrame({"feature": [pdf["feature"].iloc[0]], "f": [f],
+                             "df1": [df1], "df2": [df2], "pvalue": [p]})
+
+    return joined.groupBy("feature").applyInPandas(
+        per_feature, schema="feature string, f double, df1 double, df2 double, pvalue double"
+    )
+
+
+def run_rm_anova(df: DataFrame, subject: str = "subject",
+                 within: str = "group") -> DataFrame:
+    """Repeated-measures ANOVA per feature (balanced complete designs;
+    incomplete features return nulls, as the reference's dropna does)."""
+
+    def per_feature(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = ST.rm_anova(pdf["value"].to_numpy(dtype=float),
+                          pdf[subject].to_numpy(), pdf[within].to_numpy())
+        f, df1, df2, p = res if res else (float("nan"),) * 4
+        return pd.DataFrame({"feature": [pdf["feature"].iloc[0]], "f": [f],
+                             "df1": [df1], "df2": [df2], "pvalue": [p]})
+
+    return df.groupBy("feature").applyInPandas(
+        per_feature, schema="feature string, f double, df1 double, df2 double, pvalue double"
+    )
+
+
+def run_mixed_anova(df: DataFrame, subject: str = "subject",
+                    within: str = "group", between: str = "subject_group") -> DataFrame:
+    """Mixed (split-plot) ANOVA per feature; reports the Interaction source
+    row only, like the reference's run_mixed_anova (analytics.py:1896)."""
+
+    def per_feature(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = ST.mixed_anova_interaction(
+            pdf["value"].to_numpy(dtype=float), pdf[subject].to_numpy(),
+            pdf[within].to_numpy(), pdf[between].to_numpy(),
+        )
+        f, df1, df2, p = res if res else (float("nan"),) * 4
+        return pd.DataFrame({"feature": [pdf["feature"].iloc[0]], "f": [f],
+                             "df1": [df1], "df2": [df2], "pvalue": [p]})
+
+    return df.groupBy("feature").applyInPandas(
+        per_feature, schema="feature string, f double, df1 double, df2 double, pvalue double"
+    )
+
+
+# -- regulation enrichment wrappers (analytics.py:2278-2353) -------------------
+
+def run_regulation_enrichment(regulation: DataFrame, annotations: DataFrame,
+                              reject_col: str = "rejected") -> DataFrame:
+    """run_regulation_enrichment analog: foreground = rejected features,
+    universe = every feature present in the regulation table; Fisher per
+    annotation + BH across annotations."""
+    hits = (regulation.where(F.col(reject_col)).select("feature").distinct())
+    universe = regulation.select("feature").distinct()
+    ann = annotations.join(universe, on="feature", how="left_semi")
+    enr = run_enrichment(hits, ann, universe_size=universe.count())
+    return bh_correction(enr, tiebreak=["annotation"])
+
+
+def run_up_down_regulation_enrichment(
+    regulation: DataFrame, annotations: DataFrame, alpha: float = 0.05,
+    lfc_cutoff: float = 1.0, padj_col: str = "padj", lfc_col: str = "log2fc",
+) -> DataFrame:
+    """run_up_down_regulation_enrichment (analytics.py:2313) analog:
+    split the regulated set by fold-change direction, enrich each side,
+    union with a ``direction`` column. One scan of the regulation table per
+    direction; both enrichments are annotation-dictionary-scale."""
+    up = regulation.withColumn(
+        "_r", (F.col(padj_col) <= alpha) & (F.col(lfc_col) >= lfc_cutoff))
+    down = regulation.withColumn(
+        "_r", (F.col(padj_col) <= alpha) & (F.col(lfc_col) <= -lfc_cutoff))
+    e_up = run_regulation_enrichment(up, annotations, reject_col="_r") \
+        .withColumn("direction", F.lit("upregulated"))
+    e_down = run_regulation_enrichment(down, annotations, reject_col="_r") \
+        .withColumn("direction", F.lit("downregulated"))
+    return e_up.unionByName(e_down)
+
+
+def run_site_regulation_enrichment(
+    regulation: DataFrame, annotations: DataFrame, reject_col: str = "rejected",
+    regex: str = r"(\w+~[^_]+)_\w\d+-\w+",
+) -> DataFrame:
+    """run_site_regulation_enrichment (analytics.py:2278) analog: collapse
+    site-level identifiers (e.g. 'GENE~P12345_S23-p') to their parent feature
+    via regexp_extract (JVM-side), dedup, then regulation enrichment."""
+    parent = F.regexp_extract(F.col("feature"), regex, 1)
+    collapsed = (
+        regulation.withColumn(
+            "feature", F.when(parent != "", parent).otherwise(F.col("feature")))
+        .dropDuplicates()
+    )
+    return run_regulation_enrichment(collapsed, annotations, reject_col=reject_col)
+
+
+# -- multi-dataset correlation (analytics.py run_multi_correlation:1280) -------
+
+def run_multi_correlation(dfs: dict[str, DataFrame], min_n: int = 3) -> DataFrame:
+    """Correlation across multiple omics datasets joined on subject.
+
+    Reference semantics: merge the per-dataset wide matrices on
+    ['subject','biological_sample'] and correlate every feature pair. Spark
+    form: prefix features with their dataset name, union the long tables,
+    and reuse the self-join + corr() aggregation of ``pairwise_correlation``
+    — one shuffle on subject regardless of dataset count.
+    """
+    tagged = None
+    for name, d in dfs.items():
+        t = d.select(
+            "subject",
+            F.concat(F.lit(f"{name}:"), F.col("feature")).alias("feature"),
+            "value",
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return pairwise_correlation(tagged, min_n=min_n)

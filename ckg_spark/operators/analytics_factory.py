@@ -35,20 +35,29 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
     "ttest": lambda df, **kw: A.run_ttest(df, **kw),
     "anova": lambda df, **kw: A.run_anova(df),
     "2-way anova": lambda df, **kw: A.run_two_way_anova(df, **kw),
+    "ancova": lambda df, covariates=None, covariate_cols=None, **kw: A.run_ancova(
+        df, covariates, covariate_cols or []),
+    "repeated_measurements_anova": lambda df, **kw: A.run_rm_anova(df, **kw),
+    "mixed_anova": lambda df, **kw: A.run_mixed_anova(df, **kw),
+    "thsd": lambda df, **kw: A.run_thsd(df, **kw),
     "kolmogorov_smirnov": lambda df, **kw: A.run_ks_test(df, **kw),
     "fold_change": lambda df, **kw: A.fold_change(df, **kw),
     # correction / enrichment / correlation
     "pvalue_correction_bh": lambda df, **kw: A.bh_correction(df, **kw),
-    "regulation_enrichment": lambda hits, annotations=None, **kw: A.run_enrichment(
-        hits, annotations, **kw),
+    "regulation_enrichment": lambda reg, annotations=None, **kw: (
+        A.run_regulation_enrichment(reg, annotations, **kw)),
+    "up_down_regulation_enrichment": lambda reg, annotations=None, **kw: (
+        A.run_up_down_regulation_enrichment(reg, annotations, **kw)),
+    "site_regulation_enrichment": lambda reg, annotations=None, **kw: (
+        A.run_site_regulation_enrichment(reg, annotations, **kw)),
     "correlation": lambda df, **kw: A.pairwise_correlation(df, **kw),
+    "multi_correlation": lambda dfs, **kw: A.run_multi_correlation(dfs, **kw),
 }
 
 # reference analysis_type names that are deliberately out of scope here
 # (driver-scale library tails; see COVERAGE.md §2.11)
 _UNSUPPORTED = {
     "tsne", "umap", "mapper", "wgcna", "samr", "kaplan_meier", "dabest",
-    "ancova", "mixed_anova", "repeated_measurements_anova",
     "repeated_measurements_correlation", "ssgsea", "snf",
 }
 

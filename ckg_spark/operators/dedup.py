@@ -184,10 +184,18 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3, bucket_cap: int = 200) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (any pair within
     hamming distance <= 3 shares at least one identical chunk), verify exact
-    hamming distance JVM-side."""
+    hamming distance JVM-side.
+
+    ``bucket_cap`` guards the quadratic self-join the same way
+    ``lsh_candidate_pairs`` does: a chunk value shared by more than
+    ``bucket_cap`` docs (empty/boilerplate documents collapse to one
+    simhash) is dropped before pairing, and the number of dropped buckets
+    is logged (no silent caps). Recall note: a dropped bucket can only lose
+    pairs whose OTHER three chunks all differ — i.e. boilerplate floods —
+    the exact-hamming verify keeps precision at 1.0 regardless."""
     sigs = simhash_signatures(df, id_col, text_col)
     chunks = sigs.select(
         "doc_id", "simhash",
@@ -198,6 +206,14 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             )
         ).alias("cc"),
     ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
+    if bucket_cap is not None:
+        bcounts = chunks.groupBy("chunk", "cv").count()
+        n_dropped = bcounts.where(F.col("count") > bucket_cap).count()
+        if n_dropped:
+            print(f"simhash_near_dups: dropped {n_dropped} buckets over "
+                  f"bucket_cap={bucket_cap} before self-join")
+        small = bcounts.where(F.col("count") <= bucket_cap).select("chunk", "cv")
+        chunks = chunks.join(small, on=["chunk", "cv"], how="left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
         a.join(b, on=["chunk", "cv"])

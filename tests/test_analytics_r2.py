@@ -1,0 +1,308 @@
+"""Round-2 analytics additions: THSD, ANCOVA, repeated-measures / mixed
+ANOVA, regulation-enrichment wrappers, multi-dataset correlation, and the
+scale-safe two-pass global rank / BH correction.
+
+Validation strategy: closed-form statistical identities (F = t^2 families),
+published studentized-range table values, and independent numpy
+recomputation — never the operator's own code path.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ckg_spark.functions import stats as ST
+from ckg_spark.operators import analytics as A
+
+
+# ---------------------------------------------------------------------------
+# studentized range SF vs published critical tables
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("q,k,df", [
+    (3.877, 3, 10), (3.958, 4, 20), (2.888, 2, 30), (3.977, 5, 60),
+])
+def test_tukey_sf_published_critical_values(q, k, df):
+    # alpha=0.05 critical values from standard studentized-range tables
+    assert abs(ST.tukey_sf(q, k, df)[0] - 0.05) < 5e-4
+
+
+def test_tukey_sf_monotone_and_bounded():
+    qs = np.array([0.5, 1.0, 2.0, 3.0, 5.0, 8.0])
+    p = ST.tukey_sf(qs, 3, 12)
+    assert np.all(np.diff(p) < 0)
+    assert np.all((p >= 0) & (p <= 1))
+
+
+# ---------------------------------------------------------------------------
+# THSD: with k=2 groups, Tukey p == pooled two-sided t-test p (Q = sqrt(2)|t|)
+# ---------------------------------------------------------------------------
+
+def test_thsd_two_groups_equals_pooled_ttest(spark):
+    rng = np.random.RandomState(3)
+    rows = []
+    x = rng.normal(10, 2, 8)
+    y = rng.normal(12, 2, 10)
+    for i, v in enumerate(x):
+        rows.append(("a", f"s{i}", "F1", float(v)))
+    for i, v in enumerate(y):
+        rows.append(("b", f"t{i}", "F1", float(v)))
+    df = spark.createDataFrame(rows, "group string, subject string, feature string, value double")
+    out = A.run_thsd(df).collect()[0]
+    # pooled t
+    sp = math.sqrt(((len(x) - 1) * x.var(ddof=1) + (len(y) - 1) * y.var(ddof=1))
+                   / (len(x) + len(y) - 2))
+    t = (x.mean() - y.mean()) / (sp * math.sqrt(1 / len(x) + 1 / len(y)))
+    p_t = ST.t_sf(abs(t), len(x) + len(y) - 2)  # two-sided by construction
+    assert abs(out["qstat"] - math.sqrt(2) * abs(t)) < 1e-9
+    assert abs(out["pvalue"] - p_t) < 1e-4
+    assert abs(out["log2fc"] - (x.mean() - y.mean())) < 1e-9
+    assert abs(out["fc"] - 2 ** (x.mean() - y.mean())) < 1e-9
+
+
+def test_thsd_three_groups_all_pairs(spark):
+    rng = np.random.RandomState(11)
+    rows = []
+    for g, mu in [("a", 10.0), ("b", 10.5), ("c", 14.0)]:
+        for i, v in enumerate(rng.normal(mu, 1.0, 6)):
+            rows.append((g, f"{g}{i}", "F1", float(v)))
+    df = spark.createDataFrame(rows, "group string, subject string, feature string, value double")
+    out = {(r["group1"], r["group2"]): r for r in A.run_thsd(df).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # big separation (a,c) must be far more significant than (a,b)
+    assert out[("a", "c")]["pvalue"] < 0.01 < out[("a", "b")]["pvalue"]
+    r = out[("a", "c")]
+    assert abs(ST.tukey_sf(r["qstat"], 3, 15)[0] - r["pvalue"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ANCOVA: F matches explicit normal-equation OLS in the test
+# ---------------------------------------------------------------------------
+
+def test_ancova_matches_manual_ols(spark):
+    rng = np.random.RandomState(5)
+    n = 24
+    groups = np.repeat(["a", "b", "c"], 8)
+    cov = rng.normal(0, 1, n)
+    y = 0.7 * cov + np.where(groups == "c", 1.2, 0.0) + rng.normal(0, 1, n)
+    rows = [(str(g), f"s{i}", "F1", float(v)) for i, (g, v) in enumerate(zip(groups, y))]
+    df = spark.createDataFrame(rows, "group string, subject string, feature string, value double")
+    covs = spark.createDataFrame(
+        [(f"s{i}", float(c)) for i, c in enumerate(cov)], "subject string, age double")
+    out = A.run_ancova(df, covs, ["age"]).collect()[0]
+    # manual OLS F-test
+    X = np.column_stack([np.ones(n), (groups == "a").astype(float),
+                         (groups == "b").astype(float), cov])
+    Xr = np.column_stack([np.ones(n), cov])
+    bf = np.linalg.solve(X.T @ X, X.T @ y)
+    br = np.linalg.solve(Xr.T @ Xr, Xr.T @ y)
+    rss_f = ((y - X @ bf) ** 2).sum()
+    rss_r = ((y - Xr @ br) ** 2).sum()
+    f_manual = ((rss_r - rss_f) / 2) / (rss_f / (n - 4))
+    assert abs(out["f"] - f_manual) < 1e-8
+    assert out["df1"] == 2.0 and out["df2"] == float(n - 4)
+    assert abs(out["pvalue"] - ST.f_sf(f_manual, 2, n - 4)) < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# RM-ANOVA: k=2 conditions -> F == paired-t^2, p == two-sided paired-t p
+# ---------------------------------------------------------------------------
+
+def test_rm_anova_paired_t_identity(spark):
+    rng = np.random.RandomState(7)
+    n = 12
+    a = rng.normal(10, 2, n)
+    b = a + rng.normal(0.8, 1.0, n)
+    rows = [("c1", f"s{i}", "F1", float(v)) for i, v in enumerate(a)]
+    rows += [("c2", f"s{i}", "F1", float(v)) for i, v in enumerate(b)]
+    df = spark.createDataFrame(rows, "group string, subject string, feature string, value double")
+    out = A.run_rm_anova(df).collect()[0]
+    d = b - a
+    t = d.mean() / (d.std(ddof=1) / math.sqrt(n))
+    assert abs(out["f"] - t * t) < 1e-8
+    assert abs(out["pvalue"] - ST.t_sf(abs(t), n - 1)) < 1e-10
+    assert out["df1"] == 1.0 and out["df2"] == float(n - 1)
+
+
+def test_rm_anova_incomplete_design_is_null(spark):
+    rows = [("c1", "s1", "F1", 1.0), ("c2", "s1", "F1", 2.0), ("c1", "s2", "F1", 3.0)]
+    df = spark.createDataFrame(rows, "group string, subject string, feature string, value double")
+    out = A.run_rm_anova(df).collect()[0]
+    assert out["pvalue"] is None or math.isnan(out["pvalue"])
+
+
+# ---------------------------------------------------------------------------
+# mixed ANOVA: k=2, g=2 -> interaction F == two-sample t^2 on subject diffs
+# ---------------------------------------------------------------------------
+
+def test_mixed_anova_interaction_t_identity(spark):
+    rng = np.random.RandomState(9)
+    n1, n2 = 8, 9
+    a1 = rng.normal(5, 1, n1); b1 = a1 + rng.normal(1.0, 0.7, n1)
+    a2 = rng.normal(5, 1, n2); b2 = a2 + rng.normal(0.2, 0.7, n2)
+    rows = []
+    for i in range(n1):
+        rows += [("t1", f"g1s{i}", "G1", "F1", float(a1[i])),
+                 ("t2", f"g1s{i}", "G1", "F1", float(b1[i]))]
+    for i in range(n2):
+        rows += [("t1", f"g2s{i}", "G2", "F1", float(a2[i])),
+                 ("t2", f"g2s{i}", "G2", "F1", float(b2[i]))]
+    df = spark.createDataFrame(
+        rows, "group string, subject string, subject_group string, feature string, value double")
+    out = A.run_mixed_anova(df).collect()[0]
+    d1, d2 = b1 - a1, b2 - a2
+    sp = math.sqrt(((n1 - 1) * d1.var(ddof=1) + (n2 - 1) * d2.var(ddof=1)) / (n1 + n2 - 2))
+    t = (d1.mean() - d2.mean()) / (sp * math.sqrt(1 / n1 + 1 / n2))
+    assert abs(out["f"] - t * t) < 1e-8
+    assert abs(out["pvalue"] - ST.t_sf(abs(t), n1 + n2 - 2)) < 1e-9
+    assert out["df1"] == 1.0 and out["df2"] == float(n1 + n2 - 2)
+
+
+# ---------------------------------------------------------------------------
+# regulation enrichment wrappers
+# ---------------------------------------------------------------------------
+
+def _regulation_fixture(spark):
+    # 8 features; f1,f2 up (padj<=.05, lfc>=1); f3 down; rest null results
+    rows = [
+        ("f1", 0.01, 2.0, True), ("f2", 0.02, 1.5, True), ("f3", 0.01, -2.2, True),
+        ("f4", 0.50, 0.1, False), ("f5", 0.60, -0.2, False), ("f6", 0.90, 0.0, False),
+        ("f7", 0.04, 0.3, True), ("f8", 0.70, 1.9, False),
+    ]
+    reg = spark.createDataFrame(rows, "feature string, padj double, log2fc double, rejected boolean")
+    ann = spark.createDataFrame(
+        [("f1", "pathA"), ("f2", "pathA"), ("f3", "pathA"), ("f4", "pathA"),
+         ("f1", "pathB"), ("f5", "pathB"), ("f6", "pathB"), ("f7", "pathB"),
+         ("f9", "pathC")],  # f9 not in universe -> dropped
+        "feature string, annotation string")
+    return reg, ann
+
+
+def test_regulation_enrichment_counts_and_fisher(spark):
+    reg, ann = _regulation_fixture(spark)
+    out = {r["annotation"]: r for r in
+           A.run_regulation_enrichment(reg, ann).collect()}
+    assert "pathC" not in out  # annotation outside the universe
+    # foreground = {f1,f2,f3,f7}; pathA members {f1..f4}: a=3, ann=4
+    assert out["pathA"]["hits"] == 3 and out["pathA"]["ann_size"] == 4
+    assert out["pathB"]["hits"] == 2 and out["pathB"]["ann_size"] == 4
+    # Fisher one-sided computed from first principles (universe=8, hits=4)
+    p_a = ST.fisher_exact_greater(3, 1, 1, 3)
+    assert abs(out["pathA"]["pvalue"] - p_a) < 1e-12
+    assert 0 <= out["pathA"]["padj"] <= 1
+
+
+def test_up_down_enrichment_directions(spark):
+    reg, ann = _regulation_fixture(spark)
+    out = A.run_up_down_regulation_enrichment(reg, ann, alpha=0.05, lfc_cutoff=1.0)
+    pdf = out.toPandas()
+    assert set(pdf["direction"]) == {"upregulated", "downregulated"}
+    up = pdf[(pdf.direction == "upregulated") & (pdf.annotation == "pathA")].iloc[0]
+    # up-hits = {f1,f2} (f7 lfc 0.3 excluded, f8 padj .7 excluded): pathA a=2
+    assert up["hits"] == 2
+    down = pdf[(pdf.direction == "downregulated") & (pdf.annotation == "pathA")].iloc[0]
+    assert down["hits"] == 1  # f3
+
+
+def test_site_enrichment_collapses_sites(spark):
+    rows = [
+        ("GENE1~P1_S10-p", 0.01, 2.0, True), ("GENE1~P1_S22-p", 0.02, 1.1, True),
+        ("GENE2~P2_T5-p", 0.50, 0.0, False), ("GENE3~P3", 0.01, 1.0, True),
+    ]
+    reg = spark.createDataFrame(rows, "feature string, padj double, log2fc double, rejected boolean")
+    ann = spark.createDataFrame(
+        [("GENE1~P1", "pathX"), ("GENE2~P2", "pathX"), ("GENE3~P3", "pathY")],
+        "feature string, annotation string")
+    out = {r["annotation"]: r for r in
+           A.run_site_regulation_enrichment(reg, ann).collect()}
+    # GENE1 sites collapse to one feature, still rejected -> pathX a=1 of 2
+    assert out["pathX"]["hits"] == 1 and out["pathX"]["ann_size"] == 2
+    assert out["pathY"]["hits"] == 1 and out["pathY"]["ann_size"] == 1
+
+
+# ---------------------------------------------------------------------------
+# multi-dataset correlation vs pandas
+# ---------------------------------------------------------------------------
+
+def test_multi_correlation_vs_pandas(spark):
+    rng = np.random.RandomState(13)
+    subs = [f"s{i}" for i in range(10)]
+    prot = pd.DataFrame({"subject": subs, "P1": rng.normal(size=10), "P2": rng.normal(size=10)})
+    clin = pd.DataFrame({"subject": subs, "C1": prot["P1"] * 2 + rng.normal(0, .1, 10)})
+    d1 = spark.createDataFrame(prot.melt("subject", var_name="feature", value_name="value"))
+    d2 = spark.createDataFrame(clin.melt("subject", var_name="feature", value_name="value"))
+    out = A.run_multi_correlation({"prot": d1, "clin": d2}).toPandas()
+    got = out.set_index(["fa", "fb"])["corr"].to_dict()
+    merged = prot.merge(clin, on="subject")
+    expect = merged[["P1", "P2", "C1"]].corr()
+    assert abs(got[("clin:C1", "prot:P1")] - expect.loc["P1", "C1"]) < 1e-9
+    assert abs(got[("prot:P1", "prot:P2")] - expect.loc["P1", "P2"]) < 1e-9
+    assert len(got) == 3  # all unordered pairs across the union
+
+
+# ---------------------------------------------------------------------------
+# two-pass global rank + BH: equivalence with independent numpy BH
+# ---------------------------------------------------------------------------
+
+def test_with_global_rank_matches_sort_order(spark):
+    rng = np.random.RandomState(17)
+    vals = rng.permutation(500).astype(float)
+    df = spark.createDataFrame([(f"id{i}", float(v)) for i, v in enumerate(vals)],
+                               "id string, p double")
+    out = A.with_global_rank(df, [F.col("p").asc(), F.col("id").asc()], "rk").toPandas()
+    out = out.sort_values("p")
+    assert list(out["rk"]) == list(range(1, 501))
+
+
+def test_bh_correction_vs_numpy(spark):
+    rng = np.random.RandomState(19)
+    ps = np.concatenate([rng.uniform(0, 0.01, 20), rng.uniform(0, 1, 180)])
+    df = spark.createDataFrame([(f"f{i}", float(p)) for i, p in enumerate(ps)],
+                               "feature string, pvalue double")
+    out = A.bh_correction(df, tiebreak=["feature"]).toPandas().set_index("feature")
+    # independent BH (statsmodels fdr_bh formulation)
+    order = np.argsort(ps, kind="mergesort")
+    n = len(ps)
+    raw = ps[order] * n / np.arange(1, n + 1)
+    cummin = np.minimum.accumulate(raw[::-1])[::-1]
+    padj = np.minimum(cummin, 1.0)
+    for rank_pos, idx in enumerate(order):
+        assert abs(out.loc[f"f{idx}", "padj"] - padj[rank_pos]) < 1e-12
+
+
+def test_bh_ties_get_equal_padj(spark):
+    rows = [("a", 0.02), ("b", 0.02), ("c", 0.02), ("d", 0.5)]
+    df = spark.createDataFrame(rows, "feature string, pvalue double")
+    out = A.bh_correction(df).toPandas()
+    tied = out[out.pvalue == 0.02]["padj"].unique()
+    assert len(tied) == 1
+
+
+# ---------------------------------------------------------------------------
+# plan audit: no empty-PARTITION BY window on the BH data path
+# ---------------------------------------------------------------------------
+
+def test_bh_plan_has_no_global_window(spark):
+    df = spark.createDataFrame([(f"f{i}", i / 100.0) for i in range(100)],
+                               "feature string, pvalue double")
+    plan = A.bh_correction(df, tiebreak=["feature"])._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            # every window spec must name a partition column before the sort spec
+            spec = line.split("windowspecdefinition(")[1]
+            assert not spec.lstrip().startswith("pvalue"), \
+                f"global (unpartitioned) window found: {line.strip()}"
+            assert "_pid" in spec.split(",")[0], \
+                f"window not partitioned by _pid: {line.strip()}"
+
+
+def test_analytics_factory_new_entries(spark):
+    from ckg_spark.operators import analytics_factory as AF
+    for name in ("ancova", "repeated_measurements_anova", "mixed_anova",
+                 "thsd", "up_down_regulation_enrichment",
+                 "site_regulation_enrichment", "multi_correlation"):
+        assert name in AF.available()
