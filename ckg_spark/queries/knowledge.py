@@ -40,6 +40,21 @@ def knowledge_summary(edges: DataFrame, k: int = 15,
         )
     elif method == "degree":
         scored = deg.withColumn("centrality", F.col("degree").cast("double"))
+    elif method in ("betweenness", "closeness"):
+        from ..operators.centrality import (
+            betweenness_centrality, closeness_centrality)
+
+        if method == "betweenness":
+            # reference samples sources above 15k nodes (knowledge.py:510-511)
+            n_nodes = deg.count()
+            c = betweenness_centrality(
+                edges, n_samples=15000 if n_nodes >= 15000 else None)
+            c = c.withColumnRenamed("betweenness", "centrality")
+        else:
+            c = closeness_centrality(edges).withColumnRenamed(
+                "closeness", "centrality")
+        scored = deg.join(c, on="id", how="left").withColumn(
+            "centrality", F.coalesce("centrality", F.lit(0.0)))
     else:
         raise ValueError(f"unknown centrality method: {method}")
     return (
