@@ -682,3 +682,106 @@ def run_multi_correlation(dfs: dict[str, DataFrame], min_n: int = 3) -> DataFram
         )
         tagged = t if tagged is None else tagged.unionByName(t)
     return pairwise_correlation(tagged, min_n=min_n)
+
+
+# -- ComBat batch correction (analytics.py combat_batch_correction:369) -------
+
+def combat_batch_correction(df: DataFrame, batch_col: str = "batch",
+                            conv: float = 1e-4, max_iter: int = 200) -> DataFrame:
+    """Parametric empirical-Bayes ComBat (Johnson 2007; the reference wraps
+    pycombat) over the long table (batch, subject, feature, value).
+
+    Spark decomposition — no driver-side matrix at any point:
+    1. per-(batch, feature) sufficient stats (n, mean, var) and per-feature
+       pooled stand_mean / var_pooled: two JVM aggregations + one join;
+    2. EB hyper-priors per batch (gamma_bar, tau2, a_prior, b_prior):
+       an aggregation over the (batch, feature) grid — rows = batches,
+       broadcastable;
+    3. the it_sol fixed point for (gamma*, delta*) per (batch, feature):
+       vectorized numpy inside one applyInPandas over batches (each group
+       is one batch's feature vector — the same shape pycombat iterates);
+    4. the adjustment is a broadcast join + pure column arithmetic.
+
+    Returns the input rows with ``value`` replaced by the corrected value.
+    """
+    nn = df.where(F.col("value").isNotNull())
+    n_total = nn.count()
+    bf = nn.groupBy(batch_col, "feature").agg(
+        F.count(F.lit(1)).alias("n_bf"),
+        F.avg("value").alias("mean_bf"),
+    )
+    # stand_mean_f = sum_b (n_b/N) * mean_bf ; var_pooled_f over ALL samples
+    feat = bf.groupBy("feature").agg(
+        (F.sum(F.col("n_bf") * F.col("mean_bf")) / F.sum("n_bf")).alias("stand_mean"),
+    )
+    with_stand = nn.join(F.broadcast(feat), on="feature")
+    varp = with_stand.groupBy("feature").agg(
+        F.avg(F.pow(F.col("value") - F.col("stand_mean"), 2)).alias("var_pooled"),
+    )
+    feat = feat.join(varp, on="feature")
+    z = (
+        nn.join(F.broadcast(feat), on="feature")
+        .withColumn("z", (F.col("value") - F.col("stand_mean"))
+                    / F.sqrt(F.col("var_pooled")))
+    )
+    zstats = z.groupBy(batch_col, "feature").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("z").alias("gamma_hat"),
+        F.var_samp("z").alias("delta_hat2"),
+        F.sum("z").alias("sum_z"),
+        F.sum(F.col("z") * F.col("z")).alias("sum_z2"),
+    )
+    priors = zstats.groupBy(batch_col).agg(
+        F.avg("gamma_hat").alias("gamma_bar"),
+        F.var_samp("gamma_hat").alias("tau2"),
+        F.avg("delta_hat2").alias("d_m"),
+        F.var_samp("delta_hat2").alias("d_s2"),
+    ).withColumn(
+        "a_prior", (2 * F.col("d_s2") + F.pow("d_m", 2)) / F.col("d_s2")
+    ).withColumn(
+        "b_prior", (F.col("d_m") * F.col("d_s2") + F.pow("d_m", 3)) / F.col("d_s2")
+    )
+
+    joined = zstats.join(F.broadcast(priors), on=batch_col)
+
+    def per_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        n = pdf["n"].to_numpy(dtype=float)
+        ghat = pdf["gamma_hat"].to_numpy(dtype=float)
+        dhat = pdf["delta_hat2"].to_numpy(dtype=float)
+        sz = pdf["sum_z"].to_numpy(dtype=float)
+        sz2 = pdf["sum_z2"].to_numpy(dtype=float)
+        gbar = float(pdf["gamma_bar"].iloc[0])
+        t2 = float(pdf["tau2"].iloc[0])
+        a = float(pdf["a_prior"].iloc[0])
+        b = float(pdf["b_prior"].iloc[0])
+        g_old, d_old = ghat.copy(), dhat.copy()
+        for _ in range(max_iter):
+            g_new = (t2 * n * ghat + d_old * gbar) / (t2 * n + d_old)
+            sum2 = sz2 - 2.0 * g_new * sz + n * g_new * g_new
+            d_new = (0.5 * sum2 + b) / (n / 2.0 + a - 1.0)
+            change = max(np.nanmax(np.abs(g_new - g_old) / np.abs(g_old + 1e-30)),
+                         np.nanmax(np.abs(d_new - d_old) / np.abs(d_old + 1e-30)))
+            g_old, d_old = g_new, d_new
+            if change < conv:
+                break
+        return pd.DataFrame({
+            batch_col: pdf[batch_col], "feature": pdf["feature"],
+            "gamma_star": g_old, "delta_star2": d_old,
+        })
+
+    eb = joined.groupBy(batch_col).applyInPandas(
+        per_batch,
+        schema=f"{batch_col} string, feature string, "
+               "gamma_star double, delta_star2 double",
+    )
+    out = (
+        z.join(F.broadcast(eb), on=[batch_col, "feature"])
+        .withColumn(
+            "value",
+            (F.col("z") - F.col("gamma_star")) / F.sqrt(F.col("delta_star2"))
+            * F.sqrt(F.col("var_pooled")) + F.col("stand_mean"),
+        )
+    )
+    keep = df.columns
+    return out.select(*keep)

@@ -22,7 +22,8 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
     "imputation_median": lambda df, **kw: A.impute_group_median(df),
     "imputation_normal_distribution": lambda df, **kw: A.impute_normal_distribution(df, **kw),
     "imputation_knn": lambda df, **kw: A.impute_knn(df, **kw),
-    # normalization
+    # normalization / batch correction
+    "batch_correction": lambda df, **kw: A.combat_batch_correction(df, **kw),
     "normalization_median": lambda df, **kw: A.normalize_median(df, **kw),
     "normalization_zscore": lambda df, **kw: A.normalize_zscore(df, **kw),
     "normalization_quantile": lambda df, **kw: A.normalize_quantile(df, **kw),

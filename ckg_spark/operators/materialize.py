@@ -213,9 +213,25 @@ def merge_edges(spark, existing_path: str, new_edges: DataFrame) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # Crash-safe promotion: the old table is RENAMED to a backup before the
+    # new one takes its place, so no instant ever has zero live copies (a
+    # crash leaves either the original, or original-as-backup + tmp, or the
+    # promoted new table + backup). The backup is only removed after the
+    # promote succeeds. On an Iceberg deployment all of this is one MERGE
+    # INTO snapshot commit; this local-FS rendition is kept behind this
+    # function so that swap is local.
     tmp = existing_path.rstrip("/") + "__tmp"
+    bak = existing_path.rstrip("/") + "__bak"
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(existing_path):
-        shutil.rmtree(existing_path)
-    os.rename(tmp, existing_path)
+    shutil.rmtree(bak, ignore_errors=True)
+    had_existing = os.path.exists(existing_path)
+    if had_existing:
+        os.rename(existing_path, bak)
+    try:
+        os.rename(tmp, existing_path)
+    except OSError:
+        if had_existing:
+            os.rename(bak, existing_path)  # roll back; tmp left for inspection
+        raise
+    shutil.rmtree(bak, ignore_errors=True)
     return spark.read.parquet(existing_path)

@@ -13,12 +13,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword language heuristic
+# (space-tokenized scripts only; CJK/Cyrillic/Arabic go via script ranges —
+# a pinyin stopword list can never match real Chinese text)
 LANG_STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
     "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "por"],
     "de": ["der", "die", "und", "das", "nicht", "von", "mit", "ist", "des", "ein"],
     "fr": ["le", "la", "les", "des", "est", "une", "dans", "que", "pour", "qui"],
-    "zh": ["de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"],
+}
+
+# Unicode-block character classes for non-space-tokenized scripts; ratio of
+# matching chars over non-space chars is the detector (pure JVM regexp).
+# Kana is checked before the Han range so Japanese (which mixes kanji) wins
+# over zh whenever kana is present.
+LANG_SCRIPTS: dict[str, str] = {
+    "ja": "[\\u3040-\\u30ff]",          # hiragana + katakana
+    "ko": "[\\uac00-\\ud7af]",          # hangul syllables
+    "zh": "[\\u4e00-\\u9fff]",          # CJK unified ideographs
+    "ru": "[\\u0400-\\u04ff]",          # cyrillic
+    "ar": "[\\u0600-\\u06ff]",          # arabic
 }
 
 
@@ -74,27 +87,50 @@ def quality_score(col: Column) -> Column:
     return F.round((len_score + punct_score + distinct_ratio) / 3.0, 6)
 
 
+def script_ratio(col: Column, lang: str) -> Column:
+    """Fraction of non-space characters in ``lang``'s Unicode block."""
+    c = F.regexp_replace(F.coalesce(col, F.lit("")), r"\s", "")
+    kept = F.regexp_replace(c, f"(?!{LANG_SCRIPTS[lang]}).", "")
+    return F.when(F.length(c) > 0, F.length(kept) / F.length(c)).otherwise(F.lit(0.0))
+
+
 def lang_scores(col: Column) -> Column:
-    """Map lang -> stopword-hit ratio, the n-gram-heuristic language ID."""
-    return F.map_from_arrays(
-        F.array(*[F.lit(c) for c in LANG_STOPWORDS]),
-        F.array(*[stopword_ratio(col, c) for c in LANG_STOPWORDS]),
-    )
+    """Map lang -> detector score: stopword-hit ratio for space-tokenized
+    languages, Unicode-script char ratio for zh/ja/ko/ru/ar."""
+    langs = sorted(LANG_STOPWORDS) + list(LANG_SCRIPTS)
+    scores = ([stopword_ratio(col, c) for c in sorted(LANG_STOPWORDS)]
+              + [script_ratio(col, c) for c in LANG_SCRIPTS])
+    return F.map_from_arrays(F.array(*[F.lit(c) for c in langs]), F.array(*scores))
 
 
 def lang_best(col: Column) -> Column:
-    """argmax language by stopword ratio; 'und' when nothing matches.
+    """argmax language; 'und' when nothing matches.
 
-    Deterministic tie-break: language code ascending.
+    Script-range detectors win whenever a script ratio clears 0.15 (their
+    scores approach 1.0 on native text, while stopword ratios top out around
+    0.3-0.5, so mixed documents resolve to the dominant script). Japanese
+    mixes kanji (the Han block) with kana, so ANY meaningful kana presence
+    (> 0.05) decides ja before the generic argmax — Chinese contains no
+    kana. Deterministic: pure column arithmetic, tie-break by score then
+    language code.
     """
-    pairs = F.array(
+    ja_override = F.when(script_ratio(col, "ja") > 0.05, F.lit("ja"))
+    script_pairs = F.array(
+        *[
+            F.struct(script_ratio(col, c).alias("score"), F.lit(c).alias("lang"))
+            for c in sorted(LANG_SCRIPTS)
+        ]
+    )
+    script_best = F.array_max(F.filter(script_pairs, lambda p: p["score"] > 0.15))
+    stop_pairs = F.array(
         *[
             F.struct(stopword_ratio(col, c).alias("score"), F.lit(c).alias("lang"))
             for c in sorted(LANG_STOPWORDS)
         ]
     )
-    best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
-    return F.coalesce(best["lang"], F.lit("und"))
+    stop_best = F.array_max(F.filter(stop_pairs, lambda p: p["score"] > 0))
+    return F.coalesce(ja_override, script_best["lang"], stop_best["lang"],
+                      F.lit("und"))
 
 
 def doc_fingerprint(col: Column) -> Column:

@@ -29,23 +29,46 @@ def read_dataset(spark: SparkSession, uri: str, fmt: str | None = None,
                  sep: str = "\t", header: bool = True) -> DataFrame:
     """Extension-dispatched reader (builder_utils.py:31-72 analog).
 
-    parquet/csv/tsv/json/txt; .gz handled natively by Spark. Excel is out of
-    scope for the engine hot path (reference reads it with pandas; callers
-    can do the same off the hot path and createDataFrame).
+    parquet/csv/tsv/json/txt/sdrf natively in Spark; .gz handled natively.
+    Excel goes through the off-hot-path pandas shim (``read_excel_dataset``)
+    — xlsx is a driver-scale metadata format in the reference, never bulk
+    data, so a distributed reader would be scale theater.
     """
     ext = (fmt or uri.rstrip("/").split(".")[-1].replace("gz", "") or "").lower()
     if fmt is None and uri.endswith(".gz"):
         ext = uri.rstrip("/").split(".")[-2].lower()
     if ext in ("parquet", "pq"):
         return spark.read.parquet(uri)
-    if ext in ("tsv", "txt"):
+    if ext in ("tsv", "txt", "sdrf"):
         return spark.read.csv(uri, sep="\t", header=header, inferSchema=False)
     if ext == "csv":
         return spark.read.csv(uri, sep=sep if sep != "\t" else ",", header=header,
                               inferSchema=False)
     if ext in ("json", "jsonl", "ndjson"):
         return spark.read.json(uri)
+    if ext in ("xlsx", "xls"):
+        return read_excel_dataset(spark, uri)
     raise ValueError(f"unsupported dataset format: {uri}")
+
+
+def read_excel_dataset(spark: SparkSession, uri: str,
+                       sheet_name: int | str = 0) -> DataFrame:
+    """Excel shim (builder_utils.py readDataFromExcel:65-72 analog):
+    pandas.read_excel on the driver -> createDataFrame. Import-gated — the
+    engine container ships no xlsx codec; deployments that ingest Excel
+    install openpyxl and get the same entry point."""
+    try:
+        pdf = pd.read_excel(uri, sheet_name=sheet_name, index_col=None,
+                            na_values=["NA"])
+    except ImportError as ex:  # pragma: no cover - container has no openpyxl
+        raise NotImplementedError(
+            "read_excel_dataset requires an Excel engine (openpyxl); not "
+            "installed in this container — convert to tsv/parquet upstream "
+            "or install the codec"
+        ) from ex
+    pdf = pdf.dropna(how="all")
+    pdf.columns = [str(c) for c in pdf.columns]
+    return spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None))
 
 
 def read_gzipped_tsv(spark: SparkSession, uri: str, header: bool = True) -> DataFrame:

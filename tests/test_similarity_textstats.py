@@ -109,3 +109,55 @@ def test_multimodal_plumbing(spark):
     assert (frames["frame_idx"] % 2 == 0).all()
     rs = MM.resize_meta(media, max_side=128).toPandas()
     assert (rs["target_w"] <= 128).all() and (rs["target_h"] <= 128).all()
+
+
+def test_ann_index_matches_scan_path(spark, tmp_path):
+    df, rows = _vectors(spark, n=300, dim=16, seed=5)
+    idx = str(tmp_path / "ann_idx")
+    S.build_ann_index(df, idx, n_planes=8, seed=1234)
+    q = rows[11][1]
+    for h in (0, 1, 2):
+        via_index = S.ann_topk(spark, idx, q, k=7, multiprobe_hamming=h).collect()
+        via_scan = S.lsh_topk(df, q, k=7, n_planes=8, seed=1234,
+                              multiprobe_hamming=h).collect()
+        assert [(r["vec_id"], round(r["cosine"], 9)) for r in via_index] == \
+               [(r["vec_id"], round(r["cosine"], 9)) for r in via_scan], f"h={h}"
+
+
+def test_ann_index_scan_is_partition_pruned(spark, tmp_path):
+    df, rows = _vectors(spark, n=300, dim=16, seed=5)
+    idx = str(tmp_path / "ann_idx2")
+    S.build_ann_index(df, idx, n_planes=8, seed=1234)
+    q = rows[3][1]
+    plan = S.ann_topk(spark, idx, q, k=5, multiprobe_hamming=1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the sig IN (...) predicate must land in the scan's partition filters,
+    # not a post-scan Filter over all partitions
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "sig" in seg, f"sig not pruned at scan: {seg}"
+
+
+def test_ann_index_build_leaves_lineage(spark, tmp_path):
+    from ckg_spark.plans import lineage as LIN
+    df, _ = _vectors(spark, n=100, dim=8, seed=9)
+    idx = str(tmp_path / "ann_idx3")
+    S.build_ann_index(df, idx, n_planes=6)
+    rows = LIN.read_lineage(idx)
+    assert rows and rows[0]["stage"] == "ann_sigs" and rows[0]["rows"] == 100
+
+
+def test_lang_best_script_ranges(spark):
+    rows = [
+        (1, "the cat sat on the mat and it was good for the dog"),
+        (2, "今天天气很好我们一起去公园散步吧这是一个测试"),
+        (3, "今日はいい天気ですね公園にいきましょう"),       # kanji + kana -> ja
+        (4, "안녕하세요 오늘 날씨가 좋네요 공원에 갑시다"),
+        (5, "сегодня хорошая погода пойдем гулять в парк"),
+        (6, "اليوم الطقس جميل هيا بنا الى الحديقة"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r["lang"] for r in
+           df.select("id", TS.lang_best(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "zh", 3: "ja", 4: "ko", 5: "ru", 6: "ar", 7: "und"}
