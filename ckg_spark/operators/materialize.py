@@ -235,3 +235,83 @@ def merge_edges(spark, existing_path: str, new_edges: DataFrame) -> DataFrame:
         raise
     shutil.rmtree(bak, ignore_errors=True)
     return spark.read.parquet(existing_path)
+
+
+def fused_turn_edges(linked_canon: DataFrame) -> DataFrame:
+    """MENTIONED_IN_TURN + CO_MENTIONED_WITH from ONE aggregation pass.
+
+    Output equals mention_edges(l) UNION ALL comention_edges(l) row-for-row
+    (asserted in tests): one groupBy (conv_id, turn_idx) collect_list of
+    (entity, type) structs; per-entity counts = run lengths of the sorted
+    array; the distinct set feeds the pair expansion.
+
+    MEASURED SLOWER than the two-agg path at bench scale (32s-65s vs ~25s at
+    600k turns, local[32], interleaved runs): collect_list's partial
+    aggregation ships EVERY occurrence struct through the shuffle, while the
+    separate count/collect_set aggs shrink map-side (occurrences -> distinct
+    triples / deduped sets) before any bytes move. One shuffle of a bigger
+    stream lost to two shuffles of smaller ones on this memory-bound box —
+    kept as the documented negative result and for workloads where the
+    linked stream cannot be persisted (the fusion needs only one pass, so it
+    skips the persist the two-agg path requires to avoid recomputing
+    extract+link)."""
+    per_turn = (
+        linked_canon.select(
+            "conv_id", "turn_idx",
+            F.struct(
+                F.col("canonical_id").alias("e"), F.col("entity_type").alias("et")
+            ).alias("m"),
+        )
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .select(turn_key().alias("tk"), "ms")
+    )
+    runs = per_turn.select(
+        "tk",
+        F.expr(
+            "filter(sequence(0, size(ms)-1), i -> i = 0 OR NOT (ms[i] = ms[i-1]))"
+        ).alias("starts"),
+        "ms",
+    ).select(
+        "tk",
+        F.expr(
+            "zip_with(starts, "
+            " concat(slice(starts, 2, size(starts)), array(size(ms))), "
+            " (s, t) -> struct(ms[s].e AS e, ms[s].et AS et, t - s AS cnt))"
+        ).alias("counts"),
+        F.expr("array_distinct(transform(starts, i -> ms[i].e))").alias("des"),
+    )
+    mention = runs.select("tk", F.explode("counts").alias("c")).select(
+        F.col("c.e").alias("subj"),
+        F.lit("MENTIONED_IN_TURN").alias("pred"),
+        F.col("tk").alias("obj"),
+        F.lit("tagger").alias("source"),
+        F.col("c.cnt").cast("double").alias("score"),
+        F.col("c.et").alias("evidence_type"),
+    )
+    pairs = (
+        runs.where(F.size("des") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(des)-1), "
+                    "i -> transform(sequence(0, i-1), "
+                    "j -> named_struct('subj', des[j], 'obj', des[i]))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.subj").alias("subj"), F.col("p.obj").alias("obj"))
+    )
+    comention = (
+        pairs.groupBy("subj", "obj")
+        .agg(F.count(F.lit(1)).cast("double").alias("score"))
+        .select(
+            "subj",
+            F.lit("CO_MENTIONED_WITH").alias("pred"),
+            "obj",
+            F.lit("tagger").alias("source"),
+            "score",
+            F.lit("co_occurrence").alias("evidence_type"),
+        )
+    )
+    return mention.unionByName(comention)
