@@ -72,8 +72,15 @@ def run_kg_pipeline(spark, vocab, transcripts_path: str,
         tables["identity_edges"], tables["aliases"].select("ident").distinct()
     )
     # cache: both edge families traverse the linked stream; without this the
-    # whole extract+link pipeline runs twice
-    linked = M.canonicalize_linked(linked, canonical).persist()
+    # whole extract+link pipeline runs twice. Persist ONLY the columns the
+    # two aggregations read (conv/turn/canonical/type) — pos, n_words,
+    # alias_lc, ident, rank would be dead weight in the cache and in both
+    # cache re-reads (~40% of the bytes).
+    linked = (
+        M.canonicalize_linked(linked, canonical)
+        .select("conv_id", "turn_idx", "canonical_id", "entity_type")
+        .persist()
+    )
     edges = M.mention_edges(linked).unionByName(M.comention_edges(linked))
     n_triples = edges.count()
     wall = time.time() - t0

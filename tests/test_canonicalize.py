@@ -58,3 +58,18 @@ def test_cc_medium_scale_with_mega_component(spark):
     got = {r["ident"]: r["component"] for r in connected_components(df, max_iter=15).collect()}
     for v, c in got.items():
         assert c == exp[v]
+
+
+def test_driver_and_distributed_cc_agree(spark):
+    import random
+    from ckg_spark.operators.canonicalize import connected_components
+    rng = random.Random(5)
+    # random graph with several components incl. a chain (tests jumping)
+    edges = [(f"n{rng.randrange(80)}", f"n{rng.randrange(80)}") for _ in range(60)]
+    edges += [(f"c{i}", f"c{i+1}") for i in range(20)]  # long chain
+    df = spark.createDataFrame(edges, "ident_a string, ident_b string")
+    fast = {(r["ident"], r["component"])
+            for r in connected_components(df).collect()}
+    dist = {(r["ident"], r["component"])
+            for r in connected_components(df, driver_threshold=None).collect()}
+    assert fast == dist and len(fast) > 0

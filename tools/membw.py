@@ -41,10 +41,30 @@ def _worker(q: mp.Queue, barrier) -> None:
     q.put(2.0 * n * ARR_MB / 1024.0 / dt)
 
 
-def measure(workers: int) -> float:
+def _scatter_worker(q: mp.Queue, barrier) -> None:
+    """Hash-aggregation proxy: random scatter-add into a 64 MB table —
+    the memory access pattern of a shuffle-side hash agg (random cache-line
+    touches over a working set larger than an L3 share)."""
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    table = np.zeros(8 * 1024 * 1024, dtype=np.int64)  # 64 MB
+    idx = rng.randint(0, len(table), 4 * 1024 * 1024).astype(np.int64)
+    vals = np.ones_like(idx)
+    barrier.wait()
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < SECONDS:
+        table[idx] = table[idx] + vals  # gather + scatter, random lines
+        n += len(idx)
+    dt = time.time() - t0
+    q.put(n / dt / 1e6)  # M updates/s
+
+
+def measure(workers: int, fn=_worker) -> float:
     q: mp.Queue = mp.Queue()
     barrier = mp.Barrier(workers)
-    procs = [mp.Process(target=_worker, args=(q, barrier)) for _ in range(workers)]
+    procs = [mp.Process(target=fn, args=(q, barrier)) for _ in range(workers)]
     for p in procs:
         p.start()
     total = sum(q.get() for _ in procs)
@@ -55,9 +75,12 @@ def measure(workers: int) -> float:
 
 if __name__ == "__main__":
     levels = [int(x) for x in sys.argv[1:]] or [1, 2, 8]
-    out = {"levels": {}}
+    out = {"stream_gbps": {}, "scatter_mups": {}}
     for w in levels:
-        out["levels"][str(w)] = measure(w)
-    if "2" in out["levels"] and "8" in out["levels"]:
-        out["ceiling_2_to_8"] = round(out["levels"]["8"] / out["levels"]["2"], 3)
+        out["stream_gbps"][str(w)] = measure(w, _worker)
+    for w in levels:
+        out["scatter_mups"][str(w)] = measure(w, _scatter_worker)
+    for k in ("stream_gbps", "scatter_mups"):
+        if "2" in out[k] and "8" in out[k]:
+            out[f"{k}_ceiling_2_to_8"] = round(out[k]["8"] / out[k]["2"], 3)
     print(json.dumps(out))
