@@ -1041,3 +1041,154 @@ FROM tf JOIN dft USING (term) CROSS JOIN n
 
 
 QUERIES.update({"q41_tfidf": (q41_tfidf, Q41_SQL)})
+
+
+def q42_twostage_fdr(spark, sf):
+    """§2.11 two-stage BKY FDR (apply_pvalue_twostage_fdrcorrection,
+    reference analytics.py:1136) over the same deterministic pseudo-p
+    source as q38; scale-safe (no empty-PARTITION-BY window)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    wn = Window.partitionBy("event_type")
+    pseudo = e.select(
+        "event_id", "event_type",
+        (F.row_number().over(w) / F.count(F.lit(1)).over(wn)).alias("pvalue"),
+    )
+    from .operators.analytics import twostage_fdr_correction
+
+    adj = twostage_fdr_correction(pseudo, tiebreak=["event_id"])
+    return adj.select("event_id", F.round("padj", 6).alias("padj"),
+                      F.col("rejected"))
+
+
+Q42_SQL = """
+WITH pseudo AS (
+  SELECT event_id,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS DOUBLE)
+           / count(*) OVER (PARTITION BY event_type) AS pvalue
+  FROM events),
+ranked AS (
+  SELECT event_id, pvalue,
+         row_number() OVER (ORDER BY pvalue, event_id) AS rnk,
+         count(*) OVER () AS m
+  FROM pseudo),
+bh AS (
+  SELECT event_id, m,
+         least(min(pvalue * m / rnk) OVER (ORDER BY pvalue DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS padj1
+  FROM ranked),
+stage1 AS (
+  SELECT sum(CASE WHEN padj1 <= 0.05 / (1.0 + 0.05) THEN 1 ELSE 0 END) AS r1,
+         count(*) AS m
+  FROM bh)
+SELECT b.event_id,
+       round(least(b.padj1 * ((1.0 + 0.05)
+             * (CASE WHEN s.r1 > 0 AND s.r1 < s.m THEN s.m - s.r1 ELSE s.m END)
+             / s.m), 1.0), 6) AS padj,
+       least(b.padj1 * ((1.0 + 0.05)
+             * (CASE WHEN s.r1 > 0 AND s.r1 < s.m THEN s.m - s.r1 ELSE s.m END)
+             / s.m), 1.0) <= 0.05 AS rejected
+FROM bh b CROSS JOIN stage1 s
+"""
+
+
+def q43_multi_correlation(spark, sf):
+    """J8/§2.11 multi-dataset correlation (run_multi_correlation,
+    reference analytics.py:1280): two 'omics' datasets derived from events
+    (per-user mean value per event_type, types split into two datasets),
+    joined on subject and correlated across every cross-dataset and
+    within-dataset feature pair. One shuffle on subject."""
+    e = _t(spark, sf, "events")
+    per_user = e.groupBy(
+        F.col("user_id").cast("string").alias("subject"),
+        F.col("event_type").alias("feature"),
+    ).agg(F.avg("value").alias("value"))
+    ds1 = per_user.where(F.col("feature") < F.lit("m"))
+    ds2 = per_user.where(F.col("feature") >= F.lit("m"))
+    from .operators.analytics import run_multi_correlation
+
+    out = run_multi_correlation({"ds1": ds1, "ds2": ds2}, min_n=3)
+    return out.select(
+        "fa", "fb", F.round("corr", 6).alias("corr"), F.col("n").cast("long").alias("n"))
+
+
+Q43_SQL = """
+WITH per_user AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject,
+         CASE WHEN event_type < 'm' THEN 'ds1:' || event_type
+              ELSE 'ds2:' || event_type END AS feature,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2)
+SELECT a.feature AS fa, b.feature AS fb,
+       round(corr(a.value, b.value), 6) AS corr, count(*) AS n
+FROM per_user a JOIN per_user b USING (subject)
+WHERE a.feature < b.feature
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+def q44_regulation_enrichment(spark, sf):
+    """§2.11 Fisher-exact regulation enrichment (run_regulation_enrichment,
+    reference analytics.py:2353): foreground = parts priced above 1500,
+    annotations = part brands, universe = all parts. Broadcast-scale
+    contingency counts + grouped-map Fisher + BH across annotations."""
+    p = _t(spark, sf, "part")
+    regulation = p.select(
+        F.col("p_partkey").cast("string").alias("feature"),
+        (F.col("p_retailprice") > 1500.0).alias("rejected"),
+    )
+    annotations = p.select(
+        F.col("p_partkey").cast("string").alias("feature"),
+        F.col("p_brand").alias("annotation"),
+    )
+    from .operators.analytics import run_regulation_enrichment
+
+    out = run_regulation_enrichment(regulation, annotations)
+    return out.select(
+        "annotation", F.col("hits").cast("long").alias("hits"),
+        F.col("ann_size").cast("long").alias("ann_size"),
+        F.round("pvalue", 6).alias("pvalue"), F.round("padj", 6).alias("padj"),
+    )
+
+
+# Fisher one-sided (greater) tail via lgamma log-binomials; BH across the
+# annotation rows mirrors Q38's window form (annotation-dictionary scale).
+Q44_SQL = """
+WITH uni AS (SELECT count(*) AS nu, sum(CASE WHEN p_retailprice > 1500.0 THEN 1 ELSE 0 END) AS nh
+             FROM part),
+per_ann AS (
+  SELECT p_brand AS annotation,
+         sum(CASE WHEN p_retailprice > 1500.0 THEN 1 ELSE 0 END) AS a,
+         count(*) AS ann_size
+  FROM part GROUP BY 1),
+nums AS (
+  SELECT unnest(generate_series(0,
+      (SELECT CAST(max(ann_size) AS INT) FROM per_ann))) AS k),
+fisher AS (
+  SELECT pa.annotation, pa.a AS hits, pa.ann_size,
+         least(sum(exp(
+              (lgamma(u.nh + 1.0) - lgamma(g.k + 1.0) - lgamma(u.nh - g.k + 1.0))
+            + (lgamma(u.nu - u.nh + 1.0) - lgamma(pa.ann_size - g.k + 1.0)
+               - lgamma(u.nu - u.nh - pa.ann_size + g.k + 1.0))
+            - (lgamma(u.nu + 1.0) - lgamma(pa.ann_size + 1.0)
+               - lgamma(u.nu - pa.ann_size + 1.0)))), 1.0) AS pvalue
+  FROM per_ann pa CROSS JOIN uni u
+  JOIN nums g ON g.k >= pa.a AND g.k <= least(u.nh, pa.ann_size)
+  GROUP BY pa.annotation, pa.a, pa.ann_size),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY pvalue, annotation) AS rnk,
+         count(*) OVER () AS m
+  FROM fisher)
+SELECT annotation, hits, ann_size, round(pvalue, 6) AS pvalue,
+       round(least(min(pvalue * m / rnk) OVER (ORDER BY pvalue DESC, annotation DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) AS padj
+FROM ranked
+"""
+
+
+QUERIES.update({
+    "q42_twostage_fdr": (q42_twostage_fdr, Q42_SQL),
+    "q43_multi_correlation": (q43_multi_correlation, Q43_SQL),
+    "q44_regulation_enrichment": (q44_regulation_enrichment, Q44_SQL),
+})

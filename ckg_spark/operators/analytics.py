@@ -282,6 +282,146 @@ def bh_correction(results: DataFrame, pvalue_col: str = "pvalue",
     )
 
 
+def with_global_cumsum(df: DataFrame, sort_cols: list, value_col: str,
+                       out_name: str = "_csum") -> DataFrame:
+    """Scale-safe global running sum of ``value_col`` in ``sort_cols`` order.
+
+    Same two-pass shape as ``with_global_rank``: range-repartition on the
+    sort key, per-partition prefix-sum window (parallel), then add broadcast
+    per-partition totals of all earlier partitions (driver-scale offsets).
+    ``sort_cols`` must be a deterministic total order.
+    """
+    rp = df.repartitionByRange(*sort_cols).withColumn("_pid", F.spark_partition_id())
+    w = (Window.partitionBy("_pid").orderBy(*sort_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = rp.withColumn("_lsum", F.sum(value_col).over(w))
+    totals = sorted(
+        ((r["_pid"], r["t"]) for r in
+         local.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()),
+    )
+    offs, acc = [], 0
+    for pid, t in totals:
+        offs.append((pid, float(acc)))
+        acc += t or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offs or [(0, 0.0)], "_pid int, _off double")
+    return (
+        local.join(F.broadcast(off_df), on="_pid", how="inner")
+        .withColumn(out_name, F.col("_lsum") + F.col("_off"))
+        .drop("_pid", "_lsum", "_off")
+    )
+
+
+def twostage_fdr_correction(results: DataFrame, pvalue_col: str = "pvalue",
+                            alpha: float = 0.05, method: str = "bky",
+                            tiebreak: list | None = None) -> DataFrame:
+    """Two-stage linear step-up FDR (Benjamini-Krieger-Yekutieli 2006;
+    reference apply_pvalue_twostage_fdrcorrection, analytics.py:1136, via
+    statsmodels fdrcorrection_twostage with one refinement iteration).
+
+    Because BH-adjusted p-values do not depend on alpha, a single
+    ``bh_correction`` pass suffices: stage 1 counts rejections at
+    alpha' = alpha/(1+alpha) ('bky') or alpha ('bh') to estimate the number
+    of true nulls m0 = m - r1, then the final padj is the BH padj scaled by
+    fact * m0/m (fact = 1+alpha for 'bky'). rejected <=> padj <= alpha, which
+    reproduces statsmodels' stage-2 threshold alpha* = alpha' * m/m0 exactly.
+    Fully distributed: the only driver values are two scalar counts.
+    """
+    fact = (1.0 + alpha) if method == "bky" else 1.0
+    alpha_prime = alpha / fact
+    bh = bh_correction(results, pvalue_col, alpha=alpha_prime, tiebreak=tiebreak)
+    agg = bh.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("padj") <= alpha_prime, 1).otherwise(0)).alias("r1"),
+    ).collect()[0]
+    m, r1 = agg["m"], int(agg["r1"] or 0)
+    m0 = (m - r1) if 0 < r1 < m else m
+    scale = fact * m0 / m if m else 1.0
+    return (
+        bh.withColumn("padj", F.least(F.col("padj") * scale, F.lit(1.0)))
+          .withColumn("rejected", F.col("padj") <= alpha)
+    )
+
+
+def permutation_fdr(df: DataFrame, alpha: float = 0.05,
+                    permutations: int = 50, seed: int = 0) -> DataFrame:
+    """Permutation-based FDR over per-feature one-way ANOVA p-values
+    (reference apply_pvalue_permutation_fdrcorrection, analytics.py:1155 +
+    get_counts_permutation_fdr:1199).
+
+    Input: the long table (group, subject, feature, value). The reference
+    shuffles the sample index of the wide matrix ``permutations`` times and
+    recomputes every per-feature ANOVA p-value on each shuffle; the q-value
+    of an observed p is  a / b / n_perms  with a = #{rand p <= p} (+1e-13)
+    and b = #{observed p <= p}.
+
+    Spark-first plan:
+      * the permuted group assignment is a (perm, subject) -> group table —
+        sample-dictionary scale (subjects x permutations), built with a
+        seeded numpy RNG on the driver and broadcast-joined onto the long
+        table; the data-scale work (values x permutations) stays distributed.
+      * per-(perm, feature) ANOVA reuses the grouped-map Arrow UDF pattern —
+        embarrassingly parallel, no per-row Python.
+      * the a/b counts are cumulative tallies over the union of rand and
+        observed p-values: aggregate counts per distinct p-value, global
+        running sums via ``with_global_cumsum`` (no empty-PARTITION-BY
+        window), then join back to observed features.
+    Deterministic for a given seed (each permutation uses np.default_rng
+    (seed, i)).
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    subj_groups = sorted(
+        (r["subject"], r["group"])
+        for r in df.select("subject", "group").distinct().collect()
+    )
+    subjects = [s for s, _ in subj_groups]
+    groups = [g for _, g in subj_groups]
+    rows = []
+    for p in range(permutations):
+        rng = np.random.default_rng((seed, p))
+        perm = rng.permutation(len(groups))
+        rows.extend((p, subjects[i], groups[perm[i]]) for i in range(len(groups)))
+    perm_df = spark.createDataFrame(rows, "perm int, subject string, pgroup string")
+
+    permuted = (
+        df.join(F.broadcast(perm_df), on="subject", how="inner")
+          .select(F.col("perm"), F.col("pgroup").alias("group"),
+                  F.col("feature"), F.col("value"))
+    )
+
+    def per_perm_feature(pdf: pd.DataFrame) -> pd.DataFrame:
+        gs = [g["value"].to_numpy(dtype=float) for _, g in pdf.groupby("group")]
+        _, _, _, p = ST.anova_oneway(gs)
+        return pd.DataFrame({"pvalue": [p]})
+
+    rand_p = permuted.groupBy("perm", "feature").applyInPandas(
+        per_perm_feature, schema="pvalue double"
+    ).where(F.col("pvalue").isNotNull())
+
+    observed = run_anova(df).select("feature", "pvalue").where(
+        F.col("pvalue").isNotNull())
+
+    # counts per distinct p-value, then global prefix sums over the union
+    rc = rand_p.groupBy("pvalue").agg(F.count(F.lit(1)).cast("double").alias("n_rand"))
+    oc = observed.groupBy("pvalue").agg(F.count(F.lit(1)).cast("double").alias("n_obs"))
+    merged = (rc.join(oc, on="pvalue", how="full")
+                .fillna(0.0, subset=["n_rand", "n_obs"]))
+    cum = with_global_cumsum(merged, [F.col("pvalue").asc()], "n_rand", "_cum_rand")
+    cum = with_global_cumsum(cum, [F.col("pvalue").asc()], "n_obs", "_cum_obs")
+    return (
+        observed.join(cum.select("pvalue", "_cum_rand", "_cum_obs"), on="pvalue")
+        .withColumn(
+            "padj",
+            (F.col("_cum_rand") + F.lit(1e-13))
+            / F.col("_cum_obs") / F.lit(float(permutations)),
+        )
+        .withColumn("rejected", F.col("padj") <= alpha)
+        .select("feature", "pvalue", "padj", "rejected")
+    )
+
+
 # -- enrichment (analytics.py:2353-2445) --------------------------------------
 
 def run_enrichment(hits: DataFrame, annotations: DataFrame,

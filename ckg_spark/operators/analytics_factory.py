@@ -45,6 +45,8 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
     "fold_change": lambda df, **kw: A.fold_change(df, **kw),
     # correction / enrichment / correlation
     "pvalue_correction_bh": lambda df, **kw: A.bh_correction(df, **kw),
+    "pvalue_correction_twostage": lambda df, **kw: A.twostage_fdr_correction(df, **kw),
+    "pvalue_correction_permutation": lambda df, **kw: A.permutation_fdr(df, **kw),
     "regulation_enrichment": lambda reg, annotations=None, **kw: (
         A.run_regulation_enrichment(reg, annotations, **kw)),
     "up_down_regulation_enrichment": lambda reg, annotations=None, **kw: (

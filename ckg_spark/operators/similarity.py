@@ -19,6 +19,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -211,6 +213,132 @@ def ann_topk(spark, index_dir: str, query: list[float], k: int = 10,
     probes = _probe_sigs(qsig, m["n_planes"], multiprobe_hamming)
     idx = LIN.read_stage(spark, index_dir, "ann_sigs")
     cands = idx.where(F.col("sig").isin(probes))  # partition pruning
+    return cosine_topk(
+        cands.select(F.col("id").alias(m["id_col"]),
+                     F.col("v").alias(m["vec_col"])),
+        query, k=k, id_col=m["id_col"], vec_col=m["vec_col"],
+    )
+
+
+# -- IVF (inverted-file) ANN ----------------------------------------------------
+
+def _ivf_assign_udf(centroids):
+    """Vectorized nearest-centroid assignment (Arrow-batched pandas UDF —
+    one numpy matmul per batch, no per-row Python). ``centroids`` is a
+    driver-scale (n_clusters x dim) list-of-lists, closed over and shipped
+    once per executor."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)          # (k, dim)
+    half_norms = 0.5 * (C * C).sum(axis=1)               # (k,)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy())                     # (batch, dim)
+        # argmin ||v-c||^2 == argmax v.c - ||c||^2/2
+        scores = V.astype(np.float64) @ C.T - half_norms
+        return pd.Series(scores.argmax(axis=1).astype("int32"))
+
+    return assign
+
+
+def ivf_train(df: DataFrame, n_clusters: int = 16, iters: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              seed: int = 7) -> list[list[float]]:
+    """Distributed Lloyd k-means over the embedding column (the IVF coarse
+    quantizer). Init picks the ``n_clusters`` vectors with the smallest
+    xxhash64(id, seed) — deterministic, no data-order dependence. Each
+    iteration is one vectorized assignment (pandas UDF) plus one JVM
+    aggregation: posexplode the vector and average per (cluster, position) —
+    map-side combine, no skew (cluster count is tiny), centroids collected
+    to the driver are (n_clusters x dim) scalars.
+    """
+    sample = (
+        df.select(F.col(vec_col).alias("v"),
+                  F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"))
+        .orderBy("h").limit(max(50 * n_clusters, n_clusters)).collect()
+    )
+    S = np.asarray([[float(x) for x in r["v"]] for r in sample])
+    # farthest-point init on the driver sample: deterministic, spreads seeds
+    # across well-separated regions (avoids two seeds in one cluster)
+    chosen = [0]
+    d2 = ((S - S[0]) ** 2).sum(axis=1)
+    while len(chosen) < min(n_clusters, len(S)):
+        nxt = int(d2.argmax())
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((S - S[nxt]) ** 2).sum(axis=1))
+    centroids = [S[i].tolist() for i in chosen]
+    while len(centroids) < n_clusters:  # degenerate tiny inputs
+        centroids.append(centroids[0])
+    for _ in range(iters):
+        assign = _ivf_assign_udf(centroids)
+        assigned = df.select(F.col(vec_col).alias("v"),
+                             assign(F.col(vec_col)).alias("c"))
+        means = (
+            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["c"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [by_c[c][p] for p in sorted(by_c[c])] if c in by_c else centroids[c]
+            for c in range(n_clusters)
+        ]
+    return centroids
+
+
+def build_ivf_index(df: DataFrame, index_dir: str, n_clusters: int = 16,
+                    iters: int = 5, id_col: str = "vec_id",
+                    vec_col: str = "embedding", seed: int = 7) -> str:
+    """Materialize an IVF index: train the coarse quantizer, assign every
+    vector, write (cluster, id, vector) PARTITIONED BY cluster through
+    lineage.write_stage (resumable + per-partition metrics), and persist the
+    centroids in the manifest. Queries scan only the ``n_probe`` partitions
+    whose centroids are nearest the query — the IVF analog of the LSH
+    index's signature pruning."""
+    import json
+    import os
+
+    from ..plans import lineage as LIN
+
+    centroids = ivf_train(df, n_clusters, iters, id_col, vec_col, seed)
+    assign = _ivf_assign_udf(centroids)
+    rows = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+    run_id = LIN.new_run_id()
+    LIN.write_stage(rows, index_dir, "ivf_rows", run_id, partition_by=["cluster"])
+    manifest = {"n_clusters": n_clusters, "seed": seed, "iters": iters,
+                "id_col": id_col, "vec_col": vec_col, "centroids": centroids}
+    with open(os.path.join(index_dir, "ivf_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return index_dir
+
+
+def ivf_topk(spark, index_dir: str, query: list[float], k: int = 10,
+             n_probe: int = 2) -> DataFrame:
+    """Approximate top-k over a persisted IVF index: rank centroids by
+    distance to the query on the driver (n_clusters scalars), read ONLY the
+    ``n_probe`` nearest cluster partitions (partition-pruned scan), exact
+    cosine rerank inside them."""
+    import json
+    import os
+
+    import numpy as np
+
+    from ..plans import lineage as LIN
+
+    with open(os.path.join(index_dir, "ivf_manifest.json")) as f:
+        m = json.load(f)
+    C = np.asarray(m["centroids"], dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((C - q) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[:n_probe]]
+    idx = LIN.read_stage(spark, index_dir, "ivf_rows")
+    cands = idx.where(F.col("cluster").isin(probes))  # partition pruning
     return cosine_topk(
         cands.select(F.col("id").alias(m["id_col"]),
                      F.col("v").alias(m["vec_col"])),

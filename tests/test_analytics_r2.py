@@ -306,3 +306,123 @@ def test_analytics_factory_new_entries(spark):
                  "thsd", "up_down_regulation_enrichment",
                  "site_regulation_enrichment", "multi_correlation"):
         assert name in AF.available()
+
+
+# ---------------------------------------------------------------------------
+# two-stage (BKY) FDR vs an independent numpy rendition of the published
+# two-stage linear step-up procedure (Benjamini-Krieger-Yekutieli 2006)
+# ---------------------------------------------------------------------------
+
+def _bh_padj_np(p):
+    n = len(p)
+    order = np.argsort(p)
+    ranked = p[order] * n / np.arange(1, n + 1)
+    ranked = np.minimum.accumulate(ranked[::-1])[::-1]
+    out = np.empty(n)
+    out[order] = np.minimum(ranked, 1.0)
+    return out
+
+
+def _twostage_np(p, alpha=0.05, method="bky"):
+    fact = 1.0 + alpha if method == "bky" else 1.0
+    ap = alpha / fact
+    padj1 = _bh_padj_np(p)
+    r1 = int((padj1 <= ap).sum())
+    m = len(p)
+    m0 = (m - r1) if 0 < r1 < m else m
+    padj = np.minimum(padj1 * fact * m0 / m, 1.0)
+    return padj, padj <= alpha
+
+
+@pytest.mark.parametrize("method", ["bky", "bh"])
+def test_twostage_fdr_matches_numpy(spark, method):
+    rng = np.random.RandomState(7)
+    # mix of strong signal and uniform nulls so stage 1 rejects some
+    p = np.concatenate([rng.uniform(1e-6, 1e-3, 12), rng.uniform(0, 1, 88)])
+    df = spark.createDataFrame(
+        [(f"f{i}", float(v)) for i, v in enumerate(p)], "feature string, pvalue double")
+    out = {r["feature"]: r for r in
+           A.twostage_fdr_correction(df, method=method, tiebreak=["feature"]).collect()}
+    exp_padj, exp_rej = _twostage_np(p, method=method)
+    for i in range(len(p)):
+        r = out[f"f{i}"]
+        assert abs(r["padj"] - exp_padj[i]) < 1e-9, (i, r["padj"], exp_padj[i])
+        assert r["rejected"] == bool(exp_rej[i])
+
+
+def test_twostage_fdr_no_rejections_edge(spark):
+    # all-null p-values: r1 == 0 path (padj = BH padj * fact, capped at 1)
+    p = np.linspace(0.5, 0.99, 20)
+    df = spark.createDataFrame(
+        [(f"f{i}", float(v)) for i, v in enumerate(p)], "feature string, pvalue double")
+    out = A.twostage_fdr_correction(df, tiebreak=["feature"]).collect()
+    exp_padj, _ = _twostage_np(p)
+    got = {r["feature"]: r["padj"] for r in out}
+    for i in range(len(p)):
+        assert abs(got[f"f{i}"] - exp_padj[i]) < 1e-9
+    assert not any(r["rejected"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# permutation FDR: q-value formula recomputed from the operator's own
+# permutation pool via independent numpy counting; determinism; signal sanity
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def perm_long_df(spark):
+    rng = np.random.RandomState(42)
+    rows = []
+    for gi, g in enumerate(["a", "b", "c"]):
+        for si in range(6):
+            subj = f"{g}{si}"
+            for fi in range(12):
+                # features f0/f1 carry real group signal, rest are null
+                mu = gi * 3.0 if fi < 2 else 5.0
+                rows.append((g, subj, f"f{fi:02d}", float(rng.normal(mu, 1.0))))
+    return spark.createDataFrame(
+        rows, "group string, subject string, feature string, value double")
+
+
+def test_permutation_fdr_formula_vs_numpy(spark, perm_long_df):
+    n_perm = 8
+    out = A.permutation_fdr(perm_long_df, permutations=n_perm, seed=1).toPandas()
+    # rebuild the rand p-value pool exactly as the operator defines it
+    pdf = perm_long_df.toPandas()
+    subj_groups = sorted(set(zip(pdf["subject"], pdf["group"])))
+    subjects = [s for s, _ in subj_groups]
+    groups = [g for _, g in subj_groups]
+    rand_pool = []
+    for pi in range(n_perm):
+        prng = np.random.default_rng((1, pi))
+        perm = prng.permutation(len(groups))
+        gmap = {subjects[i]: groups[perm[i]] for i in range(len(subjects))}
+        shuffled = pdf.assign(group=pdf["subject"].map(gmap))
+        for _, fgrp in shuffled.groupby("feature"):
+            gs = [g["value"].to_numpy(float) for _, g in fgrp.groupby("group")]
+            rand_pool.append(ST.anova_oneway(gs)[3])
+    rand_pool = np.array([p for p in rand_pool if not np.isnan(p)])
+    obs = out.set_index("feature")["pvalue"]
+    for feat, p in obs.items():
+        a = (rand_pool <= p).sum() + 1e-13
+        b = (obs <= p).sum()
+        q = a / b / n_perm
+        got = float(out.set_index("feature").loc[feat, "padj"])
+        assert abs(got - q) < 1e-9, (feat, got, q)
+
+
+def test_permutation_fdr_deterministic_and_signal(spark, perm_long_df):
+    o1 = A.permutation_fdr(perm_long_df, permutations=6, seed=3).toPandas() \
+        .sort_values("feature").reset_index(drop=True)
+    o2 = A.permutation_fdr(perm_long_df, permutations=6, seed=3).toPandas() \
+        .sort_values("feature").reset_index(drop=True)
+    pd.testing.assert_frame_equal(o1, o2)
+    byf = o1.set_index("feature")
+    # the two signal features must get the smallest q-values
+    assert set(byf["padj"].nsmallest(2).index) == {"f00", "f01"}
+    assert bool(byf.loc["f00", "rejected"]) and bool(byf.loc["f01", "rejected"])
+
+
+def test_factory_fdr_entries(spark):
+    from ckg_spark.operators import analytics_factory as AF
+    assert "pvalue_correction_twostage" in AF.available()
+    assert "pvalue_correction_permutation" in AF.available()

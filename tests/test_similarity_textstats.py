@@ -161,3 +161,57 @@ def test_lang_best_script_ranges(spark):
     got = {r["id"]: r["lang"] for r in
            df.select("id", TS.lang_best(F.col("text")).alias("lang")).collect()}
     assert got == {1: "en", 2: "zh", 3: "ja", 4: "ko", 5: "ru", 6: "ar", 7: "und"}
+
+
+# -- IVF ANN ---------------------------------------------------------------
+
+def _clustered_vectors(spark, n_per=40, dim=8, seed=5):
+    """Vectors around 4 well-separated anchors (ground-truth clusters)."""
+    rng = random.Random(seed)
+    anchors = [[10.0 if i == a else 0.0 for i in range(dim)] for a in range(4)]
+    rows = []
+    vid = 0
+    for a in anchors:
+        for _ in range(n_per):
+            rows.append((vid, [x + rng.gauss(0, 0.3) for x in a]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), rows
+
+
+def test_ivf_train_finds_separated_clusters(spark):
+    df, rows = _clustered_vectors(spark)
+    cents = S.ivf_train(df, n_clusters=4, iters=4)
+    # every centroid should sit near exactly one anchor axis
+    hot_axes = sorted(int(np.argmax(c)) for c in cents)
+    assert hot_axes == [0, 1, 2, 3]
+    for c in cents:
+        assert abs(max(c) - 10.0) < 0.5
+
+
+def test_ivf_topk_matches_bruteforce_on_probed_cluster(spark, tmp_path):
+    df, rows = _clustered_vectors(spark)
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(df, idx, n_clusters=4, iters=4)
+    q = rows[10][1]  # a cluster-0 member
+    got = S.ivf_topk(spark, idx, q, k=5, n_probe=1).toPandas()
+    exp = S.cosine_topk(df, q, k=5).toPandas()
+    # with well-separated clusters, probing 1 cluster recovers the exact top-k
+    assert list(got["vec_id"]) == list(exp["vec_id"])
+    np.testing.assert_allclose(got["cosine"], exp["cosine"], atol=1e-9)
+
+
+def test_ivf_topk_partition_pruned(spark, tmp_path):
+    df, _ = _clustered_vectors(spark)
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(df, idx, n_clusters=4, iters=3)
+    q = [10.0] + [0.0] * 7
+    plan = S.ivf_topk(spark, idx, q, k=3, n_probe=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+
+def test_ivf_train_deterministic(spark):
+    df, _ = _clustered_vectors(spark)
+    c1 = S.ivf_train(df, n_clusters=4, iters=3, seed=7)
+    c2 = S.ivf_train(df, n_clusters=4, iters=3, seed=7)
+    assert c1 == c2
