@@ -76,9 +76,15 @@ def run_kg_pipeline(spark, vocab, transcripts_path: str,
     # two aggregations read (conv/turn/canonical/type) — pos, n_words,
     # alias_lc, ident, rank would be dead weight in the cache and in both
     # cache re-reads (~40% of the bytes).
+    # repartition the slim stream on (conv_id, turn_idx) BEFORE caching:
+    # mention_edges and comention_edges both group on key supersets of
+    # (conv_id, turn_idx), so the cached hashpartitioning satisfies both
+    # aggregations' required distribution — two downstream exchanges of the
+    # full mention stream become zero (one exchange here at cache build).
     linked = (
         M.canonicalize_linked(linked, canonical)
         .select("conv_id", "turn_idx", "canonical_id", "entity_type")
+        .repartition(partitions or 2 * cpus, "conv_id", "turn_idx")
         .persist()
     )
     edges = M.mention_edges(linked).unionByName(M.comention_edges(linked))

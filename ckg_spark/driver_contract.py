@@ -1187,8 +1187,34 @@ FROM ranked
 """
 
 
+def q45_ivf_topk(spark, sf):
+    """IVF-ANN end-to-end (train -> cluster-partitioned index -> probe ->
+    exact rerank) with n_probe = n_clusters, i.e. exhaustive probing: the
+    result must equal the brute-force cosine top-k, so the whole IVF path
+    (k-means assignment, index write, partition-pruned read, rerank) gets a
+    value-level DuckDB oracle. Real queries use n_probe << n_clusters."""
+    import hashlib
+    import tempfile
+    import os
+
+    from .operators import similarity as SIM2
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"ckg_ivf_idx_{tag}")
+    if not os.path.exists(os.path.join(idx, "ivf_manifest.json")):
+        SIM2.build_ivf_index(emb, idx, n_clusters=8, iters=3)
+    top = SIM2.ivf_topk(spark, idx, [float(x) for x in q], k=10, n_probe=8)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+Q45_SQL = Q29_SQL  # exhaustive-probe IVF == brute-force cosine top-k
+
+
 QUERIES.update({
     "q42_twostage_fdr": (q42_twostage_fdr, Q42_SQL),
     "q43_multi_correlation": (q43_multi_correlation, Q43_SQL),
     "q44_regulation_enrichment": (q44_regulation_enrichment, Q44_SQL),
+    "q45_ivf_topk": (q45_ivf_topk, Q45_SQL),
 })

@@ -106,6 +106,12 @@ def extract_mentions(
     if strategy == "lead" and not single_scan:
         return _extract_lead(toks, alias_grams, keys, ns)
 
+    if strategy == "slice" and not single_scan:
+        return _extract_slice(toks, alias_grams, keys, ns)
+
+    if strategy == "hash" and not single_scan:
+        return _extract_hash(toks, alias_grams, keys, ns)
+
     if single_scan:
         per_n_exprs = [
             (
@@ -162,6 +168,172 @@ def extract_mentions(
         F.col("pos").cast("int").alias("pos"),
         F.col("n_words").cast("int").alias("n_words"),
         F.col("gram").alias("alias_lc"),
+    )
+
+
+def _extract_slice(toks: DataFrame, alias_grams: DataFrame,
+                   keys: Sequence[str], ns: list[int]) -> DataFrame:
+    """'slice' strategy: like 'lead' but ZERO window — each exploded token
+    row carries its own following-token window via slice() on the per-turn
+    token array, so there is no partitionBy sort of the token stream at all
+    (the 'lead' form needs a within-partition sort of every token row; on a
+    bandwidth-bound box that sort is the scaling cap). Output is identical
+    to 'lead'/'union' (tests assert equality)."""
+    max_n = max(ns) if ns else 1
+    win_rows = toks.select(
+        *keys,
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 1 THEN "
+                "transform(sequence(1, size(toks)), "
+                f"i -> named_struct('pos', i-1, 'win', slice(toks, i, {max_n}))) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    ).select(*keys, F.col("g.pos").alias("pos"), F.col("g.win").alias("win")) \
+     .where(F.col("win")[0] != "")
+
+    uni = (
+        win_rows.select(*keys, "pos", F.col("win")[0].alias("w"))
+        .join(
+            F.broadcast(
+                alias_grams.where(F.col("n_words") == 1)
+                .select(F.col("gram").alias("w"), "n_words")
+            ),
+            on="w",
+        ).select(*keys, "pos", F.col("n_words").cast("int").alias("n_words"),
+                 F.col("w").alias("alias_lc"))
+        if 1 in ns
+        else None
+    )
+    multi_ns = [n for n in ns if n >= 2]
+    if not multi_ns:
+        return uni if uni is not None else win_rows.limit(0).select(
+            *keys, F.col("pos").cast("int").alias("pos"),
+            F.lit(0).alias("n_words"), F.col("win")[0].alias("alias_lc"))
+
+    first_words = (
+        alias_grams.where(F.col("n_words") >= 2)
+        .select(F.split("gram", " ")[0].alias("w"))
+        .distinct()
+    )
+    cand = win_rows.withColumn("w", F.col("win")[0]).join(
+        F.broadcast(first_words), on="w", how="left_semi")
+
+    gram_exprs = [
+        F.when(F.size("win") >= n, F.array_join(F.slice("win", 1, n), " "))
+        for n in multi_ns
+    ]
+    multi_grams = cand.select(
+        *keys, "pos", F.explode(F.array(*gram_exprs)).alias("gram")
+    ).where(F.col("gram").isNotNull())
+    multi = multi_grams.join(
+        F.broadcast(alias_grams.where(F.col("n_words") >= 2).select("gram", "n_words")),
+        on="gram",
+    ).select(*keys, "pos", F.col("n_words").cast("int").alias("n_words"),
+             F.col("gram").alias("alias_lc"))
+
+    out = multi if uni is None else uni.unionByName(multi)
+    return out.select(
+        *keys, F.col("pos").cast("int").alias("pos"),
+        F.col("n_words").cast("int").alias("n_words"), "alias_lc"
+    )
+
+
+def _extract_hash(toks: DataFrame, alias_grams: DataFrame,
+                  keys: Sequence[str], ns: list[int]) -> DataFrame:
+    """'hash' strategy: slice-windowed (zero sort, zero shuffle) AND
+    zero gram-string construction — multi-word candidates join on
+    (n_words, xxhash64(word_0..word_{n-1})) LONG keys instead of building a
+    concat'd gram string per candidate position. The matched surface form
+    is recovered from the broadcast side (exact dictionary match, so the
+    broadcast gram IS the surface text). Collision odds are
+    ~candidates x vocab / 2^64 — immaterial; the equality tests vs
+    'lead'/'union' would catch any.
+
+    Rationale: at 600k turns the 'lead'/'slice' forms allocate millions of
+    multi-gram strings only to hash-and-discard them in the broadcast probe;
+    on a memory-bandwidth-bound box those allocations are the scaling cap
+    (cf. BENCH.md round-1 analysis). Hashing the window words directly keeps
+    the hot path in fixed-width longs."""
+    max_n = max(ns) if ns else 1
+    win_rows = toks.select(
+        *keys,
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 1 THEN "
+                "transform(sequence(1, size(toks)), "
+                f"i -> named_struct('pos', i-1, 'win', slice(toks, i, {max_n}))) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    ).select(*keys, F.col("g.pos").alias("pos"), F.col("g.win").alias("win")) \
+     .where(F.col("win")[0] != "")
+
+    uni = (
+        win_rows.select(*keys, "pos", F.col("win")[0].alias("w"))
+        .join(
+            F.broadcast(
+                alias_grams.where(F.col("n_words") == 1)
+                .select(F.col("gram").alias("w"), "n_words")
+            ),
+            on="w",
+        ).select(*keys, "pos", F.col("n_words").cast("int").alias("n_words"),
+                 F.col("w").alias("alias_lc"))
+        if 1 in ns
+        else None
+    )
+    multi_ns = [n for n in ns if n >= 2]
+    if not multi_ns:
+        return uni if uni is not None else win_rows.limit(0).select(
+            *keys, F.col("pos").cast("int").alias("pos"),
+            F.lit(0).alias("n_words"), F.col("win")[0].alias("alias_lc"))
+
+    first_words = (
+        alias_grams.where(F.col("n_words") >= 2)
+        .select(F.split("gram", " ")[0].alias("w"))
+        .distinct()
+    )
+    cand = win_rows.withColumn("w", F.col("win")[0]).join(
+        F.broadcast(first_words), on="w", how="left_semi")
+
+    # candidate (n, hash-of-first-n-window-words) pairs — longs, no strings
+    hash_exprs = [
+        F.struct(
+            F.lit(n).alias("n"),
+            F.when(F.size("win") >= n,
+                   F.xxhash64(*[F.col("win")[i] for i in range(n)])).alias("h"),
+        )
+        for n in multi_ns
+    ]
+    cand_h = cand.select(
+        *keys, "pos", F.explode(F.array(*hash_exprs)).alias("g")
+    ).select(*keys, "pos", F.col("g.n").alias("_n"), F.col("g.h").alias("_h")) \
+     .where(F.col("_h").isNotNull())
+
+    # broadcast side: same hash over the alias's own words
+    words = F.split(F.col("gram"), " ")
+    rel = None
+    for n in multi_ns:
+        r = (
+            alias_grams.where(F.col("n_words") == n)
+            .select(
+                F.lit(n).alias("_n"),
+                F.xxhash64(*[words[i] for i in range(n)]).alias("_h"),
+                F.col("gram"), F.col("n_words"),
+            )
+        )
+        rel = r if rel is None else rel.unionByName(r)
+
+    multi = cand_h.join(F.broadcast(rel), on=["_n", "_h"], how="inner").select(
+        *keys, "pos", F.col("n_words").cast("int").alias("n_words"),
+        F.col("gram").alias("alias_lc"),
+    )
+
+    out = multi if uni is None else uni.unionByName(multi)
+    return out.select(
+        *keys, F.col("pos").cast("int").alias("pos"),
+        F.col("n_words").cast("int").alias("n_words"), "alias_lc"
     )
 
 

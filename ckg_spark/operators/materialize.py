@@ -37,18 +37,26 @@ def canonicalize_linked(linked: DataFrame, canonical: DataFrame) -> DataFrame:
 
 
 def mention_edges(linked_canon: DataFrame) -> DataFrame:
-    """(entity)-[MENTIONED_IN_TURN]->(turn), score = occurrences in the turn."""
+    """(entity)-[MENTIONED_IN_TURN]->(turn), score = occurrences in the turn.
+
+    Groups on the RAW (conv_id, turn_idx) columns — not the derived
+    turn_key() string — so an upstream hashpartitioning on (conv_id,
+    turn_idx) (bench/pipeline repartition) satisfies the aggregation's
+    required distribution and Catalyst elides the exchange entirely; the
+    turn-key string is assembled after the aggregation (injective for int
+    turn_idx, so the grouping is row-identical)."""
     return (
         linked_canon.groupBy(
             F.col("canonical_id").alias("subj"),
-            turn_key().alias("obj"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
             F.col("entity_type").alias("evidence_type"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("score"))
         .select(
             "subj",
             F.lit("MENTIONED_IN_TURN").alias("pred"),
-            "obj",
+            turn_key().alias("obj"),
             F.lit("tagger").alias("source"),
             "score",
             "evidence_type",
@@ -70,9 +78,9 @@ def comention_edges(linked_canon: DataFrame) -> DataFrame:
     stringParser.py:54-57).
     """
     sets = (
-        linked_canon.select(turn_key().alias("tk"), F.col("canonical_id").alias("e"))
-        .groupBy("tk")
-        .agg(F.sort_array(F.collect_set("e")).alias("es"))
+        linked_canon.select("conv_id", "turn_idx", F.col("canonical_id").alias("e"))
+        .groupBy("conv_id", "turn_idx")  # raw cols: upstream (conv,turn)
+        .agg(F.sort_array(F.collect_set("e")).alias("es"))  # partitioning reused
         .where(F.size("es") >= 2)
     )
     pairs = sets.select(

@@ -67,5 +67,9 @@ def test_strategies_all_agree(spark, vocab_tables, transcripts_df):
     lead = _sorted(X.extract_mentions(transcripts_df, grams, strategy="lead").toPandas())
     union = _sorted(X.extract_mentions(transcripts_df, grams, strategy="union").toPandas())
     single = _sorted(X.extract_mentions(transcripts_df, grams, single_scan=True).toPandas())
+    sliced = _sorted(X.extract_mentions(transcripts_df, grams, strategy="slice").toPandas())
+    hashed = _sorted(X.extract_mentions(transcripts_df, grams, strategy="hash").toPandas())
     pd.testing.assert_frame_equal(lead, union, check_dtype=False)
     pd.testing.assert_frame_equal(lead, single, check_dtype=False)
+    pd.testing.assert_frame_equal(lead, sliced, check_dtype=False)
+    pd.testing.assert_frame_equal(lead, hashed, check_dtype=False)
