@@ -162,10 +162,32 @@ def _scaling_child(cpus: int) -> dict:
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     spark = get_spark(f"bench_scaling_{cpus}", cpus=cpus,
                       shuffle_partitions=max(8, 2 * cpus))
+    t_jvm0 = _jvm_cpu_sec(spark)
     out = run_kg_pipeline(spark, vocab, tpath)
     out["cpus"] = cpus
+    # CPU-seconds burned by the JVM during the pipeline window: utilization
+    # + CPU-time inflation evidence for the scaling table (the same logical
+    # work should cost the same CPU-seconds at every level; the excess at
+    # higher thread counts is memory-stall time -> bandwidth attribution)
+    t_jvm1 = _jvm_cpu_sec(spark)
     spark.stop()
+    if t_jvm0 is not None and t_jvm1 is not None:
+        out["jvm_cpu_sec"] = round(t_jvm1 - t_jvm0, 1)
+        out["cpu_util_of_cores"] = round(
+            (t_jvm1 - t_jvm0) / out["kg_sec"] / cpus, 2)
     return out
+
+
+def _jvm_cpu_sec(spark) -> float | None:
+    """utime+stime of the py4j JVM process (all threads), from /proc."""
+    try:
+        pid = spark.sparkContext._gateway.proc.pid
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().split()
+        tck = os.sysconf("SC_CLK_TCK")
+        return (int(parts[13]) + int(parts[14])) / tck
+    except Exception:
+        return None
 
 
 def run_scaling(levels=(2, 8), trials: int = 3) -> dict:

@@ -1,0 +1,130 @@
+"""Event-time windowed aggregation + applyInPandasWithState stateful op."""
+
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ckg_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+from ckg_spark.streaming.stateful import (
+    first_mentions_stateful,
+    linked_mention_stream,
+    windowed_mention_counts,
+)
+
+
+def _write_ordered(dirname: str, frames: list[pd.DataFrame]) -> None:
+    """Write one parquet per frame with strictly increasing mtimes so the
+    file stream processes them as ordered micro-batches."""
+    os.makedirs(dirname, exist_ok=True)
+    base = time.time() - 1000
+    for i, f in enumerate(frames):
+        p = f"{dirname}/part{i}.parquet"
+        f.to_parquet(p, index=False)
+        os.utime(p, (base + i, base + i))
+
+
+def _stream(spark, in_dir):
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+
+def test_windowed_counts_match_batch(spark, vocab_tables, transcripts_pdf, tmp_path):
+    in_dir = str(tmp_path / "in")
+    half = len(transcripts_pdf) // 2
+    _write_ordered(in_dir, [transcripts_pdf.iloc[:half], transcripts_pdf.iloc[half:]])
+
+    out = windowed_mention_counts(_stream(spark, in_dir), vocab_tables,
+                                  window_duration="10 minutes",
+                                  watermark_delay="10 days")  # nothing late
+    q = (out.writeStream.format("memory").queryName("wincounts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.sql(
+        "SELECT window.start AS ws, ident, entity_type, n FROM wincounts"
+    ).toPandas()
+
+    batch_turns = spark.createDataFrame(transcripts_pdf, TRANSCRIPT_SCHEMA)
+    exp = (
+        linked_mention_stream(batch_turns, vocab_tables)
+        .groupBy(F.window("ts", "10 minutes"), "ident", "entity_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "ident", "entity_type", "n")
+        .toPandas()
+    )
+    key = ["ws", "ident", "entity_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+    assert len(got_s) > 0
+
+
+def test_windowed_counts_drop_late_rows(spark, vocab_tables, transcripts_pdf, tmp_path):
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # batch 2: one conversation re-sent with event time far in the past —
+    # beyond the watermark established by batch 1, so it must be dropped.
+    # Batches are driven explicitly (write -> processAllAvailable) because
+    # availableNow may consolidate files into one micro-batch, in which case
+    # no watermark exists yet to drop against.
+    late = transcripts_pdf.iloc[:4].copy()
+    late["ts"] = (late["ts"] - pd.Timedelta(days=365)).astype(
+        transcripts_pdf["ts"].dtype)
+
+    out = windowed_mention_counts(_stream(spark, in_dir), vocab_tables,
+                                  window_duration="10 minutes",
+                                  watermark_delay="1 minute")
+    # update mode: the watermark filters late input rows and evicts state
+    # (complete mode keeps all state and never drops late data)
+    q = (out.writeStream.format("memory").queryName("latecounts")
+         .outputMode("update").trigger(processingTime="500 milliseconds")
+         .start())
+    try:
+        transcripts_pdf.to_parquet(f"{in_dir}/part0.parquet", index=False)
+        q.processAllAvailable()
+        late.to_parquet(f"{in_dir}/part1.parquet", index=False)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT window.start AS ws FROM latecounts").toPandas()
+    assert len(got) > 0
+    min_expected = transcripts_pdf["ts"].min() - pd.Timedelta(minutes=10)
+    assert (got["ws"] >= min_expected).all(), "late rows leaked into the aggregation"
+
+
+def test_first_mentions_stateful_dedups_across_batches(
+    spark, vocab_tables, transcripts_pdf, tmp_path
+):
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # send the SAME turns twice as two explicit micro-batches: the second
+    # must emit nothing new (every (conv, entity) already in state)
+    out = first_mentions_stateful(_stream(spark, in_dir), vocab_tables)
+    q = (out.writeStream.format("memory").queryName("firstm")
+         .outputMode("update").trigger(processingTime="500 milliseconds")
+         .start())
+    try:
+        transcripts_pdf.to_parquet(f"{in_dir}/part0.parquet", index=False)
+        q.processAllAvailable()
+        transcripts_pdf.to_parquet(f"{in_dir}/part1.parquet", index=False)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT conv_id, ident FROM firstm").toPandas()
+    assert len(got) > 0
+    # one first-mention event per (conv, entity), despite duplicate batches
+    assert not got.duplicated(["conv_id", "ident"]).any()
+
+    # ground truth: distinct (conv, ident) pairs from the batch path
+    batch_turns = spark.createDataFrame(transcripts_pdf, TRANSCRIPT_SCHEMA)
+    exp = (
+        linked_mention_stream(batch_turns, vocab_tables)
+        .select("conv_id", "ident").distinct().toPandas()
+    )
+    assert set(map(tuple, got[["conv_id", "ident"]].values)) == \
+        set(map(tuple, exp[["conv_id", "ident"]].values))
