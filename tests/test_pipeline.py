@@ -138,3 +138,40 @@ def test_fused_turn_edges_equals_legacy(spark, transcripts_df, vocab_tables):
     f_rows = sorted(map(tuple, fused.collect()))
     lc.unpersist()
     assert len(l_rows) == len(f_rows) and l_rows == f_rows
+
+
+def test_edge_agg_exchange_elision(spark):
+    """Regression guard for the round-2 plan change: when the slim linked
+    stream is hash-partitioned on (conv_id, turn_idx), neither edge
+    aggregation may introduce an exchange of the mention stream — only
+    comention's tiny (subj, obj) pair-count shuffle is allowed."""
+    from ckg_spark.operators import materialize as M
+
+    rows = [("c%d" % (i % 7), i % 5, "E%d" % (i % 11), "Disease")
+            for i in range(200)]
+    slim = (
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, canonical_id string, entity_type string")
+        .repartition(4, "conv_id", "turn_idx")
+        .persist()
+    )
+    slim.count()
+    try:
+        import re
+
+        def agg_exchanges(plan: str) -> list:
+            # ENSURE_REQUIREMENTS exchanges are ones an operator demanded;
+            # the fixture's own REPARTITION_BY_NUM layout pass is expected
+            return re.findall(
+                r"Exchange hashpartitioning\(([^)]*)\), ENSURE_REQUIREMENTS", plan)
+
+        me_plan = M.mention_edges(slim)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert agg_exchanges(me_plan) == [], me_plan
+        co_plan = M.comention_edges(slim)._jdf.queryExecution() \
+            .executedPlan().toString()
+        co_ex = agg_exchanges(co_plan)
+        # collect_set reuses (conv,turn); only the pair-count shuffle remains
+        assert len(co_ex) == 1 and co_ex[0].startswith("subj"), co_ex
+    finally:
+        slim.unpersist()
