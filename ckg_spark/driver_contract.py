@@ -1212,9 +1212,56 @@ def q45_ivf_topk(spark, sf):
 Q45_SQL = Q29_SQL  # exhaustive-probe IVF == brute-force cosine top-k
 
 
+def q46_kaplan_meier(spark, sf):
+    """§2.11 survival: Kaplan-Meier product-limit curves per event_type
+    (run_km analog, kaplan_meierAnalysis.py:3080) over a deterministic
+    duration/censor derivation of the events table. Windows are partitioned
+    by group; the windowed table is the (group x distinct-time) aggregate."""
+    e = _t(spark, sf, "events")
+    surv = e.select(
+        F.col("event_type").alias("group"),
+        (F.col("event_id") % 50 + 1).cast("int").alias("duration"),
+        (F.col("event_id") % 4 != 0).cast("int").alias("event"),
+    )
+    from .operators.analytics import run_kaplan_meier
+
+    km = run_kaplan_meier(surv)
+    return km.select(
+        F.col("group").alias("event_type"), "duration",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.round("survival", 6).alias("survival"),
+    )
+
+
+Q46_SQL = """
+WITH base AS (
+  SELECT event_type AS grp, CAST(event_id % 50 + 1 AS INT) AS t,
+         CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END AS ev
+  FROM events),
+per_t AS (SELECT grp, t, sum(ev) AS d, count(*) AS c FROM base GROUP BY 1, 2),
+tot AS (SELECT grp, count(*) AS n_g FROM base GROUP BY 1),
+r AS (
+  SELECT p.grp, p.t, p.d, p.c,
+         n_g - coalesce(sum(p.c) OVER (PARTITION BY p.grp ORDER BY p.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM per_t p JOIN tot USING (grp))
+SELECT grp AS event_type, t AS duration, n_at_risk, d,
+       round(CASE WHEN max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+                  OVER w > 0 THEN 0.0
+             ELSE exp(coalesce(sum(CASE WHEN d < n_at_risk
+                  THEN ln(1 - CAST(d AS DOUBLE) / n_at_risk) END) OVER w, 0.0))
+             END, 6) AS survival
+FROM r
+WINDOW w AS (PARTITION BY grp ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES.update({
     "q42_twostage_fdr": (q42_twostage_fdr, Q42_SQL),
     "q43_multi_correlation": (q43_multi_correlation, Q43_SQL),
     "q44_regulation_enrichment": (q44_regulation_enrichment, Q44_SQL),
     "q45_ivf_topk": (q45_ivf_topk, Q45_SQL),
+    "q46_kaplan_meier": (q46_kaplan_meier, Q46_SQL),
 })

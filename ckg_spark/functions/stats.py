@@ -402,3 +402,52 @@ def mixed_anova_interaction(y: np.ndarray, subject: np.ndarray, within: np.ndarr
         return None
     f = (ss_inter / df1) / ms_err
     return f, float(df1), float(df2), f_sf(f, df1, df2)
+
+
+def _gammainc_q(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) via the classic series /
+    continued-fraction split (Numerical-Recipes-style gammq; public
+    algorithm, reimplemented)."""
+    if x < 0 or a <= 0:
+        return float("nan")
+    if x == 0:
+        return 1.0
+    if x < a + 1.0:
+        # series for P(a,x); Q = 1 - P
+        ap, summ, delt = a, 1.0 / a, 1.0 / a
+        for _ in range(500):
+            ap += 1.0
+            delt *= x / ap
+            summ += delt
+            if abs(delt) < abs(summ) * 3e-14:
+                break
+        p = summ * math.exp(-x + a * math.log(x) - math.lgamma(a))
+        return 1.0 - p
+    # continued fraction for Q(a,x) (modified Lentz)
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < 3e-14:
+            break
+    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def chi2_sf(x: float, df: float) -> float:
+    """Upper-tail p-value of a chi-square statistic."""
+    if not math.isfinite(x) or x < 0 or df <= 0:
+        return float("nan")
+    return _gammainc_q(df / 2.0, x / 2.0)

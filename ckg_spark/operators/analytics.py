@@ -925,3 +925,106 @@ def combat_batch_correction(df: DataFrame, batch_col: str = "batch",
     )
     keep = df.columns
     return out.select(*keep)
+
+
+# -- survival analysis (kaplan_meierAnalysis.py run_km:3080 analog) ------------
+
+def run_kaplan_meier(df: DataFrame, time_col: str = "duration",
+                     event_col: str = "event",
+                     group_col: str = "group") -> DataFrame:
+    """Kaplan-Meier product-limit survival curves per group (reference
+    run_km via lifelines KaplanMeierFitter; here the estimator itself, no
+    plotting layer).
+
+    Input: one row per subject with (group, duration, event 0/1 — 1 =
+    event observed, 0 = right-censored). Output: one row per (group,
+    distinct time) with n_at_risk, d (events at t) and the survival
+    estimate S(t) = prod_{t' <= t} (1 - d/n_at_risk), computed as
+    exp(cumsum(ln ...)) so the cumulative product is a window aggregate.
+
+    Scale note: windows are PARTITIONED BY group (never empty-partition);
+    cohort-survival group counts are dictionary-scale, and the windowed
+    table is the (group x distinct-time) aggregate, not the subject table.
+    """
+    per_t = df.groupBy(group_col, time_col).agg(
+        F.sum(F.col(event_col).cast("int")).alias("d"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
+    w_before = (Window.partitionBy(group_col).orderBy(time_col)
+                .rowsBetween(Window.unboundedPreceding, -1))
+    w_upto = (Window.partitionBy(group_col).orderBy(time_col)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        per_t.join(F.broadcast(totals), on=group_col)
+        .withColumn("n_at_risk",
+                    F.col("_n_g") - F.coalesce(F.sum("c").over(w_before), F.lit(0)))
+        .withColumn("_lnterm",
+                    F.when(F.col("d") < F.col("n_at_risk"),
+                           F.log(F.lit(1.0) - F.col("d") / F.col("n_at_risk"))))
+        .withColumn("_zero",
+                    F.max((F.col("d") >= F.col("n_at_risk")).cast("int")).over(w_upto))
+        .withColumn("survival",
+                    F.when(F.col("_zero") == 1, F.lit(0.0))
+                    .otherwise(F.exp(F.coalesce(F.sum("_lnterm").over(w_upto),
+                                                F.lit(0.0)))))
+        .select(group_col, time_col, "n_at_risk", "d", "survival")
+    )
+
+
+def logrank_test(df: DataFrame, time_col: str = "duration",
+                 event_col: str = "event",
+                 group_col: str = "group") -> tuple:
+    """Multivariate logrank test across k groups (reference:
+    lifelines.statistics.multivariate_logrank_test in
+    kaplan_meierAnalysis.py:70). Returns (chi2, dof, pvalue).
+
+    The distributed part aggregates raw subjects to per-(time, group)
+    event/censor counts (one shuffle); the O-E vector and k x k covariance
+    accumulation run on the driver over that aggregate — (distinct times x
+    groups) rows, dictionary-scale by time resolution — mirroring how every
+    scalar-statistic operator here keeps Python off the data path.
+    """
+    import numpy as np
+
+    from ..functions.stats import chi2_sf
+
+    counts = (
+        df.groupBy(time_col, group_col)
+        .agg(F.sum(F.col(event_col).cast("int")).alias("d"),
+             F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    groups = sorted({r[group_col] for r in counts})
+    gi = {g: i for i, g in enumerate(groups)}
+    k = len(groups)
+    if k < 2:
+        return (float("nan"), 0, float("nan"))
+    times = sorted({r[time_col] for r in counts})
+    d_mat = np.zeros((len(times), k))
+    c_mat = np.zeros((len(times), k))
+    ti = {t: i for i, t in enumerate(times)}
+    for r in counts:
+        d_mat[ti[r[time_col]], gi[r[group_col]]] = r["d"]
+        c_mat[ti[r[time_col]], gi[r[group_col]]] = r["c"]
+    n_g = c_mat.sum(axis=0)            # subjects per group
+    at_risk = n_g - np.vstack([np.zeros(k), np.cumsum(c_mat, axis=0)[:-1]])
+    Z = np.zeros(k)
+    V = np.zeros((k, k))
+    for t in range(len(times)):
+        n_t = at_risk[t].sum()
+        d_t = d_mat[t].sum()
+        if n_t <= 1 or d_t == 0:
+            Z += d_mat[t] - d_t * at_risk[t] / n_t if n_t > 0 else 0.0
+            continue
+        e_t = d_t * at_risk[t] / n_t
+        Z += d_mat[t] - e_t
+        frac = at_risk[t] / n_t
+        vt = (np.diag(frac) - np.outer(frac, frac)) * d_t * (n_t - d_t) / (n_t - 1)
+        V += vt
+    Zr, Vr = Z[:-1], V[:-1, :-1]       # drop one group (singular otherwise)
+    try:
+        chi2 = float(Zr @ np.linalg.solve(Vr, Zr))
+    except np.linalg.LinAlgError:
+        return (float("nan"), k - 1, float("nan"))
+    return (chi2, k - 1, chi2_sf(chi2, k - 1))

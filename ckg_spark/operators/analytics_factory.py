@@ -55,12 +55,14 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
         A.run_site_regulation_enrichment(reg, annotations, **kw)),
     "correlation": lambda df, **kw: A.pairwise_correlation(df, **kw),
     "multi_correlation": lambda dfs, **kw: A.run_multi_correlation(dfs, **kw),
+    # survival
+    "kaplan_meier": lambda df, **kw: A.run_kaplan_meier(df, **kw),
 }
 
 # reference analysis_type names that are deliberately out of scope here
 # (driver-scale library tails; see COVERAGE.md §2.11)
 _UNSUPPORTED = {
-    "tsne", "umap", "mapper", "wgcna", "samr", "kaplan_meier", "dabest",
+    "tsne", "umap", "mapper", "wgcna", "samr", "dabest",
     "repeated_measurements_correlation", "ssgsea", "snf",
 }
 

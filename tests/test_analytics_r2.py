@@ -426,3 +426,93 @@ def test_factory_fdr_entries(spark):
     from ckg_spark.operators import analytics_factory as AF
     assert "pvalue_correction_twostage" in AF.available()
     assert "pvalue_correction_permutation" in AF.available()
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier + logrank: exact manual product-limit computation in the test
+# ---------------------------------------------------------------------------
+
+def _km_manual(durations, events):
+    """Product-limit estimator computed directly: {t: (n_at_risk, d, S)}."""
+    order = np.argsort(durations)
+    durations, events = np.asarray(durations)[order], np.asarray(events)[order]
+    out, s, n = {}, 1.0, len(durations)
+    for t in sorted(set(durations)):
+        at = (durations >= t).sum()
+        d = int(events[durations == t].sum())
+        if d > 0:
+            s *= 1.0 - d / at
+        out[t] = (at, d, s)
+    return out
+
+
+def test_kaplan_meier_matches_manual(spark):
+    rng = np.random.RandomState(13)
+    rows, manual = [], {}
+    for g in ["a", "b"]:
+        dur = rng.randint(1, 15, 30)
+        ev = (rng.rand(30) < 0.7).astype(int)
+        manual[g] = _km_manual(dur, ev)
+        rows += [(g, int(t), int(e)) for t, e in zip(dur, ev)]
+    df = spark.createDataFrame(rows, "group string, duration int, event int")
+    got = A.run_kaplan_meier(df).collect()
+    assert len(got) == sum(len(m) for m in manual.values())
+    for r in got:
+        at, d, s = manual[r["group"]][r["duration"]]
+        assert (r["n_at_risk"], r["d"]) == (at, d)
+        assert abs(r["survival"] - s) < 1e-9
+
+
+def test_kaplan_meier_hits_zero_when_all_fail(spark):
+    rows = [("a", t, 1) for t in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "group string, duration int, event int")
+    got = {r["duration"]: r["survival"] for r in A.run_kaplan_meier(df).collect()}
+    assert got[3] == 0.0 and got[1] > 0
+
+
+def _logrank_manual(rows):
+    """Exact multivariate logrank recomputed independently (k groups)."""
+    groups = sorted({g for g, _, _ in rows})
+    times = sorted({t for _, t, _ in rows})
+    k = len(groups)
+    d = np.zeros((len(times), k)); c = np.zeros((len(times), k))
+    for g, t, e in rows:
+        d[times.index(t), groups.index(g)] += e
+        c[times.index(t), groups.index(g)] += 1
+    n_g = c.sum(axis=0)
+    at = n_g - np.vstack([np.zeros(k), np.cumsum(c, axis=0)[:-1]])
+    Z = np.zeros(k); V = np.zeros((k, k))
+    for i in range(len(times)):
+        n_t, d_t = at[i].sum(), d[i].sum()
+        if n_t <= 1 or d_t == 0:
+            continue
+        frac = at[i] / n_t
+        Z += d[i] - d_t * frac
+        V += (np.diag(frac) - np.outer(frac, frac)) * d_t * (n_t - d_t) / (n_t - 1)
+    chi2 = float(Z[:-1] @ np.linalg.solve(V[:-1, :-1], Z[:-1]))
+    return chi2
+
+
+def test_logrank_matches_manual_and_separates(spark):
+    rng = np.random.RandomState(21)
+    rows = []
+    for g, scale in [("a", 5.0), ("b", 15.0), ("c", 15.5)]:
+        for _ in range(25):
+            rows.append((g, int(rng.exponential(scale)) + 1,
+                         int(rng.rand() < 0.8)))
+    df = spark.createDataFrame(rows, "group string, duration int, event int")
+    chi2, dof, p = A.logrank_test(df)
+    assert dof == 2
+    assert abs(chi2 - _logrank_manual(rows)) < 1e-9
+    assert p < 0.01  # group a clearly separates
+    # identical groups -> no signal
+    same = [("a", t, e) for _, t, e in rows] + [("b", t, e) for _, t, e in rows]
+    df2 = spark.createDataFrame(same, "group string, duration int, event int")
+    chi2b, _, pb = A.logrank_test(df2)
+    assert chi2b < 1e-9 and pb > 0.99
+
+
+def test_factory_kaplan_meier_entry(spark):
+    from ckg_spark.operators import analytics_factory as AF
+    assert "kaplan_meier" in AF.available()
+    assert "kaplan_meier" not in AF._UNSUPPORTED
