@@ -1028,3 +1028,122 @@ def logrank_test(df: DataFrame, time_col: str = "duration",
     except np.linalg.LinAlgError:
         return (float("nan"), k - 1, float("nan"))
     return (chi2, k - 1, chi2_sf(chi2, k - 1))
+
+
+# -- ssGSEA (analytics.py run_ssgsea:2445, via gseapy; Barbie et al. 2009) -----
+
+def run_ssgsea(df: DataFrame, annotations: DataFrame, alpha: float = 0.25,
+               min_size: int = 2, max_size: int = 500) -> DataFrame:
+    """Single-sample GSEA projection: per (subject, annotation) enrichment
+    score, plus range-normalized NES (gseapy-style: ES / (max ES - min ES)
+    over the whole projection).
+
+    Algebraic reduction (what makes this one aggregation instead of a
+    per-sample running-sum walk): Barbie's ES is the sum over all ranked
+    positions i of [P_hit(i) - P_miss(i)], with
+    P_hit(i) = sum_{j in S, r_j <= i} w_j / W_S and
+    P_miss(i) = #{j not in S, r_j <= i} / (N - |S|). Each feature j
+    contributes its term once for every position i >= r_j, i.e. exactly
+    (N - r_j + 1) times, so
+
+        ES = sum_{j in S} w_j (N - r_j + 1) / W_S
+           - [N(N+1)/2 - sum_{j in S} (N - r_j + 1)] / (N - |S|)
+
+    — only IN-SET rows are ever aggregated (broadcast semi/inner join with
+    the annotation table), and the miss mass falls out of the per-subject
+    constant N(N+1)/2. Weights follow gseapy's rank norm:
+    w_j = (N - r_j + 1)^alpha with r_j the descending-value rank.
+    One shuffle (per-subject rank window is partitioned by subject); the
+    (subject x annotation) output is the natural result size.
+    """
+    w_rank = Window.partitionBy("subject").orderBy(
+        F.col("value").desc(), F.col("feature").asc())
+    ranked = (
+        df.where(F.col("value").isNotNull())
+        .withColumn("_r", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("subject")))
+        .withColumn("_pos", F.col("_n") - F.col("_r") + 1)      # N - r + 1
+        .withColumn("_w", F.pow(F.col("_pos").cast("double"), F.lit(alpha)))
+    )
+    ann = annotations.select("feature", "annotation").distinct()
+    sizes = ann.groupBy("annotation").agg(F.count(F.lit(1)).alias("_gs"))
+    keep = sizes.where((F.col("_gs") >= min_size) & (F.col("_gs") <= max_size))
+    ann = ann.join(F.broadcast(keep.select("annotation")), on="annotation")
+
+    hits = ranked.join(F.broadcast(ann), on="feature")
+    per = hits.groupBy("subject", "annotation").agg(
+        F.sum(F.col("_w") * F.col("_pos")).alias("_hit_mass"),
+        F.sum("_w").alias("_w_s"),
+        F.sum("_pos").alias("_hit_pos"),
+        F.count(F.lit(1)).alias("_s"),
+        F.first("_n").alias("_n"),
+    )
+    es = per.select(
+        "subject", "annotation",
+        (
+            F.col("_hit_mass") / F.col("_w_s")
+            - (F.col("_n") * (F.col("_n") + 1) / 2.0 - F.col("_hit_pos"))
+              / (F.col("_n") - F.col("_s"))
+        ).alias("es"),
+    )
+    rng = es.agg((F.max("es") - F.min("es")).alias("r")).collect()[0]["r"]
+    scale = rng if rng else 1.0
+    return es.withColumn("nes", F.col("es") / F.lit(float(scale)))
+
+
+# -- repeated-measures correlation (run_rm_correlation, analytics.py:1351) ----
+
+def run_rm_correlation(df: DataFrame, sample_col: str = "sample",
+                       alpha: float = 0.05, min_dof: int = 1) -> DataFrame:
+    """Pairwise repeated-measures correlation (pingouin rm_corr semantics,
+    reference calculate_rm_correlation:1312: ANCOVA y ~ C(subject) + x).
+
+    Identity used: the rm correlation equals the Pearson correlation of the
+    WITHIN-SUBJECT-CENTERED series, with residual dof = N - k - 1
+    (N measurements on the pair, k subjects) — the ANCOVA subject factor is
+    exactly the within-subject mean removal, so no per-pair OLS fit is
+    needed. One window for centering (partitioned by subject, feature), one
+    self-join on (subject, sample), one corr() aggregation; the p-value
+    (one-sided, x0.5 as the reference does) maps over the aggregated pair
+    table via an Arrow-batched UDF. BH correction reuses the scale-safe
+    bh_correction.
+
+    Output mirrors the reference edge list: (node1, node2, weight, dof,
+    pvalue, padj, rejected).
+    """
+    w = Window.partitionBy("subject", "feature")
+    c = df.where(F.col("value").isNotNull()).withColumn(
+        "_vc", F.col("value") - F.avg("value").over(w))
+    a = c.select("subject", F.col(sample_col).alias("_smp"),
+                 F.col("feature").alias("node1"), F.col("_vc").alias("_x"))
+    b = c.select("subject", F.col(sample_col).alias("_smp"),
+                 F.col("feature").alias("node2"), F.col("_vc").alias("_y"))
+    pairs = (
+        a.join(b, on=["subject", "_smp"])
+        .where(F.col("node1") < F.col("node2"))
+        .groupBy("node1", "node2")
+        .agg(
+            F.corr("_x", "_y").alias("weight"),
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct("subject").alias("_k"),
+        )
+        .withColumn("dof", (F.col("_n") - F.col("_k") - 1).cast("long"))
+        .where((F.col("dof") >= min_dof) & F.col("weight").isNotNull())
+        .withColumn(
+            "_t",
+            F.col("weight") * F.sqrt(
+                F.col("dof") / (F.lit(1.0) - F.col("weight") * F.col("weight"))),
+        )
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def one_sided_p(t: pd.Series, dof: pd.Series) -> pd.Series:
+        return pd.Series(
+            [0.5 * ST.t_sf(abs(ti), float(di)) for ti, di in zip(t, dof)])
+
+    scored = pairs.withColumn(
+        "pvalue", one_sided_p(F.col("_t"), F.col("dof"))
+    ).select("node1", "node2", "weight", "dof", "pvalue")
+    return bh_correction(scored, alpha=alpha, tiebreak=["node1", "node2"])

@@ -57,13 +57,15 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
     "multi_correlation": lambda dfs, **kw: A.run_multi_correlation(dfs, **kw),
     # survival
     "kaplan_meier": lambda df, **kw: A.run_kaplan_meier(df, **kw),
+    # projection
+    "ssgsea": lambda df, annotations=None, **kw: A.run_ssgsea(df, annotations, **kw),
+    "repeated_measurements_correlation": lambda df, **kw: A.run_rm_correlation(df, **kw),
 }
 
 # reference analysis_type names that are deliberately out of scope here
 # (driver-scale library tails; see COVERAGE.md §2.11)
 _UNSUPPORTED = {
-    "tsne", "umap", "mapper", "wgcna", "samr", "dabest",
-    "repeated_measurements_correlation", "ssgsea", "snf",
+    "tsne", "umap", "mapper", "wgcna", "samr", "dabest", "snf",
 }
 
 

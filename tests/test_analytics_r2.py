@@ -516,3 +516,111 @@ def test_factory_kaplan_meier_entry(spark):
     from ckg_spark.operators import analytics_factory as AF
     assert "kaplan_meier" in AF.available()
     assert "kaplan_meier" not in AF._UNSUPPORTED
+
+
+# ---------------------------------------------------------------------------
+# ssGSEA: closed-form aggregation vs the literal Barbie running-sum walk
+# ---------------------------------------------------------------------------
+
+def _ssgsea_naive(values_by_feature, gene_set, alpha=0.25):
+    """Literal running-sum ssGSEA for one sample (Barbie et al. 2009)."""
+    feats = sorted(values_by_feature, key=lambda f: (-values_by_feature[f], f))
+    n = len(feats)
+    in_set = [f in gene_set for f in feats]
+    w = [(n - i) ** alpha for i in range(n)]  # rank r=i+1 -> (n-r+1)^alpha
+    w_s = sum(wi for wi, h in zip(w, in_set) if h)
+    n_miss = n - sum(in_set)
+    es, p_hit, p_miss = 0.0, 0.0, 0.0
+    for i in range(n):
+        if in_set[i]:
+            p_hit += w[i] / w_s
+        else:
+            p_miss += 1.0 / n_miss
+        es += p_hit - p_miss
+    return es
+
+
+def test_ssgsea_matches_naive_walk(spark):
+    rng = np.random.RandomState(17)
+    feats = [f"g{i:02d}" for i in range(20)]
+    sets = {"S1": set(feats[:5]), "S2": {feats[3], feats[9], feats[15]}}
+    rows, expected = [], {}
+    for subj in ["s1", "s2", "s3"]:
+        vals = {f: float(rng.normal(0, 1)) for f in feats}
+        rows += [(subj, f, v) for f, v in vals.items()]
+        for sname, members in sets.items():
+            expected[(subj, sname)] = _ssgsea_naive(vals, members)
+    df = spark.createDataFrame(rows, "subject string, feature string, value double")
+    ann = spark.createDataFrame(
+        [(f, s) for s, ms in sets.items() for f in ms], "feature string, annotation string")
+    got = A.run_ssgsea(df, ann, min_size=2).collect()
+    assert len(got) == len(expected)
+    es_vals = [r["es"] for r in got]
+    rng_es = max(es_vals) - min(es_vals)
+    for r in got:
+        exp = expected[(r["subject"], r["annotation"])]
+        assert abs(r["es"] - exp) < 1e-9, (r["subject"], r["annotation"], r["es"], exp)
+        assert abs(r["nes"] - exp / rng_es) < 1e-9
+
+
+def test_ssgsea_size_filter_and_signal(spark):
+    # a set loaded with the top-expressed features must out-score a random one
+    feats = [f"g{i:02d}" for i in range(30)]
+    rows = [("s1", f, float(30 - i)) for i, f in enumerate(feats)]
+    df = spark.createDataFrame(rows, "subject string, feature string, value double")
+    ann_rows = [(f, "top") for f in feats[:5]] + [(f, "bottom") for f in feats[-5:]] \
+        + [(feats[0], "tiny")]
+    ann = spark.createDataFrame(ann_rows, "feature string, annotation string")
+    got = {r["annotation"]: r["es"] for r in A.run_ssgsea(df, ann, min_size=2).collect()}
+    assert "tiny" not in got  # size filter
+    assert got["top"] > 0 > got["bottom"]
+
+
+# ---------------------------------------------------------------------------
+# repeated-measures correlation: identity checked against an independent
+# numpy rendition of the ANCOVA definition (center within subject, Pearson,
+# dof = N - k - 1, one-sided p)
+# ---------------------------------------------------------------------------
+
+def _rm_corr_naive(x, y, subjects):
+    x, y, subjects = np.asarray(x, float), np.asarray(y, float), np.asarray(subjects)
+    xc, yc = x.copy(), y.copy()
+    for s in set(subjects):
+        m = subjects == s
+        xc[m] -= x[m].mean()
+        yc[m] -= y[m].mean()
+    r = np.corrcoef(xc, yc)[0, 1]
+    dof = len(x) - len(set(subjects)) - 1
+    t = r * math.sqrt(dof / (1 - r * r))
+    return r, dof, 0.5 * ST.t_sf(abs(t), dof)
+
+
+def test_rm_correlation_matches_naive(spark):
+    rng = np.random.RandomState(8)
+    rows = []
+    data = {}
+    for s in ["s1", "s2", "s3", "s4"]:
+        base = rng.normal(0, 5)  # strong subject effect
+        for m in range(6):
+            smp = f"{s}_m{m}"
+            common = rng.normal(0, 1)
+            vals = {"fA": base + common + rng.normal(0, 0.3),
+                    "fB": base + common + rng.normal(0, 0.3),
+                    "fC": base + rng.normal(0, 1)}
+            for f, v in vals.items():
+                rows.append((s, smp, f, float(v)))
+                data.setdefault(f, []).append((s, v))
+    df = spark.createDataFrame(
+        rows, "subject string, sample string, feature string, value double")
+    got = {(r["node1"], r["node2"]): r for r in A.run_rm_correlation(df).collect()}
+    assert set(got) == {("fA", "fB"), ("fA", "fC"), ("fB", "fC")}
+    for (f1, f2), r in got.items():
+        subs = [s for s, _ in data[f1]]
+        exp_r, exp_dof, exp_p = _rm_corr_naive(
+            [v for _, v in data[f1]], [v for _, v in data[f2]], subs)
+        assert abs(r["weight"] - exp_r) < 1e-9
+        assert r["dof"] == exp_dof
+        assert abs(r["pvalue"] - exp_p) < 1e-9
+    # the deliberately coupled pair must dominate
+    assert got[("fA", "fB")]["weight"] > 0.7
+    assert got[("fA", "fB")]["padj"] < 0.05 and bool(got[("fA", "fB")]["rejected"])
