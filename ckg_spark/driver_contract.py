@@ -1258,10 +1258,113 @@ WINDOW w AS (PARTITION BY grp ORDER BY t
 """
 
 
+def q47_ssgsea(spark, sf):
+    """§2.11 ssGSEA projection (run_ssgsea analog, analytics.py:2445): per
+    (user, set-of-event-types) enrichment score over per-user mean values.
+    The closed-form single-aggregation derivation (docstring of run_ssgsea)
+    is what makes this SQL-expressible at all."""
+    e = _t(spark, sf, "events")
+    long = e.groupBy(
+        F.col("user_id").cast("string").alias("subject"),
+        F.col("event_type").alias("feature"),
+    ).agg(F.avg("value").alias("value"))
+    ann = (
+        e.select(F.col("event_type").alias("feature")).distinct()
+        .select("feature",
+                F.when(F.col("feature") < "m", F.lit("early_types"))
+                 .otherwise(F.lit("late_types")).alias("annotation"))
+    )
+    from .operators.analytics import run_ssgsea
+
+    out = run_ssgsea(long, ann, min_size=2)
+    return out.select("subject", "annotation", F.round("es", 6).alias("es"),
+                      F.round("nes", 6).alias("nes"))
+
+
+Q47_SQL = """
+WITH long AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject, event_type AS feature,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2),
+ann AS (
+  SELECT DISTINCT event_type AS feature,
+         CASE WHEN event_type < 'm' THEN 'early_types' ELSE 'late_types' END AS annotation
+  FROM events),
+sizes AS (SELECT annotation, count(*) AS gs FROM ann GROUP BY 1),
+keep AS (SELECT annotation FROM sizes WHERE gs >= 2),
+ranked AS (
+  SELECT subject, feature, value,
+         row_number() OVER (PARTITION BY subject ORDER BY value DESC, feature ASC) AS r,
+         count(*) OVER (PARTITION BY subject) AS n
+  FROM long),
+wgt AS (
+  SELECT subject, feature, n, (n - r + 1) AS pos,
+         pow(CAST(n - r + 1 AS DOUBLE), 0.25) AS w
+  FROM ranked),
+per AS (
+  SELECT wgt.subject, ann.annotation,
+         sum(wgt.w * wgt.pos) AS hit_mass, sum(wgt.w) AS w_s,
+         sum(wgt.pos) AS hit_pos, count(*) AS s, max(wgt.n) AS n
+  FROM wgt JOIN ann USING (feature) JOIN keep USING (annotation)
+  GROUP BY 1, 2),
+es AS (
+  SELECT subject, annotation,
+         hit_mass / w_s
+           - (n * (n + 1) / 2.0 - hit_pos) / (n - s) AS es
+  FROM per)
+SELECT subject, annotation, round(es, 6) AS es,
+       round(es / (max(es) OVER () - min(es) OVER ()), 6) AS nes
+FROM es
+"""
+
+
+def q48_rm_correlation(spark, sf):
+    """§2.11 repeated-measures correlation (run_rm_correlation analog,
+    analytics.py:1351): within-subject-centered Pearson between event types
+    measured per (user, day); weight + dof columns (p/padj are
+    pytest-verified — betainc is not SQL)."""
+    e = _t(spark, sf, "events")
+    long = e.groupBy(
+        F.col("user_id").cast("string").alias("subject"),
+        F.to_date("ts").cast("string").alias("sample"),
+        F.col("event_type").alias("feature"),
+    ).agg(F.avg("value").alias("value"))
+    from .operators.analytics import run_rm_correlation
+
+    out = run_rm_correlation(long, min_dof=1)
+    return out.select("node1", "node2", F.round("weight", 6).alias("weight"),
+                      F.col("dof").cast("long").alias("dof"))
+
+
+Q48_SQL = """
+WITH long AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject, CAST(CAST(ts AS DATE) AS VARCHAR) AS smp,
+         event_type AS feature, avg(value) AS value
+  FROM events GROUP BY 1, 2, 3),
+centered AS (
+  SELECT subject, smp, feature,
+         value - avg(value) OVER (PARTITION BY subject, feature) AS vc
+  FROM long),
+pairs AS (
+  SELECT a.feature AS node1, b.feature AS node2,
+         corr(a.vc, b.vc) AS weight, count(*) AS n,
+         count(DISTINCT a.subject) AS k
+  FROM centered a JOIN centered b ON a.subject = b.subject AND a.smp = b.smp
+  WHERE a.feature < b.feature
+  GROUP BY 1, 2)
+SELECT node1, node2, round(weight, 6) AS weight,
+       CAST(n - k - 1 AS BIGINT) AS dof
+FROM pairs
+WHERE n - k - 1 >= 1 AND weight IS NOT NULL
+"""
+
+
 QUERIES.update({
     "q42_twostage_fdr": (q42_twostage_fdr, Q42_SQL),
     "q43_multi_correlation": (q43_multi_correlation, Q43_SQL),
     "q44_regulation_enrichment": (q44_regulation_enrichment, Q44_SQL),
     "q45_ivf_topk": (q45_ivf_topk, Q45_SQL),
     "q46_kaplan_meier": (q46_kaplan_meier, Q46_SQL),
+    "q47_ssgsea": (q47_ssgsea, Q47_SQL),
+    "q48_rm_correlation": (q48_rm_correlation, Q48_SQL),
 })
