@@ -60,12 +60,14 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
     # projection
     "ssgsea": lambda df, annotations=None, **kw: A.run_ssgsea(df, annotations, **kw),
     "repeated_measurements_correlation": lambda df, **kw: A.run_rm_correlation(df, **kw),
+    "snf": lambda dfs, **kw: __import__(
+        "ckg_spark.operators.snf", fromlist=["run_snf"]).run_snf(dfs, **kw),
 }
 
 # reference analysis_type names that are deliberately out of scope here
 # (driver-scale library tails; see COVERAGE.md §2.11)
 _UNSUPPORTED = {
-    "tsne", "umap", "mapper", "wgcna", "samr", "dabest", "snf",
+    "tsne", "umap", "mapper", "wgcna", "samr", "dabest",
 }
 
 
