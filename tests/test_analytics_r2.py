@@ -624,3 +624,14 @@ def test_rm_correlation_matches_naive(spark):
     # the deliberately coupled pair must dominate
     assert got[("fA", "fB")]["weight"] > 0.7
     assert got[("fA", "fB")]["padj"] < 0.05 and bool(got[("fA", "fB")]["rejected"])
+
+
+def test_with_global_cumsum_matches_numpy(spark):
+    rng = np.random.RandomState(31)
+    vals = rng.rand(500)
+    df = spark.createDataFrame(
+        [(float(v), i) for i, v in enumerate(vals)], "v double, i long")
+    out = A.with_global_cumsum(df, [F.col("v").asc(), F.col("i").asc()],
+                               "v", "csum").toPandas().sort_values(["v", "i"])
+    exp = np.cumsum(np.array(sorted(vals)))
+    np.testing.assert_allclose(out["csum"].to_numpy(), exp, rtol=1e-12)
