@@ -34,6 +34,21 @@ DEFAULT_PROTEOMICS_REPORT: dict[str, dict[str, Any]] = {
 }
 
 
+# the longitudinal-proteomics default (report_manager/config/
+# longitudinal_proteomics.yml): adds mixed ANOVA + repeated-measures
+# correlation to the cross-sectional set (functional_pca / qcmarkers /
+# publications_abstracts / ranking are viz- or knowledge-layer concerns)
+DEFAULT_LONGITUDINAL_REPORT: dict[str, dict[str, Any]] = {
+    "summary": {"analysis": "summary"},
+    "coefficient_of_variation": {"analysis": "coefficient_of_variation"},
+    "pca": {"analysis": "pca", "args": {"n_components": 2}},
+    "mixed_anova": {"analysis": "mixed_anova"},
+    "rm_correlation": {"analysis": "repeated_measurements_correlation"},
+    "up_down_enrichment": {"analysis": "up_down_regulation_enrichment",
+                           "needs": "annotations"},
+}
+
+
 def process_dataset(
     df: DataFrame,
     max_missing: float = 0.3,

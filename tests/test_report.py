@@ -75,3 +75,31 @@ def test_report_skips_enrichment_without_annotations(spark, omics_df):
     rep = generate_dataset_report(omics_df)
     assert "up_down_enrichment" not in rep
     assert "anova" in rep
+
+
+def test_longitudinal_report_sections(spark):
+    from ckg_spark.plans.report import (
+        DEFAULT_LONGITUDINAL_REPORT, generate_dataset_report)
+
+    rng = np.random.RandomState(4)
+    rows = []
+    # longitudinal design: within = timepoint ('group' col), between =
+    # subject_group, repeated samples per subject
+    for sg in ["ctrl", "case"]:
+        for si in range(4):
+            subj = f"{sg}{si}"
+            for tp in ["t1", "t2", "t3"]:
+                for fi in range(6):
+                    eff = 2.0 if (fi == 0 and sg == "case" and tp == "t3") else 0.0
+                    rows.append((tp, subj, f"f{fi}", float(rng.normal(10 + eff, 1)),
+                                 sg, f"{subj}_{tp}"))
+    df = spark.createDataFrame(
+        rows, "group string, subject string, feature string, value double,"
+              " subject_group string, sample string")
+    rep = generate_dataset_report(df, config=DEFAULT_LONGITUDINAL_REPORT,
+                                  preprocess=False)
+    assert set(rep) == set(DEFAULT_LONGITUDINAL_REPORT) - {"up_down_enrichment"}
+    ma = rep["mixed_anova"].toPandas()
+    assert {"feature", "pvalue"} <= set(ma.columns) and len(ma) == 6
+    rc = rep["rm_correlation"].toPandas()
+    assert {"node1", "node2", "weight", "padj"} <= set(rc.columns) and len(rc) > 0
