@@ -1147,3 +1147,42 @@ def run_rm_correlation(df: DataFrame, sample_col: str = "sample",
         "pvalue", one_sided_p(F.col("_t"), F.col("dof"))
     ).select("node1", "node2", "weight", "dof", "pvalue")
     return bh_correction(scored, alpha=alpha, tiebreak=["node1", "node2"])
+
+
+# -- co-expression network modules (WGCNA-core analog; reference dispatches
+# -- 'wgcna' to the R library — here the network-construction core only) ------
+
+def coexpression_modules(df: DataFrame, beta: float = 6.0,
+                         adjacency_threshold: float = 0.5,
+                         min_n: int = 3,
+                         min_module_size: int = 2) -> DataFrame:
+    """Weighted co-expression network + module detection (the WGCNA *core*:
+    soft-threshold adjacency a_ij = |corr(i,j)|^beta, network modules as
+    connected components over edges with a_ij >= threshold). The reference
+    hands 'wgcna' to the R package; the dendrogram/dynamic-tree-cut and
+    topological-overlap refinements remain out of scope — this is the
+    Spark-composable construction: one subject-keyed self-join + corr()
+    aggregation (pairwise_correlation) and the existing distributed
+    connected-components operator.
+
+    Output: (feature, module, module_size); module = lexicographic min
+    feature of the component (deterministic at any parallelism). Features
+    with no strong neighbor form singleton modules and are filtered by
+    ``min_module_size``.
+    """
+    from .canonicalize import connected_components
+
+    corr = pairwise_correlation(df, min_n=min_n)
+    edges = (
+        corr.withColumn("_a", F.pow(F.abs("corr"), F.lit(beta)))
+        .where(F.col("_a") >= adjacency_threshold)
+        .select(F.col("fa").alias("ident_a"), F.col("fb").alias("ident_b"))
+    )
+    comps = connected_components(edges)
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("module_size"))
+    return (
+        comps.join(sizes, on="component")
+        .where(F.col("module_size") >= min_module_size)
+        .select(F.col("ident").alias("feature"),
+                F.col("component").alias("module"), "module_size")
+    )

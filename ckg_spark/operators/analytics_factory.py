@@ -62,12 +62,14 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
     "repeated_measurements_correlation": lambda df, **kw: A.run_rm_correlation(df, **kw),
     "snf": lambda dfs, **kw: __import__(
         "ckg_spark.operators.snf", fromlist=["run_snf"]).run_snf(dfs, **kw),
+    # WGCNA core (network construction + modules; dendrogram cut out of scope)
+    "wgcna": lambda df, **kw: A.coexpression_modules(df, **kw),
 }
 
 # reference analysis_type names that are deliberately out of scope here
 # (driver-scale library tails; see COVERAGE.md §2.11)
 _UNSUPPORTED = {
-    "tsne", "umap", "mapper", "wgcna", "samr", "dabest",
+    "tsne", "umap", "mapper", "samr", "dabest",
 }
 
 

@@ -635,3 +635,21 @@ def test_with_global_cumsum_matches_numpy(spark):
                                "v", "csum").toPandas().sort_values(["v", "i"])
     exp = np.cumsum(np.array(sorted(vals)))
     np.testing.assert_allclose(out["csum"].to_numpy(), exp, rtol=1e-12)
+
+
+def test_coexpression_modules_recover_blocks(spark):
+    rng = np.random.RandomState(12)
+    rows = []
+    # two latent factors drive two disjoint feature blocks; f_noise floats free
+    for si in range(20):
+        l1, l2 = rng.normal(0, 1), rng.normal(0, 1)
+        for f, base in [("a1", l1), ("a2", l1), ("a3", l1),
+                        ("b1", l2), ("b2", l2)]:
+            rows.append((f"s{si}", f, float(base + rng.normal(0, 0.1))))
+        rows.append((f"s{si}", "f_noise", float(rng.normal(0, 1))))
+    df = spark.createDataFrame(rows, "subject string, feature string, value double")
+    mods = {r["feature"]: r["module"] for r in
+            A.coexpression_modules(df, beta=6.0, adjacency_threshold=0.5).collect()}
+    assert mods.get("a1") == mods.get("a2") == mods.get("a3") == "a1"
+    assert mods.get("b1") == mods.get("b2") == "b1"
+    assert "f_noise" not in mods  # singleton filtered
