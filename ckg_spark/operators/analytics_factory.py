@@ -64,12 +64,16 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
         "ckg_spark.operators.snf", fromlist=["run_snf"]).run_snf(dfs, **kw),
     # WGCNA core (network construction + modules; dendrogram cut out of scope)
     "wgcna": lambda df, **kw: A.coexpression_modules(df, **kw),
+    # SAM core (moderated t + permutation q-values; R samr's s0 tuning and
+    # order-statistic banding out of scope)
+    "samr": lambda df, group_a=None, group_b=None, **kw: A.run_samr(
+        df, group_a, group_b, **kw),
 }
 
 # reference analysis_type names that are deliberately out of scope here
 # (driver-scale library tails; see COVERAGE.md §2.11)
 _UNSUPPORTED = {
-    "tsne", "umap", "mapper", "samr", "dabest",
+    "tsne", "umap", "mapper", "dabest",
 }
 
 

@@ -653,3 +653,60 @@ def test_coexpression_modules_recover_blocks(spark):
     assert mods.get("a1") == mods.get("a2") == mods.get("a3") == "a1"
     assert mods.get("b1") == mods.get("b2") == "b1"
     assert "f_noise" not in mods  # singleton filtered
+
+
+# ---------------------------------------------------------------------------
+# SAM: q-value formula recomputed from the operator's own permutation pool
+# ---------------------------------------------------------------------------
+
+def test_samr_matches_independent_recompute(spark):
+    rng = np.random.RandomState(6)
+    rows = []
+    for g in ["a", "b"]:
+        for si in range(6):
+            subj = f"{g}{si}"
+            for fi in range(10):
+                mu = 3.0 if (fi < 2 and g == "a") else 0.0
+                rows.append((g, subj, f"f{fi}", float(rng.normal(mu, 1))))
+    df = spark.createDataFrame(
+        rows, "group string, subject string, feature string, value double")
+    n_perm = 10
+    out = A.run_samr(df, "a", "b", permutations=n_perm, seed=2).toPandas()
+
+    # independent pandas recomputation of d, s0, the permutation pool and q
+    pdf = df.toPandas()
+
+    def d_stats(frame, s0):
+        out_ = {}
+        for f, g in frame.groupby("feature"):
+            xa = g.loc[g["group"] == "a", "value"].to_numpy(float)
+            xb = g.loc[g["group"] == "b", "value"].to_numpy(float)
+            if len(xa) < 2 or len(xb) < 2:
+                continue
+            vp = ((len(xa)-1)*xa.var(ddof=1) + (len(xb)-1)*xb.var(ddof=1)) \
+                / (len(xa)+len(xb)-2)
+            se = math.sqrt(vp * (1/len(xa) + 1/len(xb)))
+            out_[f] = (xa.mean() - xb.mean()) / (se + s0), se
+        return out_
+
+    s0 = float(np.median([se for _, se in d_stats(pdf, 0.0).values()]))
+    obs = {f: d for f, (d, _) in d_stats(pdf, s0).items()}
+    subj_groups = sorted(set(zip(pdf["subject"], pdf["group"])))
+    subjects = [s for s, _ in subj_groups]
+    groups = [g for _, g in subj_groups]
+    pool = []
+    for p in range(n_perm):
+        prng = np.random.default_rng((2, p))
+        perm = prng.permutation(len(groups))
+        gmap = {subjects[i]: groups[perm[i]] for i in range(len(subjects))}
+        shuffled = pdf.assign(group=pdf["subject"].map(gmap))
+        pool += [abs(d) for f, (d, _) in d_stats(shuffled, s0).items()]
+    pool = np.array(pool)
+    got = out.set_index("feature")
+    for f, d in obs.items():
+        assert abs(got.loc[f, "d"] - d) < 1e-9
+        q = min(((pool >= abs(d)).sum() / n_perm)
+                / sum(1 for v in obs.values() if abs(v) >= abs(d)), 1.0)
+        assert abs(got.loc[f, "qvalue"] - q) < 1e-9, (f, got.loc[f, "qvalue"], q)
+    # the two true signals get the smallest q
+    assert set(got["qvalue"].nsmallest(2).index) == {"f0", "f1"}
