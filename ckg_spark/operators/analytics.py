@@ -1293,3 +1293,64 @@ def run_samr(df: DataFrame, group_a: str, group_b: str,
         .withColumn("rejected", F.col("qvalue") <= alpha)
         .select("feature", "d", "qvalue", "rejected")
     )
+
+
+# -- bootstrap effect sizes (reference 'dabest' dispatch; estimation core) ----
+
+def bootstrap_effect_sizes(df: DataFrame, group_a: str, group_b: str,
+                           n_boot: int = 200, seed: int = 0,
+                           ci: float = 0.95) -> DataFrame:
+    """Estimation-statistics core of the reference's 'dabest' dispatch
+    (Gardner-Altman / Ho et al. 2019): per-feature mean difference with a
+    bootstrap percentile confidence interval. The plotting layer (swarm +
+    bootstrap-curve panels) is out of scope; the numbers under it are not.
+
+    Distribution: bootstrap resampling of SUBJECTS with replacement is a
+    (boot, subject) -> multinomial-weight table — subjects x n_boot,
+    dictionary-scale, generated with a seeded driver RNG and broadcast.
+    Every bootstrap replicate's group means are then weighted JVM
+    aggregations over one pass of the data (no per-replicate scan), and the
+    CI is a percentile aggregate per feature.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    sub = df.where(F.col("group").isin([group_a, group_b]))
+    subj_groups = sorted(
+        (r["subject"], r["group"])
+        for r in sub.select("subject", "group").distinct().collect()
+    )
+    by_group: dict[str, list[str]] = {}
+    for s, g in subj_groups:
+        by_group.setdefault(g, []).append(s)
+    rows = []
+    for b in range(n_boot):
+        rng = np.random.default_rng((seed, b))
+        for g, subs in by_group.items():
+            counts = rng.multinomial(len(subs), [1.0 / len(subs)] * len(subs))
+            rows.extend((b, subs[i], int(c)) for i, c in enumerate(counts) if c)
+    w = spark.createDataFrame(rows, "boot int, subject string, w int")
+
+    boot_means = (
+        sub.join(F.broadcast(w), on="subject")
+        .groupBy("boot", "feature", "group")
+        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"))
+    )
+    diffs = (
+        boot_means.groupBy("boot", "feature")
+        .pivot("group", [group_a, group_b]).agg(F.first("m"))
+        .withColumn("_diff", F.col(group_a) - F.col(group_b))
+        .where(F.col("_diff").isNotNull())
+    )
+    lo, hi = (1.0 - ci) / 2.0, 1.0 - (1.0 - ci) / 2.0
+    cis = diffs.groupBy("feature").agg(
+        F.percentile("_diff", F.lit(lo)).alias("ci_low"),
+        F.percentile("_diff", F.lit(hi)).alias("ci_high"),
+    )
+    observed = (
+        sub.groupBy("feature").agg(
+            F.avg(F.when(F.col("group") == group_a, F.col("value"))).alias("ma"),
+            F.avg(F.when(F.col("group") == group_b, F.col("value"))).alias("mb"))
+        .select("feature", (F.col("ma") - F.col("mb")).alias("mean_diff"))
+    )
+    return observed.join(cis, on="feature")

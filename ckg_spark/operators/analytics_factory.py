@@ -68,12 +68,15 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
     # order-statistic banding out of scope)
     "samr": lambda df, group_a=None, group_b=None, **kw: A.run_samr(
         df, group_a, group_b, **kw),
+    # dabest estimation core (bootstrap effect-size CIs; plot panels out of scope)
+    "dabest": lambda df, group_a=None, group_b=None, **kw: (
+        A.bootstrap_effect_sizes(df, group_a, group_b, **kw)),
 }
 
 # reference analysis_type names that are deliberately out of scope here
 # (driver-scale library tails; see COVERAGE.md §2.11)
 _UNSUPPORTED = {
-    "tsne", "umap", "mapper", "dabest",
+    "tsne", "umap", "mapper",
 }
 
 

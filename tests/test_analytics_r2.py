@@ -710,3 +710,30 @@ def test_samr_matches_independent_recompute(spark):
         assert abs(got.loc[f, "qvalue"] - q) < 1e-9, (f, got.loc[f, "qvalue"], q)
     # the two true signals get the smallest q
     assert set(got["qvalue"].nsmallest(2).index) == {"f0", "f1"}
+
+
+def test_bootstrap_effect_sizes_cover_truth(spark):
+    rng = np.random.RandomState(15)
+    rows = []
+    for g, mu in [("a", 10.0), ("b", 7.0)]:
+        for si in range(12):
+            subj = f"{g}{si}"
+            for fi in range(4):
+                shift = 3.0 if fi == 0 else 0.0
+                rows.append((g, subj, f"f{fi}",
+                             float(rng.normal(mu if fi == 0 else 5.0, 0.5))))
+    df = spark.createDataFrame(
+        rows, "group string, subject string, feature string, value double")
+    out = {r["feature"]: r for r in
+           A.bootstrap_effect_sizes(df, "a", "b", n_boot=100, seed=3).collect()}
+    f0 = out["f0"]
+    assert 2.0 < f0["mean_diff"] < 4.0
+    assert f0["ci_low"] > 1.5 and f0["ci_high"] < 4.5
+    assert f0["ci_low"] < f0["mean_diff"] < f0["ci_high"]
+    # null features: CI straddles zero
+    f1 = out["f1"]
+    assert f1["ci_low"] < 0 < f1["ci_high"]
+    # deterministic for fixed seed
+    again = {r["feature"]: r for r in
+             A.bootstrap_effect_sizes(df, "a", "b", n_boot=100, seed=3).collect()}
+    assert again["f0"]["ci_low"] == f0["ci_low"]
