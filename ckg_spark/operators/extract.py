@@ -97,6 +97,13 @@ def extract_mentions(
       cores (the union form's 24M gram-string allocations are what
       saturated the memory subsystem).
     - 'union': one explode+join branch per alias length.
+    - 'slice': lead-equivalent but each token row carries its own
+      following-token window via slice() on the per-turn array — zero
+      window sort; streaming-safe (windows are forbidden on streams) and
+      the most noise-robust under contention (BENCH.md sweep).
+    - 'hash': 'slice' plus multi-gram candidates joined on
+      (n_words, xxhash64(window words)) long keys — zero gram-string
+      construction; fastest at low parallelism, slowest at 32 threads.
     - single_scan=True: one projection building every gram length (one
       input scan; for IO-bound cluster reads where re-scanning dominates).
     """
