@@ -1354,3 +1354,219 @@ def bootstrap_effect_sizes(df: DataFrame, group_a: str, group_b: str,
         .select("feature", (F.col("ma") - F.col("mb")).alias("mean_diff"))
     )
     return observed.join(cis, on="feature")
+
+
+# -- normalization umbrella (normalize_data, analytics.py:394-623) ------------
+
+def normalize_median_zero(df: DataFrame, by: str | list = "subject") -> DataFrame:
+    """median_zero_normalization (analytics.py:460): value minus the axis
+    median. `normalize_median` above already has exactly these semantics;
+    this is the reference-named entry point."""
+    return normalize_median(df, by=by)
+
+
+def normalize_median_centered(df: DataFrame, by: str | list = "subject",
+                              within: str | list | None = None) -> DataFrame:
+    """median_normalization (analytics.py:481): subtract
+    (axis median - grand median of the axis medians), recentring every
+    sample's median on the common median instead of on zero. The grand
+    median is an aggregate of the per-axis median table (one row per
+    `within` group, or a single row) — broadcast join, no second data
+    shuffle. `within` scopes the grand median so per-group normalization
+    never leaks a level shift across groups."""
+    keys = [by] if isinstance(by, str) else list(by)
+    med = df.groupBy(keys).agg(F.percentile("value", F.lit(0.5)).alias("_med"))
+    if within is not None:
+        wkeys = [within] if isinstance(within, str) else list(within)
+        grand = med.groupBy(wkeys).agg(
+            F.percentile("_med", F.lit(0.5)).alias("_gmed"))
+        joined = df.join(med, on=keys).join(F.broadcast(grand), on=wkeys)
+    else:
+        grand = med.agg(F.percentile("_med", F.lit(0.5)).alias("_gmed"))
+        joined = df.join(med, on=keys).crossJoin(F.broadcast(grand))
+    return (
+        joined
+        .withColumn("value", F.col("value") - (F.col("_med") - F.col("_gmed")))
+        .drop("_med", "_gmed")
+    )
+
+
+def normalize_linear(df: DataFrame, by: str | list = "feature",
+                     norm: str = "l1") -> DataFrame:
+    """linear_normalization (analytics.py:596, sklearn preprocessing.normalize
+    analog): scale each axis slice to unit L1/L2 norm; nulls contribute 0
+    (the reference fillna(0)s first)."""
+    keys = [by] if isinstance(by, str) else list(by)
+    v = F.coalesce(F.col("value"), F.lit(0.0))
+    agg = F.sum(F.abs(v)) if norm == "l1" else F.sqrt(F.sum(v * v))
+    nrm = df.groupBy(keys).agg(agg.alias("_nrm"))
+    return (
+        df.join(nrm, on=keys)
+        .withColumn(
+            "value",
+            F.when(F.col("_nrm") > 0, v / F.col("_nrm")).otherwise(F.lit(0.0)),
+        )
+        .drop("_nrm")
+    )
+
+
+def normalize_median_polish(df: DataFrame, max_iter: int = 250,
+                            tol: float = 1e-9,
+                            row_key: str | list = "subject",
+                            col_key: str | list = "feature") -> DataFrame:
+    """median_polish_normalization (analytics.py:536): Tukey's median polish.
+    Returns the FIT (value - final residual), matching the reference's
+    ``data - mediandf``.
+
+    Distribution: each sweep is two grouped exact-median passes (per row
+    key, then per column key) — fixed-key shuffles whose partitioning
+    Catalyst reuses across the join-back. Residuals are eagerly
+    localCheckpointed once per sweep to keep lineage flat across the driver
+    loop; convergence (both axis medians ~ 0) is checked with one extra
+    row-median aggregate per sweep (the column medians are exactly 0 right
+    after the column pass). Median polish converges in a handful of sweeps
+    on real matrices; max_iter matches the reference's backstop."""
+    rkeys = [row_key] if isinstance(row_key, str) else list(row_key)
+    ckeys = [col_key] if isinstance(col_key, str) else list(col_key)
+    res = df.withColumn("_res", F.col("value"))
+    for _ in range(max_iter):
+        rm = res.groupBy(rkeys).agg(F.percentile("_res", F.lit(0.5)).alias("_rm"))
+        res = (res.join(rm, on=rkeys)
+               .withColumn("_res", F.col("_res") - F.col("_rm")).drop("_rm"))
+        cm = res.groupBy(ckeys).agg(F.percentile("_res", F.lit(0.5)).alias("_cm"))
+        res = (res.join(cm, on=ckeys)
+               .withColumn("_res", F.col("_res") - F.col("_cm")).drop("_cm")
+               .localCheckpoint(eager=True))
+        worst_row_med = (
+            res.groupBy(rkeys)
+            .agg(F.abs(F.percentile("_res", F.lit(0.5))).alias("_m"))
+            .agg(F.max("_m").alias("_mm")).collect()[0]["_mm"]
+        )
+        if worst_row_med is None or worst_row_med <= tol:
+            break
+    return (res.withColumn("value", F.col("value") - F.col("_res"))
+            .drop("_res"))
+
+
+def normalize_data(df: DataFrame, method: str = "median",
+                   by: str | list = "subject") -> DataFrame:
+    """normalize_data (analytics.py:417): method-name dispatch over the
+    normalization family, same method strings as the reference."""
+    if method == "median_polish":
+        return normalize_median_polish(df)
+    if method == "median_zero":
+        return normalize_median_zero(df, by=by)
+    if method == "median":
+        return normalize_median_centered(df, by=by)
+    if method == "quantile":
+        return normalize_quantile(df, by=by)
+    if method == "linear":
+        return normalize_linear(df, by=by)
+    if method == "zscore":
+        return normalize_zscore(df, by=by)
+    raise KeyError(f"unknown normalization method {method!r}")
+
+
+def normalize_data_per_group(df: DataFrame, group: str = "group",
+                             method: str = "median",
+                             by: str = "subject") -> DataFrame:
+    """normalize_data_per_group (analytics.py:394): every group normalizes
+    independently. The reference loops groupby(group) on the driver; here
+    the group column simply widens the normalization key — one shuffle
+    total, groups never serialize."""
+    if method == "quantile":
+        # rank within (group, sample); rank means within (group, rank)
+        w = Window.partitionBy(group, by).orderBy(
+            F.col("value").asc(), F.col("feature").asc())
+        ranked = df.where(F.col("value").isNotNull()).withColumn(
+            "_rk", F.row_number().over(w))
+        rank_means = ranked.groupBy(group, "_rk").agg(
+            F.avg("value").alias("_rmean"))
+        return (ranked.join(rank_means, on=[group, "_rk"])
+                .withColumn("value", F.col("_rmean")).drop("_rk", "_rmean"))
+    if method == "median_polish":
+        return normalize_median_polish(
+            df, row_key=[group, "subject"], col_key=[group, "feature"])
+    if method == "median":
+        return normalize_median_centered(df, by=[group, by], within=group)
+    return normalize_data(df, method=method, by=[group, by])
+
+
+# -- QC marker analysis (run_qc_markers_analysis, analytics.py:2975) ----------
+
+def run_qc_markers_analysis(df: DataFrame, qc_markers: DataFrame,
+                            class_col: str = "class") -> DataFrame:
+    """run_qc_markers_analysis (analytics.py:2975): z-score each sample
+    across its features (the reference's zscore default axis), keep the
+    features present in the QC-marker table, tag each with its marker class
+    (a feature in k classes emits k rows, matching the reference's
+    per-class append loop).
+
+    qc_markers: (feature, class) — dictionary-scale, broadcast."""
+    z = normalize_zscore(df, by="subject")
+    markers = qc_markers.select(
+        "feature", F.col(class_col).alias("class")).distinct()
+    return (
+        z.join(F.broadcast(markers), on="feature")
+        .select("feature", "subject",
+                F.round(F.col("value"), 6).alias("z_score"),
+                "group", "class")
+    )
+
+
+# -- ranking with markers (get_ranking_with_markers, analytics.py:177) --------
+
+def get_ranking_with_markers(df: DataFrame, list_markers: list[str],
+                             annotation: dict[str, str] | None = None
+                             ) -> DataFrame:
+    """get_ranking_with_markers (analytics.py:177): long-format (name, y)
+    ranking decorated with marker plot attributes — symbol 17/size 25 for
+    known markers (0/7 otherwise) and 'X marker in <disease>' display names
+    for annotated ones. Marker list and annotation map are dictionary-scale
+    -> broadcast join, no driver-side row loop."""
+    ann = annotation or {}
+    spark = df.sparkSession
+    rows = [(m, ann.get(m)) for m in list_markers]
+    out = df.select(
+        "group", F.col("feature").alias("name"), F.col("value").alias("y")
+    ).dropDuplicates()
+    if not rows:
+        return (out.withColumn("symbol", F.lit(0))
+                .withColumn("size", F.lit(7)))
+    mdf = spark.createDataFrame(rows, "name string, _disease string")
+    mdf = mdf.withColumn("_is_marker", F.lit(True))
+    return (
+        out.join(F.broadcast(mdf), on="name", how="left")
+        .withColumn("symbol",
+                    F.when(F.col("_is_marker"), F.lit(17)).otherwise(F.lit(0)))
+        .withColumn("size",
+                    F.when(F.col("_is_marker"), F.lit(25)).otherwise(F.lit(7)))
+        .withColumn(
+            "name",
+            F.when(F.col("_disease").isNotNull(),
+                   F.concat(F.col("name"), F.lit(" marker in "),
+                            F.col("_disease"))).otherwise(F.col("name")))
+        .drop("_is_marker", "_disease")
+    )
+
+
+# -- functional PCA (analytics_factory.py:109) ---------------------------------
+
+def run_functional_pca(df: DataFrame, annotations: DataFrame,
+                       key: str = "nes", n_components: int = 2,
+                       **ssgsea_kw) -> DataFrame:
+    """functional_pca (analytics_factory.py:109-160): ssGSEA projection of
+    the measurement matrix into annotation space, then PCA over the
+    (subject x annotation) NES matrix. Pure composition of run_ssgsea and
+    run_pca — inherits their one-shuffle / Spark-ML postures."""
+    proj = run_ssgsea(df, annotations, **ssgsea_kw)
+    longd = proj.select(
+        "subject",
+        F.col("annotation").alias("feature"),
+        F.col(key).cast("double").alias("value"),
+    )
+    comps = run_pca(longd, n_components=n_components)
+    return comps.select(
+        "subject",
+        *[F.col("pc")[i].alias(f"pc{i + 1}") for i in range(n_components)],
+    )

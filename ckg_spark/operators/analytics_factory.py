@@ -27,6 +27,12 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
     "normalization_median": lambda df, **kw: A.normalize_median(df, **kw),
     "normalization_zscore": lambda df, **kw: A.normalize_zscore(df, **kw),
     "normalization_quantile": lambda df, **kw: A.normalize_quantile(df, **kw),
+    "normalization": lambda df, **kw: A.normalize_data(df, **kw),
+    "normalization_per_group": lambda df, **kw: A.normalize_data_per_group(df, **kw),
+    "qc_markers": lambda df, qc_markers=None, **kw: (
+        A.run_qc_markers_analysis(df, qc_markers, **kw)),
+    "ranking_with_markers": lambda df, list_markers=None, **kw: (
+        A.get_ranking_with_markers(df, list_markers or [], **kw)),
     # summaries
     "summary": lambda df, **kw: A.summary_stats(df),
     "coefficient_of_variation": lambda df, **kw: A.coefficient_of_variation(df),
@@ -59,6 +65,8 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
     "kaplan_meier": lambda df, **kw: A.run_kaplan_meier(df, **kw),
     # projection
     "ssgsea": lambda df, annotations=None, **kw: A.run_ssgsea(df, annotations, **kw),
+    "functional_pca": lambda df, annotations=None, **kw: (
+        A.run_functional_pca(df, annotations, **kw)),
     "repeated_measurements_correlation": lambda df, **kw: A.run_rm_correlation(df, **kw),
     "snf": lambda dfs, **kw: __import__(
         "ckg_spark.operators.snf", fromlist=["run_snf"]).run_snf(dfs, **kw),
