@@ -1359,6 +1359,35 @@ WHERE n - k - 1 >= 1 AND weight IS NOT NULL
 """
 
 
+def q49_median_centered_norm(spark, sf):
+    """§2.11 normalization umbrella: median-centered normalization
+    (median_normalization, reference analytics.py:481) — each user's
+    events recentred so the per-user median sits on the grand median of
+    all user medians. Per-user medians shuffle once; the one-row grand
+    median is broadcast."""
+    from .operators.analytics import normalize_median_centered
+
+    e = _t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("subject"),
+        F.col("event_id"),
+        F.col("value"),
+    )
+    out = normalize_median_centered(e, by="subject")
+    return out.select("event_id", F.round("value", 6).alias("mnorm"))
+
+
+Q49_SQL = """
+WITH med AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject, median(value) AS m
+  FROM events GROUP BY 1),
+g AS (SELECT median(m) AS gm FROM med)
+SELECT e.event_id, round(e.value - (med.m - g.gm), 6) AS mnorm
+FROM events e
+JOIN med ON CAST(e.user_id AS VARCHAR) = med.subject
+CROSS JOIN g
+"""
+
+
 QUERIES.update({
     "q42_twostage_fdr": (q42_twostage_fdr, Q42_SQL),
     "q43_multi_correlation": (q43_multi_correlation, Q43_SQL),
@@ -1367,4 +1396,5 @@ QUERIES.update({
     "q46_kaplan_meier": (q46_kaplan_meier, Q46_SQL),
     "q47_ssgsea": (q47_ssgsea, Q47_SQL),
     "q48_rm_correlation": (q48_rm_correlation, Q48_SQL),
+    "q49_median_centered_norm": (q49_median_centered_norm, Q49_SQL),
 })
