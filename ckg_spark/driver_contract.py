@@ -1180,7 +1180,7 @@ ranked AS (
   SELECT *, row_number() OVER (ORDER BY pvalue, annotation) AS rnk,
          count(*) OVER () AS m
   FROM fisher)
-SELECT annotation, hits, ann_size, round(pvalue, 6) AS pvalue,
+SELECT annotation, CAST(hits AS BIGINT) AS hits, ann_size, round(pvalue, 6) AS pvalue,
        round(least(min(pvalue * m / rnk) OVER (ORDER BY pvalue DESC, annotation DESC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) AS padj
 FROM ranked
@@ -1246,7 +1246,8 @@ r AS (
          n_g - coalesce(sum(p.c) OVER (PARTITION BY p.grp ORDER BY p.t
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
   FROM per_t p JOIN tot USING (grp))
-SELECT grp AS event_type, t AS duration, n_at_risk, d,
+SELECT grp AS event_type, t AS duration,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk, CAST(d AS BIGINT) AS d,
        round(CASE WHEN max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
                   OVER w > 0 THEN 0.0
              ELSE exp(coalesce(sum(CASE WHEN d < n_at_risk
