@@ -451,3 +451,103 @@ def chi2_sf(x: float, df: float) -> float:
     if not math.isfinite(x) or x < 0 or df <= 0:
         return float("nan")
     return _gammainc_q(df / 2.0, x / 2.0)
+
+
+def hedges_g(x: np.ndarray, y: np.ndarray, ddof: int = 1) -> float:
+    """The reference's ``cohens_d`` as used by power_analysis (reference
+    analytics.py:2600-2641): effect size with the std of the CONCATENATED
+    sample (``np.nanstd(concat, ddof)``, not the classic pooled-by-group
+    form) and the small-sample Hedges bias correction applied when
+    n1 + n2 < 50. Reimplemented from the published formula."""
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    x, y = x[~np.isnan(x)], y[~np.isnan(y)]
+    n1, n2 = len(x), len(y)
+    if n1 == 0 or n2 == 0:
+        return float("nan")
+    sd = float(np.concatenate([x, y]).std(ddof=ddof))
+    if sd == 0 or not math.isfinite(sd):
+        return float("nan")
+    g = (float(x.mean()) - float(y.mean())) / sd
+    n = n1 + n2
+    if n < 50:
+        g *= ((n - 3) / (n - 2.25)) * math.sqrt((n - 2) / n)
+    return float(g)
+
+
+def ncf_sf(x: float, df1: float, df2: float, nc: float) -> float:
+    """Noncentral-F survival function via the Poisson-weighted
+    incomplete-beta series:
+
+        P(F <= x) = sum_j Pois(j; nc/2) * I_q(df1/2 + j, df2/2),
+        q = df1*x / (df1*x + df2)
+
+    Weights are evaluated in log space over the +-10-sigma window around the
+    Poisson mode, so large noncentralities neither underflow nor truncate
+    (tail mass outside the window < 1e-12)."""
+    if x <= 0:
+        return 1.0
+    if nc <= 0:
+        return f_sf(x, df1, df2)
+    lam = nc / 2.0
+    q = df1 * x / (df1 * x + df2)
+    half = 10.0 * math.sqrt(lam) + 10.0
+    j_lo = max(0, int(lam - half))
+    j_hi = int(lam + half) + 1
+    sf = 0.0
+    for j in range(j_lo, j_hi + 1):
+        lw = -lam + j * math.log(lam) - math.lgamma(j + 1)
+        sf += math.exp(lw) * (1.0 - betainc(df1 / 2.0 + j, df2 / 2.0, q))
+    return min(max(sf, 0.0), 1.0)
+
+
+def f_isf(alpha: float, df1: float, df2: float) -> float:
+    """Inverse survival function of the central F distribution (critical
+    value), by bisection on ``f_sf`` (monotone decreasing)."""
+    lo, hi = 0.0, 1.0
+    for _ in range(200):
+        if f_sf(hi, df1, df2) < alpha:
+            break
+        hi *= 2.0
+    for _ in range(100):
+        mid = (lo + hi) / 2.0
+        if f_sf(mid, df1, df2) > alpha:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+def ftest_anova_power(effect_size: float, nobs: float, alpha: float,
+                      k_groups: int) -> float:
+    """Power of the one-way ANOVA F test (the FTestAnovaPower.power
+    contract the reference's power_analysis calls, analytics.py:2656):
+    df1 = k-1, df2 = nobs-k, noncentrality = effect_size^2 * nobs."""
+    df1 = k_groups - 1
+    df2 = nobs - k_groups
+    if df1 <= 0 or df2 <= 0:
+        return float("nan")
+    crit = f_isf(alpha, df1, df2)
+    return ncf_sf(crit, df1, df2, effect_size * effect_size * nobs)
+
+
+def solve_ftest_anova_nobs(effect_size: float, alpha: float, power: float,
+                           k_groups: int) -> float:
+    """Continuous total-sample-size solution of ftest_anova_power == power
+    (the reference's ``analysis.solve_power`` call, analytics.py:2668);
+    bisection — power is monotone increasing in nobs."""
+    lo = float(k_groups) + 1e-6
+    hi = float(k_groups) + 2.0
+    for _ in range(60):
+        if ftest_anova_power(effect_size, hi, alpha, k_groups) >= power:
+            break
+        hi *= 2.0
+        if hi > 1e8:
+            return float("inf")
+    for _ in range(80):
+        mid = (lo + hi) / 2.0
+        if ftest_anova_power(effect_size, mid, alpha, k_groups) < power:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0

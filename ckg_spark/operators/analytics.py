@@ -1570,3 +1570,112 @@ def run_functional_pca(df: DataFrame, annotations: DataFrame,
         "subject",
         *[F.col("pc")[i].alias(f"pc{i + 1}") for i in range(n_components)],
     )
+
+
+# -- polar-plot merge (reference analytics.py:2934-2977) ----------------------
+
+def merge_for_polar(df: DataFrame, regulators: DataFrame,
+                    theta_col: str = "modifier", aggr_func: str = "mean",
+                    normalize: bool = True) -> DataFrame:
+    """merge_for_polar (reference analytics.py:2934; dispatched at
+    analytics_factory.py:452-470): aggregate the (optionally z-scored) long
+    measurement table per (group, feature), inner-join the regulators map
+    (feature -> theta class, e.g. kinase 'modifier'), and re-aggregate per
+    (group, theta) with the same aggregator — the polar/radar-plot input.
+
+    Scale: two algebraic aggregations (mean/sum map-side combine; median via
+    percentile) plus ONE broadcast join — ``regulators`` is the
+    dictionary-scale regulator annotation, never shuffled against the
+    measurement stream. Output: (group, <theta_col>, value).
+    """
+    aggs = {
+        "mean": F.avg,
+        "median": lambda c: F.percentile(c, F.lit(0.5)),
+        "sum": F.sum,
+    }
+    if aggr_func not in aggs:
+        raise ValueError(f"aggr_func must be one of {sorted(aggs)}, got {aggr_func!r}")
+    agg = aggs[aggr_func]
+    if normalize:
+        df = normalize_zscore(df, by="feature")
+    per_group = df.groupBy("group", "feature").agg(agg("value").alias("value"))
+    joined = per_group.join(
+        F.broadcast(regulators.select("feature", theta_col).distinct()), on="feature"
+    )
+    return joined.groupBy("group", theta_col).agg(agg("value").alias("value"))
+
+
+# -- power analysis (reference analytics.py:2635-2672) ------------------------
+
+def run_power_analysis(df: DataFrame, alpha: float = 0.05, power: float = 0.8,
+                       min_n: int = 3, max_n: int = 150):
+    """power_analysis (reference analytics.py:2635): ANOVA power curves from
+    the observed effect-size distribution.
+
+    1. |Hedges g| for every (feature, group-pair) — computed ENTIRELY
+       JVM-side from per-(feature, group) count/sum/sum-of-squares
+       aggregates self-joined on feature (group count is dictionary-scale,
+       so the pair fan-out is bounded); matches the reference's
+       ``cohens_d(ddof=1)`` concatenated-sample form, including the
+       n < 50 Hedges small-sample correction.
+    2. The distinct effect sizes (the reference's Python ``set``) reduce to
+       4 driver-scale summary stats: 25th pct, mean, median, 75th pct
+       (Spark ``percentile`` is linear-interpolating, same as np.percentile).
+    3. Power curves over sample sizes [min_n, max_n) per summary effect size
+       and the continuous sample size achieving ``power`` at the mean effect
+       size — driver scalar math (noncentral-F series in functions/stats.py),
+       4 x ~150 rows.
+
+    Returns ``(sample_size, power_df)`` with power_df columns
+    (power double, n_samples int, label string) mirroring the reference's
+    ``(sample_size, power_df)`` tuple.
+    """
+    from ..functions.stats import ftest_anova_power, solve_ftest_anova_nobs
+
+    spark = df.sparkSession
+    per = df.where(F.col("value").isNotNull()).groupBy("feature", "group").agg(
+        F.count("value").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    a, b = per.alias("a"), per.alias("b")
+    j = a.join(b, on="feature").where(F.col("a.group") < F.col("b.group"))
+    nt = F.col("a.n") + F.col("b.n")
+    st = F.col("a.s") + F.col("b.s")
+    sst = F.col("a.ss") + F.col("b.ss")
+    concat_sd = F.sqrt((sst - st * st / nt) / (nt - 1))
+    g_raw = (F.col("a.s") / F.col("a.n") - F.col("b.s") / F.col("b.n")) / concat_sd
+    g = F.when(
+        nt < 50,
+        g_raw * ((nt - 3) / (nt - 2.25)) * F.sqrt((nt - 2) / nt),
+    ).otherwise(g_raw)
+    es = (
+        j.select(F.abs(g).alias("es"))
+        .where(F.col("es").isNotNull() & ~F.isnan("es"))
+        .distinct()
+    )
+    row = es.agg(
+        F.percentile("es", F.lit(0.25)).alias("q25"),
+        F.avg("es").alias("mean"),
+        F.percentile("es", F.lit(0.5)).alias("q50"),
+        F.percentile("es", F.lit(0.75)).alias("q75"),
+    ).collect()[0]
+    k_groups = df.select("group").distinct().count()
+
+    quantiles = ["25% qtl es", "mean es", "50% qtl es", "75% qtl es"]
+    summary_eff = [row["q25"], row["mean"], row["q50"], row["q75"]]
+    rows = []
+    for qname, es_v in zip(quantiles, summary_eff):
+        if es_v is None:
+            continue
+        label = "%s = %4.2F" % (qname, es_v)
+        for n in range(min_n, max_n):
+            rows.append((ftest_anova_power(es_v, n, alpha, k_groups), n, label))
+    power_df = spark.createDataFrame(
+        rows, "power double, n_samples int, label string"
+    )
+    sample_size = (
+        solve_ftest_anova_nobs(row["mean"], alpha, power, k_groups)
+        if row["mean"] is not None else float("nan")
+    )
+    return sample_size, power_df

@@ -31,6 +31,9 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
     "normalization_per_group": lambda df, **kw: A.normalize_data_per_group(df, **kw),
     "qc_markers": lambda df, qc_markers=None, **kw: (
         A.run_qc_markers_analysis(df, qc_markers, **kw)),
+    # reference-literal spelling (analytics_factory.py:286)
+    "qcmarkers": lambda df, qc_markers=None, **kw: (
+        A.run_qc_markers_analysis(df, qc_markers, **kw)),
     "ranking_with_markers": lambda df, list_markers=None, **kw: (
         A.get_ranking_with_markers(df, list_markers or [], **kw)),
     # summaries
@@ -57,8 +60,16 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
         A.run_regulation_enrichment(reg, annotations, **kw)),
     "up_down_regulation_enrichment": lambda reg, annotations=None, **kw: (
         A.run_up_down_regulation_enrichment(reg, annotations, **kw)),
+    # reference-literal spelling (analytics_factory.py:501)
+    "up_down_enrichment": lambda reg, annotations=None, **kw: (
+        A.run_up_down_regulation_enrichment(reg, annotations, **kw)),
     "site_regulation_enrichment": lambda reg, annotations=None, **kw: (
         A.run_site_regulation_enrichment(reg, annotations, **kw)),
+    # reference-literal spelling (analytics_factory.py:537)
+    "regulation_site_enrichment": lambda reg, annotations=None, **kw: (
+        A.run_site_regulation_enrichment(reg, annotations, **kw)),
+    "merge_for_polar": lambda reg, regulators=None, **kw: (
+        A.merge_for_polar(reg, regulators, **kw)),
     "correlation": lambda df, **kw: A.pairwise_correlation(df, **kw),
     "multi_correlation": lambda dfs, **kw: A.run_multi_correlation(dfs, **kw),
     # survival
@@ -82,10 +93,28 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
 }
 
 # reference analysis_type names that are deliberately out of scope here
-# (driver-scale library tails; see COVERAGE.md §2.11)
+# (driver-scale library tails; see COVERAGE.md §2.11).
+# publications_abstracts (reference analytics_factory.py:628 ->
+# analytics.py:2844 get_publications_abstracts) is a live NCBI PubMed
+# web fetch, not a compute operator — out of engine scope by design.
 _UNSUPPORTED = {
-    "tsne", "umap", "mapper",
+    "tsne", "umap", "mapper", "publications_abstracts",
 }
+
+# the reference's complete analysis_type dispatch-string list
+# (ckg/analytics_core/analytics_factory.py:82-679, one per `analysis_type ==`
+# branch); tests assert every one of these either dispatches or raises the
+# documented NotImplementedError — never KeyError.
+REFERENCE_ANALYSIS_TYPES = (
+    "wide_format", "summary", "normalization", "pca", "functional_pca",
+    "tsne", "umap", "mapper", "ttest", "anova", "ancova", "qcmarkers",
+    "samr", "2-way anova", "repeated_measurements_anova", "mixed_anova",
+    "dabest", "correlation", "repeated_measurements_correlation",
+    "merge_for_polar", "regulation_enrichment", "up_down_enrichment",
+    "regulation_site_enrichment", "ssgsea", "long_format",
+    "ranking_with_markers", "coefficient_of_variation",
+    "publications_abstracts", "wgcna", "kaplan_meier", "multi_correlation",
+)
 
 
 def available() -> list[str]:
@@ -98,8 +127,8 @@ def generate_result(analysis_type: str, data: DataFrame, **kwargs: Any) -> DataF
         return _DISPATCH[analysis_type](data, **kwargs)
     if analysis_type in _UNSUPPORTED:
         raise NotImplementedError(
-            f"analysis_type {analysis_type!r} is a driver-scale library tail "
-            f"the engine does not reimplement (see COVERAGE.md §2.11)"
+            f"analysis_type {analysis_type!r} is deliberately out of engine "
+            f"scope (viz-embedding or web-fetch tail; see COVERAGE.md §2.11)"
         )
     raise KeyError(f"unknown analysis_type {analysis_type!r}; "
                    f"available: {available()}")

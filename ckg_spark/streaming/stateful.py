@@ -100,9 +100,34 @@ def _first_mentions_fn(
     yield from outs
 
 
+def check_state_timeout_support(timeout_conf: str) -> None:
+    """Capability probe for applyInPandasWithState timeout modes.
+
+    In this PySpark line (4.1.x), requesting ProcessingTimeTimeout crashes
+    the Python WORKER mid-query (bisected: NoTimeout + array state is fine,
+    ProcessingTimeTimeout crashes even on the upstream doc example), and the
+    successor API (transformWithStateInPandas with ValueState TTL) needs
+    protobuf, which this environment lacks. Fail fast on the driver with the
+    caveat instead of letting an executor die mid-stream.
+    """
+    if timeout_conf == GroupStateTimeout.NoTimeout:
+        return
+    import pyspark
+
+    if pyspark.__version__.startswith("4.1."):
+        raise NotImplementedError(
+            f"GroupStateTimeout {timeout_conf!r} is known-broken with "
+            f"applyInPandasWithState on PySpark {pyspark.__version__} "
+            f"(worker crash; see ckg_spark/streaming/stateful.py docstring). "
+            f"Use NoTimeout, or transformWithStateInPandas TTL where "
+            f"protobuf is available."
+        )
+
+
 def first_mentions_stateful(
     stream_turns: DataFrame,
     vocab_tables: dict,
+    timeout_conf: str = GroupStateTimeout.NoTimeout,
 ) -> DataFrame:
     """Per-conversation first-mention events (custom stateful operator).
 
@@ -116,9 +141,12 @@ def first_mentions_stateful(
     crashes the Python worker (bisected: NoTimeout + array state works,
     ProcessingTimeTimeout crashes even on the doc example), and the
     successor API (transformWithStateInPandas, ValueState TTL) needs
-    protobuf, absent from the container. NoTimeout is used here; the
+    protobuf, absent from the container. ``check_state_timeout_support``
+    guards the request so a caller asking for eviction fails fast on the
+    driver with the documented caveat instead of crashing a worker; the
     operator contract and tests are unchanged by the eviction policy.
     """
+    check_state_timeout_support(timeout_conf)
     linked = linked_mention_stream(stream_turns, vocab_tables)
     per_conv = linked.select(
         "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
@@ -129,5 +157,5 @@ def first_mentions_stateful(
         outputStructType=_FIRST_MENTION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )

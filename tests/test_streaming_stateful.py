@@ -128,3 +128,22 @@ def test_first_mentions_stateful_dedups_across_batches(
     )
     assert set(map(tuple, got[["conv_id", "ident"]].values)) == \
         set(map(tuple, exp[["conv_id", "ident"]].values))
+
+
+def test_processing_time_timeout_guard_raises_cleanly(spark, vocab_tables):
+    """The known-broken ProcessingTimeTimeout path must fail fast on the
+    driver with the documented caveat (round-2 verdict item 9), not crash a
+    worker mid-stream."""
+    import pytest
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ckg_spark.streaming import stateful as SS
+
+    SS.check_state_timeout_support(GroupStateTimeout.NoTimeout)  # fine
+    with pytest.raises(NotImplementedError, match="known-broken"):
+        SS.check_state_timeout_support(GroupStateTimeout.ProcessingTimeTimeout)
+    dummy = spark.readStream.format("rate").load()
+    with pytest.raises(NotImplementedError, match="known-broken"):
+        SS.first_mentions_stateful(
+            dummy, vocab_tables,
+            timeout_conf=GroupStateTimeout.ProcessingTimeTimeout)
