@@ -45,12 +45,104 @@ def attach_fake_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFr
     )
 
 
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Pure-Python decoder for uncompressed 24-bit BMP (the BITMAPINFOHEADER
+    layout from the public format spec). Returns (h, w, 3) uint8 RGB, or
+    None if the payload is not a BMP this decoder supports."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        return None
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    bottom_up = height > 0
+    h = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(payload) < off + row_bytes * h:
+        return None
+    rows = []
+    for r in range(h):
+        src = off + r * row_bytes
+        row = np.frombuffer(payload[src:src + width * 3], dtype=np.uint8)
+        rows.append(row.reshape(width, 3)[:, ::-1])  # BGR -> RGB
+    arr = np.stack(rows)
+    return arr[::-1] if bottom_up else arr
+
+
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """Pure-Python decoder for binary PPM (P6, maxval <= 255). Returns
+    (h, w, 3) uint8 RGB or None."""
+    if payload is None or not payload.startswith(b"P6"):
+        return None
+    # header = magic, width, height, maxval as whitespace-separated tokens,
+    # with '#' comments allowed between them
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None
+    pos += 1  # single whitespace after maxval
+    need = w * h * 3
+    if len(payload) < pos + need:
+        return None
+    return np.frombuffer(payload[pos:pos + need], dtype=np.uint8).reshape(h, w, 3)
+
+
+def _image_features(arr: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM real statistics from decoded pixels: dims/aspect, per-
+    channel mean+std, global min/max, luma mean/std, mean horizontal
+    gradient, bright/dark pixel fractions."""
+    f = arr.astype(np.float64)
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    grad = np.abs(np.diff(luma, axis=1)).mean() if arr.shape[1] > 1 else 0.0
+    feats = [
+        float(arr.shape[1]), float(arr.shape[0]), arr.shape[1] / arr.shape[0],
+        f[..., 0].mean(), f[..., 1].mean(), f[..., 2].mean(),
+        f[..., 0].std(), f[..., 1].std(), f[..., 2].std(),
+        float(f.min()), float(f.max()),
+        float(luma.mean()), float(luma.std()), float(grad),
+        float((luma > 128).mean()), float((luma < 64).mean()),
+    ]
+    return np.asarray(feats, dtype=np.float32)
+
+
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """Deterministic fake feature extraction. A real deployment replaces this
-    with PIL.Image.open / librosa.load etc.; everything around it (Arrow
-    batching, schema, partitioning) is unchanged."""
+    """Feature extraction with a REAL pure-Python pixel path for BMP/PPM
+    images (no external image libs needed) and a deterministic fake for
+    formats whose codecs don't ship in this container (JPEG/PNG/audio/video
+    would be PIL/librosa one-liners in deployment; the Arrow batching,
+    schema, and partitioning around this function are format-agnostic)."""
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for kind={kind!r}")
+    if kind == "image":
+        arr = decode_bmp(payload)
+        if arr is None:
+            arr = decode_ppm(payload)
+        if arr is not None:
+            return _image_features(arr)
     h = hashlib.sha256(payload or b"").digest()
     seed = int.from_bytes(h[:8], "big") % (2**32)
     rng = np.random.default_rng(seed)

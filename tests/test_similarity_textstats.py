@@ -215,3 +215,64 @@ def test_ivf_train_deterministic(spark):
     c1 = S.ivf_train(df, n_clusters=4, iters=3, seed=7)
     c2 = S.ivf_train(df, n_clusters=4, iters=3, seed=7)
     assert c1 == c2
+
+
+def _make_bmp(arr):
+    """Independent 24-bit bottom-up BMP encoder (format spec, not the
+    decoder under test)."""
+    import struct
+
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pix = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = arr[r][:, ::-1].tobytes()  # RGB -> BGR
+        pix += row + b"\x00" * (row_bytes - len(row))
+    off = 14 + 40
+    size = off + len(pix)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + bytes(pix)
+
+
+def test_bmp_decode_real_pixel_features(spark):
+    """decode_features produces REAL pixel statistics for BMP payloads
+    (round-2 verdict item 7): known 2x3 image -> exact channel means/stds."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[10, 20, 30], [40, 50, 60], [70, 80, 90]]], dtype=np.uint8)
+    payload = _make_bmp(arr)
+    # direct decoder roundtrip
+    got = MM.decode_bmp(payload)
+    np.testing.assert_array_equal(got, arr)
+
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "kind": ["image"],
+                      "payload": [payload]}))
+    feats = MM.decode_features(media).collect()[0]["features"]
+    f = arr.astype(np.float64)
+    assert abs(feats[0] - 3.0) < 1e-6 and abs(feats[1] - 2.0) < 1e-6  # w, h
+    np.testing.assert_allclose(feats[3:6], [f[..., c].mean() for c in range(3)], rtol=1e-6)
+    np.testing.assert_allclose(feats[6:9], [f[..., c].std() for c in range(3)], rtol=1e-6)
+    assert feats[9] == 0.0 and feats[10] == 255.0  # min/max
+
+
+def test_ppm_decode(spark):
+    import numpy as np
+
+    arr = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    payload = b"P6\n# a comment\n2 2\n255\n" + arr.tobytes()
+    got = MM.decode_ppm(payload)
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_non_bmp_payload_falls_back_to_deterministic_fake(spark):
+    import numpy as np
+
+    a = MM._decode_stub(b"not an image", "image")
+    b = MM._decode_stub(b"not an image", "image")
+    np.testing.assert_array_equal(a, b)
+    assert len(a) == MM.FEATURE_DIM
