@@ -1399,3 +1399,136 @@ QUERIES.update({
     "q48_rm_correlation": (q48_rm_correlation, Q48_SQL),
     "q49_median_centered_norm": (q49_median_centered_norm, Q49_SQL),
 })
+
+
+def q50_merge_for_polar(spark, sf):
+    """§2.11 merge_for_polar (reference analytics.py:2934, dispatch
+    analytics_factory.py:452): z-score per feature, mean per (group,
+    feature), broadcast-join the regulators map, re-mean per (group,
+    modifier). Two algebraic aggregations + one broadcast join."""
+    from .operators.analytics import merge_for_polar
+
+    e = _t(spark, sf, "events")
+    long = e.select(
+        F.concat(F.lit("g"), (F.col("user_id") % 3).cast("string")).alias("group"),
+        F.col("event_type").alias("feature"),
+        F.col("value"),
+    )
+    reg = (
+        e.select(F.col("event_type").alias("feature")).distinct()
+        .select("feature",
+                F.when(F.col("feature") < "m", F.lit("up"))
+                 .otherwise(F.lit("down")).alias("modifier"))
+    )
+    out = merge_for_polar(long, reg, aggr_func="mean", normalize=True)
+    return out.select(
+        F.col("group").alias("grp"), "modifier",
+        F.round("value", 6).alias("value"))
+
+
+Q50_SQL = """
+WITH long AS (
+  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS grp, event_type AS feature, value
+  FROM events),
+z AS (
+  SELECT grp, feature,
+         CASE WHEN stddev_samp(value) OVER (PARTITION BY feature) > 0
+              THEN (value - avg(value) OVER (PARTITION BY feature))
+                   / stddev_samp(value) OVER (PARTITION BY feature) END AS value
+  FROM long),
+pg AS (SELECT grp, feature, avg(value) AS value FROM z GROUP BY 1, 2),
+reg AS (SELECT DISTINCT event_type AS feature,
+               CASE WHEN event_type < 'm' THEN 'up' ELSE 'down' END AS modifier
+        FROM events)
+SELECT pg.grp, reg.modifier, round(avg(pg.value), 6) AS value
+FROM pg JOIN reg USING (feature)
+GROUP BY 1, 2
+"""
+
+
+def q51_fold_change(spark, sf):
+    """§2.11 fold_change + Cohen's d (reference analytics.py:2522): two
+    pseudo-groups by user parity over events; one aggregation + self-join
+    on the dictionary-scale (feature, group) stats."""
+    from .operators.analytics import fold_change
+
+    e = _t(spark, sf, "events")
+    long = e.select(
+        F.col("event_type").alias("feature"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("group"),
+        F.col("value"),
+    )
+    out = fold_change(long, "a", "b")
+    return out.select(
+        "feature", F.round("log_fc", 6).alias("log_fc"),
+        F.round("cohens_d", 6).alias("cohens_d"))
+
+
+Q51_SQL = """
+WITH long AS (
+  SELECT event_type AS feature,
+         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp, value
+  FROM events),
+s AS (SELECT feature, grp, avg(value) AS m, var_samp(value) AS v, count(value) AS n
+      FROM long GROUP BY 1, 2),
+j AS (SELECT a.feature, a.m AS ma, b.m AS mb, a.v AS va, b.v AS vb,
+             a.n AS na, b.n AS nb
+      FROM s a JOIN s b USING (feature) WHERE a.grp = 'a' AND b.grp = 'b')
+SELECT feature, round(ma - mb, 6) AS log_fc,
+       round(CASE WHEN sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)) > 0
+             THEN (ma - mb) / sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+             END, 6) AS cohens_d
+FROM j
+"""
+
+
+def q52_ks_dstat(spark, sf):
+    """§2.11 Kolmogorov-Smirnov D per feature (reference
+    run_kolmogorov_smirnov, analytics.py:2256): the D statistic is the max
+    CDF gap at the data points — cumulative-count windows make it
+    SQL-expressible (the asymptotic p-value stays pytest-verified, its
+    Kolmogorov series is not SQL)."""
+    from .operators.analytics import run_ks_test
+
+    e = _t(spark, sf, "events")
+    long = e.select(
+        F.col("event_type").alias("feature"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("group"),
+        F.col("value"),
+    )
+    out = run_ks_test(long, "a", "b")
+    return out.select("feature", F.round("ks_d", 6).alias("ks_d"))
+
+
+Q52_SQL = """
+WITH long AS (
+  SELECT event_type AS feature,
+         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp, value
+  FROM events WHERE value IS NOT NULL),
+counts AS (
+  SELECT feature,
+         sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS nb
+  FROM long GROUP BY 1),
+pv AS (
+  SELECT feature, value,
+         sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM long GROUP BY 1, 2),
+cum AS (
+  SELECT feature, value,
+         sum(ca) OVER (PARTITION BY feature ORDER BY value) AS cum_a,
+         sum(cb) OVER (PARTITION BY feature ORDER BY value) AS cum_b
+  FROM pv)
+SELECT c.feature,
+       round(max(abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)), 6) AS ks_d
+FROM cum c JOIN counts USING (feature)
+GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "q50_merge_for_polar": (q50_merge_for_polar, Q50_SQL),
+    "q51_fold_change": (q51_fold_change, Q51_SQL),
+    "q52_ks_dstat": (q52_ks_dstat, Q52_SQL),
+})
