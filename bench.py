@@ -160,10 +160,16 @@ def _scaling_child(cpus: int) -> dict:
 
     vocab, tpath = _ensure_bench_inputs()
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    # SPARK_GRAFT_SCALING_PARTS pins shuffle + repartition width across
+    # levels for a PLAN-IDENTICAL comparison (same physical plan, different
+    # slot count — the cleanest two-cluster-sizes analog when combined with
+    # --scaling-pinned's taskset cap).
+    fixed = os.environ.get("SPARK_GRAFT_SCALING_PARTS")
+    parts = int(fixed) if fixed else None
     spark = get_spark(f"bench_scaling_{cpus}", cpus=cpus,
-                      shuffle_partitions=max(8, 2 * cpus))
+                      shuffle_partitions=parts or max(8, 2 * cpus))
     t_jvm0 = _jvm_cpu_sec(spark)
-    out = run_kg_pipeline(spark, vocab, tpath)
+    out = run_kg_pipeline(spark, vocab, tpath, partitions=parts)
     out["cpus"] = cpus
     # CPU-seconds burned by the JVM during the pipeline window: utilization
     # + CPU-time inflation evidence for the scaling table (the same logical
@@ -190,7 +196,7 @@ def _jvm_cpu_sec(spark) -> float | None:
         return None
 
 
-def run_scaling(levels=(2, 8), trials: int = 3) -> dict:
+def run_scaling(levels=(2, 8), trials: int = 3, pin: bool = False) -> dict:
     """N -> 4N scaling evidence (sandbox stand-in for 2 cluster sizes).
 
     Levels default to local[2] -> local[8]: this box reports 32 hardware
@@ -201,14 +207,22 @@ def run_scaling(levels=(2, 8), trials: int = 3) -> dict:
     shared sandbox. On a real multi-executor cluster each executor owns its
     memory subsystem, so N->4N executors is the faithful analog of 2->8
     cores here.
+
+    Pinned mode (``pin=True`` / ``--scaling-pinned``): each child JVM runs
+    under ``taskset -c`` on exactly N physical cores (this box has no SMT —
+    1 thread/core), so the "local[2] actually burns 3.16 effective cores
+    via GC/IO threads" confound (BENCH.md round-2 accounting) is physically
+    impossible: the OS scheduler caps the whole process tree at N cores.
+    This is the cgroup-equivalent experiment the round-2 verdict asked for
+    to settle the N -> 4N gate.
     """
     trials_by_level: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(trials):
         for c in levels:
-            p = subprocess.run(
-                [sys.executable, __file__, "--scaling-child", str(c)],
-                capture_output=True, text=True, cwd=REPO,
-            )
+            cmd = [sys.executable, __file__, "--scaling-child", str(c)]
+            if pin:
+                cmd = ["taskset", "-c", f"0-{c - 1}"] + cmd
+            p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
             line = p.stdout.strip().splitlines()[-1]
             trials_by_level[c].append(json.loads(line))
     best = {c: max(rs, key=lambda r: r["triples_per_sec"])
@@ -217,9 +231,12 @@ def run_scaling(levels=(2, 8), trials: int = 3) -> dict:
     ratio = hi["cpus"] / lo["cpus"]
     speedup = hi["triples_per_sec"] / lo["triples_per_sec"]
     return {
+        "pinned": pin,
         "levels": [best[c] for c in levels],
         "all_trials": {str(c): [r["kg_sec"] for r in rs]
                        for c, rs in trials_by_level.items()},
+        "cpu_util_of_cores": {str(c): [r.get("cpu_util_of_cores") for r in rs]
+                              for c, rs in trials_by_level.items()},
         "core_ratio": ratio,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(speedup / ratio, 3),
@@ -231,5 +248,7 @@ if __name__ == "__main__":
         print(json.dumps(_scaling_child(int(sys.argv[2]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-pinned":
+        print(json.dumps(run_scaling(pin=True)))
     else:
         print(json.dumps(run_bench()))

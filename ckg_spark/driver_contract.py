@@ -1532,3 +1532,103 @@ QUERIES.update({
     "q51_fold_change": (q51_fold_change, Q51_SQL),
     "q52_ks_dstat": (q52_ks_dstat, Q52_SQL),
 })
+
+
+def q53_gopher_quality(spark, sf):
+    """Gopher document-quality rules (Rae et al. 2021 A1) over documents —
+    pure JVM higher-order-array expressions; thresholds tuned so the
+    synthetic corpus splits into keep/drop (min_words=50, 1 stopword)."""
+    from .operators.textstats import gopher_quality_flags
+
+    docs = _t(spark, sf, "documents")
+    out = gopher_quality_flags(docs, min_words=50, min_stopword_hits=1)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        F.col("stopword_hits").cast("long").alias("stopword_hits"),
+        "keep",
+    )
+
+
+Q53_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                     x -> x <> '') AS toks,
+         coalesce(text, '') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         greatest(len(toks), 1) AS nw,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / greatest(len(toks), 1) AS mean_word_len,
+         (length(t) - length(replace(t, '#', ''))
+          + (length(t) - length(replace(t, '...', ''))) / 3
+          + length(t) - length(replace(t, '…', ''))) AS n_sym,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS stopword_hits
+  FROM base)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(CAST(n_sym AS DOUBLE) / nw, 6) AS symbol_word_ratio,
+       round(CAST(n_alpha AS DOUBLE) / nw, 6) AS alpha_word_frac,
+       CAST(stopword_hits AS BIGINT) AS stopword_hits,
+       (n_words BETWEEN 50 AND 100000)
+         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND (CAST(n_sym AS DOUBLE) / nw <= 0.1)
+         AND (CAST(n_alpha AS DOUBLE) / nw >= 0.8)
+         AND (stopword_hits >= 1) AS keep
+FROM m
+"""
+
+
+def q54_c4_line_filter(spark, sf):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2). The single-line
+    synthetic docs are first split into sentence-ish lines by a shared
+    deterministic replace (' table ' -> '.\\n') so the terminal-punctuation
+    and min-words rules actually discriminate."""
+    from .operators.textstats import c4_line_filter
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text"),
+    )
+    out = c4_line_filter(docs, min_line_words=5)
+    return out.select(
+        "doc_id", "clean_text",
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_lines_total").cast("long").alias("n_lines_total"),
+    )
+
+
+Q54_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         string_split(replace(coalesce(text, ''), ' table ', '.' || chr(10)),
+                      chr(10)) AS lines
+  FROM documents),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, l ->
+           regexp_matches(rtrim(l), '[.!?"'']$')
+           AND len(string_split_regex(trim(l), '\\s+')) >= 5
+           AND NOT contains(lower(l), 'javascript')
+           AND NOT contains(lower(l), 'lorem ipsum')
+           AND NOT contains(lower(l), '{')) AS kept
+  FROM base)
+SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(len(lines) AS BIGINT) AS n_lines_total
+FROM k
+"""
+
+
+QUERIES.update({
+    "q53_gopher_quality": (q53_gopher_quality, Q53_SQL),
+    "q54_c4_line_filter": (q54_c4_line_filter, Q54_SQL),
+})

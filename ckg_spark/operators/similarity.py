@@ -344,3 +344,82 @@ def ivf_topk(spark, index_dir: str, query: list[float], k: int = 10,
                      F.col("v").alias(m["vec_col"])),
         query, k=k, id_col=m["id_col"], vec_col=m["vec_col"],
     )
+
+
+def _ivf_probe_udf(centroids: list[list[float]], n_probe: int):
+    """Vectorized per-query probe list: the ``n_probe`` nearest centroids by
+    L2 (argpartition over the tiny (batch x n_clusters) score matrix)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    half_norms = 0.5 * (C * C).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        scores = V @ C.T - half_norms          # argmax == nearest by L2
+        order = np.argsort(-scores, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probes
+
+
+def ivf_topk_batch(spark, index_dir: str, queries: DataFrame, k: int = 10,
+                   n_probe: int = 2, query_id_col: str = "query_id",
+                   query_vec_col: str = "embedding",
+                   broadcast_queries: bool = True) -> DataFrame:
+    """Batch ANN over a persisted IVF index: approximate top-k for EVERY row
+    of ``queries`` in one distributed join — the retrieval/dedup shape a
+    100-TB pipeline needs (millions of queries; a driver loop over
+    ``ivf_topk`` would serialize them).
+
+    Plan: (1) vectorized centroid scoring assigns each query its ``n_probe``
+    nearest clusters (Arrow-batched pandas UDF against the tiny centroid
+    matrix) and explodes to (cluster, query); (2) join the cluster-
+    partitioned index on ``cluster`` — with ``broadcast_queries`` (the
+    dictionary-scale default) Spark's dynamic partition pruning skips
+    unprobed index partitions entirely, mirroring the single-query path's
+    manifest pruning; (3) exact cosine rerank with the JVM zip_with dot
+    product; (4) per-query top-k window (ties broken by id). Returns
+    (query_id, vec_id-named id col, cosine, rank).
+    """
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    from ..plans import lineage as LIN
+
+    with open(os.path.join(index_dir, "ivf_manifest.json")) as f:
+        m = json.load(f)
+    probes = _ivf_probe_udf(m["centroids"], n_probe)
+    qx = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        F.explode(probes(F.col(query_vec_col))).alias("cluster"),
+    )
+    qn = F.sqrt(F.aggregate(
+        F.col("qv"), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    qx = qx.withColumn("qnorm", qn)
+    if broadcast_queries:
+        qx = F.broadcast(qx)
+    idx = LIN.read_stage(spark, index_dir, "ivf_rows")
+    joined = idx.join(qx, on="cluster")
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    vnorm = F.sqrt(F.aggregate(
+        F.col("v"), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    scored = joined.select(
+        "query_id", F.col("id").alias(m["id_col"]),
+        (dot / (vnorm * F.col("qnorm"))).alias("cosine"),
+    ).dropDuplicates(["query_id", m["id_col"]])  # same id via 2 probed clusters
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(m["id_col"]).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -168,3 +168,112 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_best(c).alias("lang_guess"),
         doc_fingerprint(c).alias("fingerprint"),
     )
+
+
+# -- corpus-level quality filters (Gopher / C4 style) -------------------------
+#
+# Training-data cleaning rules from the published corpus pipelines:
+# Gopher's document-quality heuristics (Rae et al. 2021, appendix A1) and
+# C4's line-level cleaning (Raffel et al. 2020, §2.2). Pure JVM column
+# expressions — higher-order array functions, zero Python — so they run
+# inside whole-stage codegen over a 100-TB documents table and push the
+# ``keep`` predicate down to the scan when used as a filter.
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_words: int = 50, max_words: int = 100_000,
+    min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9, max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8, min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality metrics + rule flags + overall ``keep``.
+
+    Every metric is a JVM expression over the token/line arrays:
+    word-count bounds, mean word length window, symbol-to-word ratio
+    (hash + ellipsis), bullet-start and ellipsis-end line fractions,
+    alphabetic-word fraction, and the stop-word-presence count
+    (``array_intersect`` against an 8-word literal array — the Gopher
+    "contains at least N of ..." rule).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    ).cast("double") / nw
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+        + F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = (n_hash + n_ell) / nw
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.size(F.filter(
+        lines, lambda l: F.ltrim(l).rlike("^[-*•●▪]")
+    )) / n_lines
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$")
+    )) / n_lines
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / nw
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    ))
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("keep", keep)
+
+
+C4_BLOCKLIST = ["javascript", "lorem ipsum", "{"]
+
+
+def c4_line_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_line_words: int = 5,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines that end
+    in terminal punctuation, carry at least ``min_line_words`` words, and
+    contain no blocklisted substring; rebuild the document from kept lines.
+
+    Returns (id, clean_text, n_lines_kept, n_lines_total). Narrow JVM map —
+    no shuffle, codegen-friendly, safe to chain before tokenization."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+
+    def line_ok(l):
+        ok = F.rtrim(l).rlike("[.!?\"']$")
+        ok = ok & (F.size(F.split(F.trim(l), r"\s+")) >= min_line_words)
+        low = F.lower(l)
+        for b in C4_BLOCKLIST:
+            ok = ok & ~low.contains(b)
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).alias("n_lines_kept"),
+        F.size(lines).alias("n_lines_total"),
+    )

@@ -1,0 +1,87 @@
+"""Gopher / C4 corpus quality filters (textstats round-3 additions)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ckg_spark.operators.textstats import c4_line_filter, gopher_quality_flags
+
+
+def test_gopher_flags_rules(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            # passes everything (with relaxed thresholds below)
+            "the quick brown fox jumps over the lazy dog and that is all of it",
+            # too short
+            "tiny doc",
+            # symbol flood (hashes)
+            "the doc with ### many #### hashes ## of spam # and that # to be",
+            # bullet lines dominate
+            "- the first bullet\n- and another bullet\n- that is all of them",
+            # non-alphabetic words dominate
+            "111 222 333 444 555 666 777 888 999 000 123 456 789 012 345",
+        ],
+    }))
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            docs, min_words=10, min_stopword_hits=2,
+            max_bullet_line_frac=0.5).collect()
+    }
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False and out[1]["n_words"] == 2
+    assert out[2]["keep"] is False and out[2]["symbol_word_ratio"] > 0.1
+    assert out[3]["bullet_line_frac"] == 1.0 and out[3]["keep"] is False
+    assert out[4]["alpha_word_frac"] == 0.0 and out[4]["keep"] is False
+
+
+def test_gopher_ellipsis_and_mean_word_len(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [
+            "a trailing line...\nanother trailing one…\nplain line here",
+            "extraordinarily hippopotamus internationalization",  # long words
+        ],
+    }))
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert abs(out[0]["ellipsis_line_frac"] - 2 / 3) < 1e-9
+    assert out[1]["mean_word_len"] > 10 and out[1]["keep"] is False
+
+
+def test_c4_line_filter(spark):
+    text = "\n".join([
+        "This line has enough words and ends well.",   # kept
+        "Too short.",                                   # < 5 words
+        "This line has enough words but no terminal punctuation",  # no punct
+        "Enable javascript to view this page properly.",  # blocklist
+        "Another perfectly fine sentence with many words in it!",  # kept
+        "A curly { brace means template junk appears here.",  # blocklist
+    ])
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [7], "text": [text]}))
+    row = c4_line_filter(docs).collect()[0]
+    assert row["n_lines_total"] == 6
+    assert row["n_lines_kept"] == 2
+    assert row["clean_text"].splitlines() == [
+        "This line has enough words and ends well.",
+        "Another perfectly fine sentence with many words in it!",
+    ]
+
+
+def test_c4_null_and_empty(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [None, ""]}))
+    rows = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert rows[1]["n_lines_kept"] == 0 and rows[1]["clean_text"] == ""
+    assert rows[2]["n_lines_kept"] == 0
+
+
+def test_gopher_keep_pushdown_is_jvm_only(spark):
+    """The whole filter chain stays in codegen: no BatchEvalPython /
+    ArrowEvalPython nodes in the plan (UDF-discipline regression guard)."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["some text here"]}))
+    plan = (
+        gopher_quality_flags(docs).where(F.col("keep"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan

@@ -276,3 +276,37 @@ def test_non_bmp_payload_falls_back_to_deterministic_fake(spark):
     b = MM._decode_stub(b"not an image", "image")
     np.testing.assert_array_equal(a, b)
     assert len(a) == MM.FEATURE_DIM
+
+
+def test_ivf_topk_batch_matches_single_query_path(spark, tmp_path):
+    """Batch ANN == per-query ivf_topk for every query; exhaustive probe ==
+    brute force."""
+    df, rows = _clustered_vectors(spark)
+    idx = str(tmp_path / "ivf_batch")
+    S.build_ivf_index(df, idx, n_clusters=4, iters=4)
+    queries = spark.createDataFrame(
+        [(100, rows[10][1]), (101, rows[50][1]), (102, rows[130][1])],
+        "query_id long, embedding array<float>")
+    got = S.ivf_topk_batch(spark, idx, queries, k=5, n_probe=1).toPandas()
+    for qid, vec in [(100, rows[10][1]), (101, rows[50][1]), (102, rows[130][1])]:
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        single = S.ivf_topk(spark, idx, vec, k=5, n_probe=1).toPandas()
+        assert list(sub["vec_id"]) == list(single["vec_id"]), qid
+        np.testing.assert_allclose(sub["cosine"], single["cosine"], atol=1e-9)
+    # exhaustive probing recovers the exact brute-force answer
+    full = S.ivf_topk_batch(spark, idx, queries, k=5, n_probe=4).toPandas()
+    for qid, vec in [(100, rows[10][1])]:
+        sub = full[full["query_id"] == qid].sort_values("rank")
+        exp = S.cosine_topk(df, vec, k=5).toPandas()
+        assert list(sub["vec_id"]) == list(exp["vec_id"])
+
+
+def test_ivf_topk_batch_dedups_multi_probe_hits(spark, tmp_path):
+    """A candidate reachable through two probed clusters appears once."""
+    df, rows = _clustered_vectors(spark)
+    idx = str(tmp_path / "ivf_batch2")
+    S.build_ivf_index(df, idx, n_clusters=4, iters=4)
+    queries = spark.createDataFrame(
+        [(7, rows[0][1])], "query_id long, embedding array<float>")
+    got = S.ivf_topk_batch(spark, idx, queries, k=200, n_probe=4).toPandas()
+    assert got["vec_id"].is_unique
