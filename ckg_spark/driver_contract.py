@@ -1632,3 +1632,66 @@ QUERIES.update({
     "q53_gopher_quality": (q53_gopher_quality, Q53_SQL),
     "q54_c4_line_filter": (q54_c4_line_filter, Q54_SQL),
 })
+
+
+def q55_ivf_batch_topk(spark, sf):
+    """Batch IVF ANN (similarity.py::ivf_topk_batch): top-10 for THREE query
+    vectors in one distributed join, exhaustive probing (n_probe =
+    n_clusters) so the result is value-equal to per-query brute force and
+    therefore fully DuckDB-oracle-able (real deployments set
+    n_probe << n_clusters and keep the same plan shape)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators import similarity as SIM2
+
+    emb = _t(spark, sf, "embeddings")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"ckg_ivf_idx_{tag}")
+    if not os.path.exists(os.path.join(idx, "ivf_manifest.json")):
+        SIM2.build_ivf_index(emb, idx, n_clusters=8, iters=3)
+    queries = emb.where(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = SIM2.ivf_topk_batch(spark, idx, queries, k=10, n_probe=8)
+    return top.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"))
+
+
+Q55_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS cos_raw
+  FROM q CROSS JOIN embeddings e),
+ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cos_raw, 4) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q56_louvain_communities(spark, sf):
+    """Louvain modularity communities over the co-mention term graph
+    (graph_algos.py::louvain; reference get_louvain_partitions,
+    analytics.py:2793). Iterative modularity optimization is not
+    SQL-expressible — rows-only driver check; the algorithm is
+    pytest-verified on known-optimum fixtures (test_louvain.py)."""
+    from .operators.graph_algos import louvain
+
+    pairs = q23_comention_pairs(spark, sf)
+    edges = pairs.select(
+        F.col("term_a").alias("subj"), F.col("term_b").alias("obj"),
+        F.col("n_docs").cast("double").alias("weight"))
+    return louvain(edges, weight_col="weight").orderBy("id")
+
+
+QUERIES.update({
+    "q55_ivf_batch_topk": (q55_ivf_batch_topk, Q55_SQL),
+    "q56_louvain_communities": (q56_louvain_communities, None),
+})
