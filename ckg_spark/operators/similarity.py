@@ -402,9 +402,18 @@ def ivf_topk_batch(spark, index_dir: str, queries: DataFrame, k: int = 10,
         F.col("qv"), F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double")))
     qx = qx.withColumn("qnorm", qn)
-    if broadcast_queries:
-        qx = F.broadcast(qx)
     idx = LIN.read_stage(spark, index_dir, "ivf_rows")
+    if broadcast_queries:
+        # Spark's dynamic partition pruning declines this join (no selective
+        # build-side predicate to derive from), so prune STATICALLY: the
+        # union of probed clusters is at most n_clusters values — one cheap
+        # job over the (dictionary-scale, by assumption) query table buys a
+        # literal PartitionFilters in-set on the index scan, same pruning as
+        # the single-query manifest path. Plan-audited in tests.
+        probed = sorted(
+            r["cluster"] for r in qx.select("cluster").distinct().collect())
+        idx = idx.where(F.col("cluster").isin(probed))
+        qx = F.broadcast(qx)
     joined = idx.join(qx, on="cluster")
     dot = F.aggregate(
         F.zip_with(F.col("v"), F.col("qv"),

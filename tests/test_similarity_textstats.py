@@ -310,3 +310,24 @@ def test_ivf_topk_batch_dedups_multi_probe_hits(spark, tmp_path):
         [(7, rows[0][1])], "query_id long, embedding array<float>")
     got = S.ivf_topk_batch(spark, idx, queries, k=200, n_probe=4).toPandas()
     assert got["vec_id"].is_unique
+
+
+def test_ivf_topk_batch_prunes_index_partitions(spark, tmp_path):
+    """Broadcast-query path must carry a literal cluster in-set in
+    PartitionFilters (static pruning; DPP declines this join shape)."""
+    df, rows = _clustered_vectors(spark)
+    idx = str(tmp_path / "ivf_prune")
+    S.build_ivf_index(df, idx, n_clusters=4, iters=3)
+    queries = spark.createDataFrame(
+        [(1, rows[0][1])], "query_id long, embedding array<float>")
+    plan = (
+        S.ivf_topk_batch(spark, idx, queries, k=5, n_probe=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    scan = [l for l in plan.splitlines()
+            if "FileScan parquet" in l and "PartitionFilters" in l][0]
+    pf = scan.split("PartitionFilters: ")[1]
+    # a single probed cluster -> a literal equality (or IN) partition filter
+    assert re.search(r"cluster#\d+ (= \d+|IN \(\d+\))", pf), pf
