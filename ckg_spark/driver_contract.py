@@ -1695,3 +1695,86 @@ QUERIES.update({
     "q55_ivf_batch_topk": (q55_ivf_batch_topk, Q55_SQL),
     "q56_louvain_communities": (q56_louvain_communities, None),
 })
+
+
+def q57_repetition_flags(spark, sf):
+    """Gopher repetition rules (dedup.py::repetition_flags): duplicate-line
+    fractions + top-2-gram / duplicated-5-gram char fractions. Documents get
+    the shared ' table ' -> '.\\n' line split so line rules discriminate."""
+    from .operators.dedup import repetition_flags
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text"),
+    )
+    out = repetition_flags(docs)
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top2gram_char_frac", 6).alias("top2gram_char_frac"),
+        F.round("dup5gram_char_frac", 6).alias("dup5gram_char_frac"),
+        "keep",
+    )
+
+
+Q57_SQL = """
+WITH doc AS (
+  SELECT doc_id, replace(coalesce(text, ''), ' table ', '.' || chr(10)) AS t
+  FROM documents),
+l AS (
+  SELECT doc_id, t,
+         list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS lines,
+         list_filter(string_split_regex(trim(lower(t)), '\\s+'),
+                     x -> x <> '') AS toks,
+         greatest(length(regexp_replace(t, '\\s+', '', 'g')), 1) AS nsp
+  FROM doc),
+lm AS (
+  SELECT doc_id, toks, nsp,
+         CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+           / greatest(len(lines), 1) AS dup_line_frac,
+         CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0
+              THEN (list_sum(list_transform(lines, x -> length(x)))
+                    - coalesce(list_sum(list_transform(list_distinct(lines),
+                                                        x -> length(x))), 0))
+                   / CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE)
+              ELSE 0.0 END AS dup_line_char_frac
+  FROM l),
+g2 AS (
+  SELECT doc_id, nsp, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM (SELECT doc_id, nsp, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM lm WHERE len(toks) >= 2)),
+c2 AS (SELECT doc_id, nsp, gram, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+t2 AS (
+  SELECT doc_id,
+         first(CAST(c * length(replace(gram, ' ', '')) AS DOUBLE) / nsp
+               ORDER BY c DESC, length(replace(gram, ' ', '')) DESC) AS top2
+  FROM c2 GROUP BY doc_id),
+g5 AS (
+  SELECT doc_id, nsp,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+           || toks[i+3] || ' ' || toks[i+4] AS gram
+  FROM (SELECT doc_id, nsp, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+        FROM lm WHERE len(toks) >= 5)),
+c5 AS (SELECT doc_id, nsp, gram, count(*) AS c FROM g5 GROUP BY 1, 2, 3),
+t5 AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1
+             THEN CAST(c * length(replace(gram, ' ', '')) AS DOUBLE) END)
+           / first(nsp) AS dup5
+  FROM c5 GROUP BY doc_id)
+SELECT lm.doc_id,
+       round(dup_line_frac, 6) AS dup_line_frac,
+       round(dup_line_char_frac, 6) AS dup_line_char_frac,
+       round(coalesce(t2.top2, 0.0), 6) AS top2gram_char_frac,
+       round(coalesce(t5.dup5, 0.0), 6) AS dup5gram_char_frac,
+       (dup_line_frac <= 0.3) AND (dup_line_char_frac <= 0.2)
+         AND (coalesce(t2.top2, 0.0) <= 0.2)
+         AND (coalesce(t5.dup5, 0.0) <= 0.15) AS keep
+FROM lm
+LEFT JOIN t2 ON lm.doc_id = t2.doc_id
+LEFT JOIN t5 ON lm.doc_id = t5.doc_id
+"""
+
+
+QUERIES.update({"q57_repetition_flags": (q57_repetition_flags, Q57_SQL)})

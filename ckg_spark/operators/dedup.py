@@ -248,3 +248,101 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .distinct()
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def repetition_flags(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     max_dup_line_frac: float = 0.3,
+                     max_dup_line_char_frac: float = 0.2,
+                     max_top2gram_char_frac: float = 0.2,
+                     max_dup5gram_char_frac: float = 0.15) -> DataFrame:
+    """Gopher-style within-document repetition rules (Rae et al. 2021 A1):
+    duplicate-line fraction, duplicate-line character fraction, character
+    fraction of the single most common word 2-gram, and the character
+    fraction covered by word 5-grams that occur more than once (the
+    standard non-overlapping-span proxy used by open reproductions — the
+    paper's exact overlapping-span accounting is noted, not claimed).
+
+    Shapes: line metrics are per-row higher-order array expressions (no
+    shuffle); the n-gram metrics explode to (doc, gram) and aggregate —
+    algebraic counts, map-side combined, grouped back on doc_id (one
+    shuffle keyed by the same doc_id the caller already partitions by).
+    Output: (id, the four metrics, keep).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    d = df.select(F.col(id_col).alias("_id"), text.alias("_t"))
+    lines = F.filter(F.split(F.col("_t"), "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
+    ).cast("double")
+    # duplicate lines: total - distinct; duplicated chars via the distinct
+    # array's char mass (each repeated line's extra copies count)
+    dup_line_frac = (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines
+    distinct_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("bigint"),
+        lambda acc, l: acc + F.length(l)).cast("double")
+    dup_line_char_frac = F.when(
+        line_chars > 0, (line_chars - distinct_chars) / line_chars
+    ).otherwise(F.lit(0.0))
+    base = d.select(
+        "_id",
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        F.greatest(
+            F.length(F.regexp_replace(F.col("_t"), r"\s+", "")).cast("double"),
+            F.lit(1.0),
+        ).alias("nsp_chars"),
+        tokens_of(F.col("_t")).alias("toks"),
+    )
+
+    def gram_metric(n: int, mode: str):
+        grams = base.select(
+            "_id", "nsp_chars",
+            F.explode(F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"transform(sequence(1, size(toks)-{n}+1), "
+                f"i -> array_join(slice(toks, i, {n}), ' ')) "
+                f"ELSE array() END")).alias("gram"),
+        )
+        counts = grams.groupBy("_id", "nsp_chars", "gram").agg(
+            F.count(F.lit(1)).alias("c"))
+        gchars = F.length(F.regexp_replace(F.col("gram"), r"\s+", ""))
+        if mode == "top":
+            # char mass of the most frequent n-gram (count * its char len)
+            return counts.groupBy("_id").agg(
+                (F.max_by(F.col("c") * gchars, F.struct(F.col("c"), gchars))
+                 / F.first("nsp_chars")).alias(f"top{n}gram_char_frac"))
+        # char mass of all n-grams occurring more than once
+        return counts.groupBy("_id").agg(
+            (F.sum(F.when(F.col("c") > 1, F.col("c") * gchars)
+                   .otherwise(F.lit(0))) / F.first("nsp_chars"))
+            .alias(f"dup{n}gram_char_frac"))
+
+    top2 = gram_metric(2, "top")
+    dup5 = gram_metric(5, "dup")
+    out = (
+        base.select("_id", "dup_line_frac", "dup_line_char_frac")
+        .join(top2, on="_id", how="left")
+        .join(dup5, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            "dup_line_frac", "dup_line_char_frac",
+            F.coalesce("top2gram_char_frac", F.lit(0.0)).alias("top2gram_char_frac"),
+            F.coalesce("dup5gram_char_frac", F.lit(0.0)).alias("dup5gram_char_frac"),
+        )
+    )
+    keep = (
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("top2gram_char_frac") <= max_top2gram_char_frac)
+        & (F.col("dup5gram_char_frac") <= max_dup5gram_char_frac)
+    )
+    return out.withColumn("keep", keep)
+
+
+def tokens_of(col):
+    """Whitespace tokens of lowercased text (shared with textstats.tokens;
+    local alias avoids a circular import)."""
+    t = F.split(F.trim(F.lower(F.coalesce(col, F.lit("")))), r"\s+")
+    return F.filter(t, lambda x: x != "")

@@ -428,3 +428,28 @@ def louvain(edges: DataFrame, weight_col: str | None = None,
     minm = out.groupBy("community").agg(F.min("id").alias("_minid"))
     return out.join(minm, on="community").select(
         "id", F.col("_minid").alias("community"))
+
+
+def get_network_communities(edges: DataFrame, algorithm: str = "louvain",
+                            weight_col: str | None = None,
+                            **kwargs) -> DataFrame:
+    """Community-detection dispatcher mirroring the reference's
+    get_network_communities (analytics.py:2807-2842): 'louvain' (the
+    default there too) and 'asyn_label_propagation' are implemented;
+    'greedy_modularity', 'girvan_newman' and 'affinity_propagation' raise
+    NotImplementedError with their reference lines (driver-bound library
+    tails: Girvan-Newman recomputes global eigenvector centrality per edge
+    removal — O(E * centrality) serial; affinity propagation needs the
+    dense NxN adjacency). Returns (id, community)."""
+    if algorithm == "louvain":
+        return louvain(edges, weight_col=weight_col, **kwargs)
+    if algorithm == "asyn_label_propagation":
+        return label_propagation(edges, **kwargs).select(
+            "id", F.col("label").alias("community"))
+    if algorithm in ("greedy_modularity", "girvan_newman",
+                     "affinity_propagation"):
+        raise NotImplementedError(
+            f"communities_algorithm {algorithm!r} (reference analytics.py:"
+            f"2824-2839) is a driver-bound library tail; use 'louvain' "
+            f"(modularity-optimizing) or 'asyn_label_propagation'")
+    raise KeyError(f"unknown communities_algorithm {algorithm!r}")

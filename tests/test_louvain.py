@@ -122,3 +122,17 @@ def test_weighted_louvain(spark):
     part = {r["id"]: r["community"]
             for r in G.louvain(edges, weight_col="weight").collect()}
     assert part["a0"] == part["b0"]
+
+
+def test_get_network_communities_dispatch(spark, two_cliques):
+    edges, na, nb = two_cliques
+    lou = {r["id"]: r["community"]
+           for r in G.get_network_communities(edges).collect()}
+    assert lou[na[1]] == "a0" and lou[nb[1]] == "b0"
+    lpa = G.get_network_communities(edges, algorithm="asyn_label_propagation")
+    assert set(lpa.columns) == {"id", "community"}
+    import pytest
+    with pytest.raises(NotImplementedError):
+        G.get_network_communities(edges, algorithm="girvan_newman")
+    with pytest.raises(KeyError):
+        G.get_network_communities(edges, algorithm="nope")

@@ -85,3 +85,40 @@ def test_gopher_keep_pushdown_is_jvm_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_repetition_flags_hand_computed(spark):
+    from ckg_spark.operators.dedup import repetition_flags
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "dup line\ndup line\nunique",          # duplicate line
+            "a b a b a b",                          # dominant 2-gram
+            "one two three four five one two three four five six",  # dup 5-gram
+        ],
+    }))
+    out = {r["doc_id"]: r for r in repetition_flags(docs).collect()}
+    assert abs(out[0]["dup_line_frac"] - 1 / 3) < 1e-9
+    assert abs(out[0]["dup_line_char_frac"] - 8 / 22) < 1e-9
+    # "a b" occurs 3x, 2 non-space chars each; doc has 6 non-space chars
+    assert abs(out[1]["top2gram_char_frac"] - 1.0) < 1e-9
+    assert out[1]["keep"] is False
+    # "one two three four five" (19 chars sans spaces) occurs twice; doc has
+    # 19*2 + 3 = 41 non-space chars -> 38/41
+    assert abs(out[2]["dup5gram_char_frac"] - 38 / 41) < 1e-9
+    assert out[2]["keep"] is False
+    assert out[0]["keep"] is False  # dup_line_char_frac 0.364 > 0.2
+
+
+def test_repetition_flags_clean_doc_keeps(spark):
+    from ckg_spark.operators.dedup import repetition_flags
+
+    # 60 distinct words: the most frequent 2-gram occurs once, so its char
+    # mass is a small fraction (the rule only fires on dominated docs)
+    text = " ".join(f"word{i:02d}" for i in range(60))
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": [text]}))
+    row = repetition_flags(docs).collect()[0]
+    assert row["keep"] is True
+    assert row["dup_line_frac"] == 0.0 and row["dup5gram_char_frac"] == 0.0
+    assert row["top2gram_char_frac"] < 0.05
