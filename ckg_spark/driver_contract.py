@@ -1778,3 +1778,48 @@ LEFT JOIN t5 ON lm.doc_id = t5.doc_id
 
 
 QUERIES.update({"q57_repetition_flags": (q57_repetition_flags, Q57_SQL)})
+
+
+def q58_language_id(spark, sf):
+    """Language ID (textstats.py::lang_best) over documents. The synthetic
+    corpus is ASCII, so the script-range detectors are all zero and the
+    stopword-ratio argmax (tie-break: score, then language code — both
+    engines take the max struct) decides en vs und — which is exactly the
+    SQL-expressible slice; CJK/script ranges stay pytest-verified."""
+    from .operators.textstats import lang_best
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", lang_best(F.col("text")).alias("lang"))
+
+
+Q58_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+scores AS (
+  SELECT doc_id, s.lang,
+         CASE WHEN len(tk) > 0
+              THEN CAST(len(list_filter(tk, x -> list_contains(s.stops, x))) AS DOUBLE)
+                   / len(tk)
+              ELSE 0.0 END AS score
+  FROM toks
+  CROSS JOIN (
+    SELECT * FROM (VALUES
+      ('de', ['der', 'die', 'und', 'das', 'nicht', 'von', 'mit', 'ist', 'des', 'ein']),
+      ('en', ['the', 'and', 'of', 'to', 'in', 'is', 'that', 'with', 'for', 'was']),
+      ('es', ['el', 'la', 'de', 'que', 'y', 'en', 'los', 'del', 'se', 'por']),
+      ('fr', ['le', 'la', 'les', 'des', 'est', 'une', 'dans', 'que', 'pour', 'qui'])
+    ) AS t(lang, stops)) s),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang DESC) AS rn
+  FROM scores WHERE score > 0)
+SELECT t.doc_id, coalesce(b.lang, 'und') AS lang
+FROM toks t LEFT JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
+QUERIES.update({"q58_language_id": (q58_language_id, Q58_SQL)})

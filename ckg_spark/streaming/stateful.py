@@ -159,3 +159,33 @@ def first_mentions_stateful(
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+def streaming_exact_dedup(
+    stream_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen document per normalized-text
+    digest, duplicates within the watermark horizon dropped by Spark's
+    built-in streaming ``dropDuplicates`` state store.
+
+    The digest (md5 of the dedup-normalized text — same key as the batch
+    ``dedup_exact``, so batch backfill and streaming ingest agree) is the
+    ONLY state key; the watermark bounds state size at 100-TB stream scale:
+    a digest older than ``watermark_delay`` is evicted, trading unbounded
+    exactness for bounded memory exactly the way production stream dedup
+    does. Output mode: append.
+    """
+    from ..operators.extract import normalize_text
+
+    digested = stream_docs.select(
+        F.col(id_col), F.col(ts_col), F.col(text_col),
+        F.md5(normalize_text(F.col(text_col))).alias("norm_hash"),
+    )
+    return (
+        digested.withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["norm_hash"])
+    )

@@ -147,3 +147,38 @@ def test_processing_time_timeout_guard_raises_cleanly(spark, vocab_tables):
         SS.first_mentions_stateful(
             dummy, vocab_tables,
             timeout_conf=GroupStateTimeout.ProcessingTimeTimeout)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """First occurrence of each normalized text survives; in-horizon
+    duplicates are dropped; normalization matches batch dedup_exact."""
+    from ckg_spark.streaming.stateful import streaming_exact_dedup
+
+    base = pd.Timestamp("2026-01-01 12:00:00")
+    b1 = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "ts": pd.Series([base, base, base + pd.Timedelta(minutes=1)],
+                        dtype="datetime64[us]"),
+        "text": ["Hello,   World!", "another doc entirely", "hello world"],
+    })
+    b2 = pd.DataFrame({
+        "doc_id": [4, 5],
+        "ts": pd.Series([base + pd.Timedelta(minutes=2)] * 2,
+                        dtype="datetime64[us]"),
+        "text": ["HELLO world!!", "a genuinely new one"],
+    })
+    in_dir = str(tmp_path / "docs_in")
+    _write_ordered(in_dir, [b1, b2])
+    stream = (
+        spark.readStream
+        .schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = streaming_exact_dedup(stream, watermark_delay="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedupstream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("SELECT doc_id FROM dedupstream").toPandas()
+    # doc 3 normalizes to doc 1's text; doc 4 too -> only first survives
+    assert sorted(got["doc_id"]) == [1, 2, 5]
