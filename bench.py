@@ -127,6 +127,26 @@ def run_bench() -> dict:
         qd[name](spark, sf_dir).count()
         queries[name] = round(time.time() - t0, 3)
 
+    # corpus-curation pipeline (full mode incl. minhash near-dup) over the
+    # sf documents table — the training-data-side throughput number
+    import shutil
+    import tempfile
+
+    from ckg_spark.plans.curate import run_curation_pipeline
+
+    out = os.path.join(tempfile.gettempdir(), "ckg_bench_curate")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    t0 = time.time()
+    cur = run_curation_pipeline(
+        spark, docs, out,
+        gopher_kwargs={"min_words": 50, "min_stopword_hits": 1},
+        minhash_threshold=0.8,
+    )
+    n_curated = cur.corpus.count()
+    queries["curation_pipeline"] = round(time.time() - t0, 3)
+
     total = round(sum(queries.values()), 3)
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
     result = {
@@ -141,6 +161,10 @@ def run_bench() -> dict:
             "bench_triples": kg["triples"],
             "triples_per_sec": kg["triples_per_sec"],
             "turns_per_sec": kg["turns_per_sec"],
+            "curation_docs_in": n_docs,
+            "curation_docs_out": n_curated,
+            "curation_docs_per_sec": round(
+                n_docs / queries["curation_pipeline"], 1),
         },
     }
     spark.stop()

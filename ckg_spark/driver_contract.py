@@ -1823,3 +1823,135 @@ FROM toks t LEFT JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1
 
 
 QUERIES.update({"q58_language_id": (q58_language_id, Q58_SQL)})
+
+
+def q59_curation_pipeline(spark, sf):
+    """End-to-end corpus curation (plans/curate.py) in its SQL-expressible
+    mode (minhash stage skipped): Gopher document rules AND repetition
+    rules -> exact dedup (min doc per normalized digest) -> English-only.
+    The near-dup stage is covered by q31 + the curation pytest; this oracle
+    locks the composed stage semantics end-to-end."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .plans.curate import run_curation_pipeline
+
+    docs = _t(spark, sf, "documents")
+    tag = hashlib.md5(("curate" + sf).encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"ckg_curate_{tag}")
+    shutil.rmtree(out, ignore_errors=True)  # always fresh (no stale resume)
+    res = run_curation_pipeline(
+        spark, docs, out,
+        gopher_kwargs={"min_words": 50, "min_stopword_hits": 1},
+        minhash_threshold=None, languages=("en",),
+    )
+    return res.corpus.select("doc_id")
+
+
+Q59_SQL = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+gq AS (
+  SELECT doc_id, t, toks,
+         len(toks) AS n_words,
+         greatest(len(toks), 1) AS nw,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / greatest(len(toks), 1) AS mwl,
+         (length(t) - length(replace(t, '#', ''))
+          + (length(t) - length(replace(t, '...', ''))) / 3
+          + length(t) - length(replace(t, '…', ''))) AS n_sym,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS sh,
+         list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS nelines,
+         greatest(length(regexp_replace(t, '\\s+', '', 'g')), 1) AS nsp
+  FROM base),
+gopher AS (
+  SELECT doc_id,
+         (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+           AND (CAST(n_sym AS DOUBLE) / nw <= 0.1)
+           AND (CAST(n_alpha AS DOUBLE) / nw >= 0.8) AND (sh >= 1) AS kq
+  FROM gq),
+repline AS (
+  SELECT doc_id,
+         CAST(len(nelines) - len(list_distinct(nelines)) AS DOUBLE)
+           / greatest(len(nelines), 1) AS dlf,
+         CASE WHEN coalesce(list_sum(list_transform(nelines, x -> length(x))), 0) > 0
+              THEN (list_sum(list_transform(nelines, x -> length(x)))
+                    - coalesce(list_sum(list_transform(list_distinct(nelines),
+                                                        x -> length(x))), 0))
+                   / CAST(list_sum(list_transform(nelines, x -> length(x))) AS DOUBLE)
+              ELSE 0.0 END AS dlcf
+  FROM gq),
+g2 AS (
+  SELECT doc_id, nsp, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM (SELECT doc_id, nsp, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM gq WHERE len(toks) >= 2)),
+c2 AS (SELECT doc_id, nsp, gram, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+t2 AS (
+  SELECT doc_id, first(CAST(c * length(replace(gram, ' ', '')) AS DOUBLE) / nsp
+               ORDER BY c DESC, length(replace(gram, ' ', '')) DESC) AS top2
+  FROM c2 GROUP BY doc_id),
+g5 AS (
+  SELECT doc_id, nsp,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+           || toks[i+3] || ' ' || toks[i+4] AS gram
+  FROM (SELECT doc_id, nsp, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+        FROM gq WHERE len(toks) >= 5)),
+c5 AS (SELECT doc_id, nsp, gram, count(*) AS c FROM g5 GROUP BY 1, 2, 3),
+t5 AS (
+  SELECT doc_id, sum(CASE WHEN c > 1
+             THEN CAST(c * length(replace(gram, ' ', '')) AS DOUBLE) END)
+           / first(nsp) AS dup5
+  FROM c5 GROUP BY doc_id),
+rep AS (
+  SELECT r.doc_id,
+         (r.dlf <= 0.3) AND (r.dlcf <= 0.2)
+           AND (coalesce(t2.top2, 0.0) <= 0.2)
+           AND (coalesce(t5.dup5, 0.0) <= 0.15) AS kr
+  FROM repline r
+  LEFT JOIN t2 ON r.doc_id = t2.doc_id
+  LEFT JOIN t5 ON r.doc_id = t5.doc_id),
+quality AS (
+  SELECT b.doc_id, b.t
+  FROM base b JOIN gopher USING (doc_id) JOIN rep USING (doc_id)
+  WHERE gopher.kq AND rep.kr),
+exact AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t,
+           row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM quality)
+  WHERE rn = 1),
+langscore AS (
+  SELECT e.doc_id, s.lang,
+         CASE WHEN len(b.toks) > 0
+              THEN CAST(len(list_filter(b.toks, x -> list_contains(s.stops, x))) AS DOUBLE)
+                   / len(b.toks) ELSE 0.0 END AS score
+  FROM exact e JOIN base b USING (doc_id)
+  CROSS JOIN (
+    SELECT * FROM (VALUES
+      ('de', ['der', 'die', 'und', 'das', 'nicht', 'von', 'mit', 'ist', 'des', 'ein']),
+      ('en', ['the', 'and', 'of', 'to', 'in', 'is', 'that', 'with', 'for', 'was']),
+      ('es', ['el', 'la', 'de', 'que', 'y', 'en', 'los', 'del', 'se', 'por']),
+      ('fr', ['le', 'la', 'les', 'des', 'est', 'une', 'dans', 'que', 'pour', 'qui'])
+    ) AS t(lang, stops)) s),
+langbest AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+           ORDER BY score DESC, lang DESC) AS rn
+    FROM langscore WHERE score > 0)
+  WHERE rn = 1)
+SELECT e.doc_id
+FROM exact e JOIN langbest l USING (doc_id)
+WHERE l.lang = 'en'
+"""
+
+
+QUERIES.update({"q59_curation_pipeline": (q59_curation_pipeline, Q59_SQL)})

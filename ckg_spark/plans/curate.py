@@ -50,7 +50,7 @@ def run_curation_pipeline(
     id_col: str = "doc_id",
     text_col: str = "text",
     languages: tuple = ("en",),
-    minhash_threshold: float = 0.8,
+    minhash_threshold: float | None = 0.8,
     gopher_kwargs: dict | None = None,
     line_filter: bool = False,
     min_line_words: int = 5,
@@ -102,8 +102,12 @@ def run_curation_pipeline(
             quality.join(keep_ids, on="doc_id", how="left_semi"),
             out_dir, "20_exact", run_id)
 
-    # ---- stage 30: near-dup clusters --------------------------------------
-    if LIN.stage_done(out_dir, "30_neardup"):
+    # ---- stage 30: near-dup clusters (minhash_threshold=None skips: the
+    # exact-dedup-only variant is fully SQL-expressible, so the driver
+    # oracle q59 runs the pipeline in that mode) ----------------------------
+    if minhash_threshold is None:
+        neardup = exact
+    elif LIN.stage_done(out_dir, "30_neardup"):
         neardup = LIN.read_stage(spark, out_dir, "30_neardup")
         resumed.append("30_neardup")
     else:
