@@ -94,3 +94,110 @@ def test_merge_edges_upsert(spark, tmp_path):
     # idempotent re-merge
     m3 = merge_edges(spark, p, update)
     assert m3.count() == 3
+
+
+# -- round-3 quality filters vs pure-Python renditions ------------------------
+
+_QF_FRAGMENTS = [
+    "the", "and", "word", "###", "...", "…", "- bullet", "* item",
+    "", "   ", "a", "über", "LONGWORDHERE", "1234", "x y", "line one.\n",
+    "\n", "dup\ndup", "tab\there",
+]
+
+
+def _py_tokens(t):
+    return [x for x in (t or "").strip().lower().split() if x != ""]
+
+
+def _py_gopher(t, min_words=50, min_stop=2):
+    import re
+
+    toks = _py_tokens(t)
+    n = len(toks)
+    nw = max(n, 1)
+    mwl = sum(len(x) for x in toks) / nw
+    text = t or ""
+    n_sym = (text.count("#") + text.count("...") + text.count("…"))
+    lines = text.split("\n")
+    nl = max(len(lines), 1)
+    bullet = sum(bool(re.match(r"^[-*•●▪]", l.lstrip())) for l in lines) / nl
+    ell = sum(bool(re.search(r"(\.\.\.|…)$", l.rstrip())) for l in lines) / nl
+    alpha = sum(bool(re.search(r"[a-z]", x)) for x in toks) / nw
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    sh = len(set(toks) & stops)
+    return {
+        "n_words": n, "mean_word_len": mwl, "symbol_word_ratio": n_sym / nw,
+        "bullet_line_frac": bullet, "ellipsis_line_frac": ell,
+        "alpha_word_frac": alpha, "stopword_hits": sh,
+        "keep": (min_words <= n <= 100_000 and 3.0 <= mwl <= 10.0
+                 and n_sym / nw <= 0.1 and bullet <= 0.9 and ell <= 0.3
+                 and alpha >= 0.8 and sh >= min_stop),
+    }
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_QF_FRAGMENTS), min_size=0, max_size=15).map(" ".join),
+        min_size=1, max_size=8,
+    )
+)
+def test_gopher_flags_agree_with_python_on_generated_text(spark, texts):
+    from ckg_spark.operators.textstats import gopher_quality_flags
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            spark.createDataFrame(pdf), min_words=3, min_stopword_hits=1
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        exp = _py_gopher(t, min_words=3, min_stop=1)
+        g = got[i]
+        assert g["n_words"] == exp["n_words"], (i, t)
+        for k in ("mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+                  "ellipsis_line_frac", "alpha_word_frac"):
+            assert abs((g[k] or 0) - exp[k]) < 1e-9, (k, t, g[k], exp[k])
+        assert g["stopword_hits"] == exp["stopword_hits"], (i, t)
+        assert bool(g["keep"]) == exp["keep"], (i, t, dict(g.asDict()), exp)
+
+
+def _py_c4(t, min_words=5):
+    import re
+
+    kept = []
+    for l in (t or "").split("\n"):
+        if not re.search(r"[.!?\"']$", l.rstrip()):
+            continue
+        if len([w for w in [l.strip()] for w in re.split(r"\s+", w)]) < min_words:
+            continue
+        low = l.lower()
+        if any(b in low for b in ("javascript", "lorem ipsum", "{")):
+            continue
+        kept.append(l)
+    return "\n".join(kept), len(kept)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_QF_FRAGMENTS + [
+            "This proper sentence has many useful words in it.",
+            "Enable javascript now please everyone right here.",
+        ]), min_size=0, max_size=6).map(" ".join),
+        min_size=1, max_size=6,
+    )
+)
+def test_c4_filter_agrees_with_python_on_generated_text(spark, texts):
+    from ckg_spark.operators.textstats import c4_line_filter
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = {
+        r["doc_id"]: r
+        for r in c4_line_filter(spark.createDataFrame(pdf)).collect()
+    }
+    for i, t in enumerate(texts):
+        exp_text, exp_kept = _py_c4(t)
+        assert got[i]["n_lines_kept"] == exp_kept, (i, t)
+        assert got[i]["clean_text"] == exp_text, (i, t)
