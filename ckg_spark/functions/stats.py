@@ -551,3 +551,82 @@ def solve_ftest_anova_nobs(effect_size: float, alpha: float, power: float,
         else:
             hi = mid
     return (lo + hi) / 2.0
+
+
+def _norm_sf_scalar(z: float) -> float:
+    return 0.5 * math.erfc(z / math.sqrt(2.0))
+
+
+def levene_test(groups: list, center: str = "median") -> tuple[float, float]:
+    """Levene's test for equal variances (Brown-Forsythe with
+    center='median', the scipy default the reference's
+    check_equal_variances calls at analytics.py:861-871). Returns (W, p)."""
+    zs = []
+    for g in groups:
+        g = np.asarray(g, dtype=float)
+        g = g[~np.isnan(g)]
+        if len(g) == 0:
+            continue
+        c = np.median(g) if center == "median" else g.mean()
+        zs.append(np.abs(g - c))
+    k = len(zs)
+    n = sum(len(z) for z in zs)
+    if k < 2 or n - k <= 0:
+        return float("nan"), float("nan")
+    zbar = np.concatenate(zs).mean()
+    zbars = [z.mean() for z in zs]
+    num = sum(len(z) * (zb - zbar) ** 2 for z, zb in zip(zs, zbars))
+    den = sum(((z - zb) ** 2).sum() for z, zb in zip(zs, zbars))
+    if den <= 0:
+        return float("nan"), float("nan")
+    w = (n - k) / (k - 1) * num / den
+    return float(w), f_sf(w, k - 1, n - k)
+
+
+def dagostino_k2(x: np.ndarray) -> tuple[float, float]:
+    """D'Agostino-Pearson K^2 omnibus normality test: combined
+    skewness (D'Agostino 1970) and kurtosis (Anscombe-Glynn 1983) z
+    statistics, K^2 ~ chi2(2) under normality. Published closed forms,
+    reimplemented; requires n >= 20.
+
+    NOTE (documented divergence): the reference's check_normality
+    (analytics.py:874-882) uses the Shapiro-Wilk statistic via scipy; this
+    engine tests the same null hypothesis with the K^2 statistic (no W
+    lookup tables needed) — p-values differ numerically, pass/fail
+    decisions agree except near the boundary. Calibration is MC-verified
+    in tests (uniform p under H0, power on skewed alternatives)."""
+    x = np.asarray(x, dtype=float)
+    x = x[~np.isnan(x)]
+    n = len(x)
+    if n < 20:
+        return float("nan"), float("nan")
+    m = x.mean()
+    d = x - m
+    m2 = (d ** 2).mean()
+    if m2 <= 0:
+        return float("nan"), float("nan")
+    g1 = (d ** 3).mean() / m2 ** 1.5
+    b2 = (d ** 4).mean() / m2 ** 2
+    # skewness z (D'Agostino)
+    y = g1 * math.sqrt(((n + 1) * (n + 3)) / (6.0 * (n - 2)))
+    beta2 = (3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+             / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9)))
+    w2 = -1.0 + math.sqrt(2.0 * (beta2 - 1.0))
+    delta = 1.0 / math.sqrt(0.5 * math.log(w2))
+    alpha = math.sqrt(2.0 / (w2 - 1.0))
+    y = y / alpha
+    zs = delta * math.log(y + math.sqrt(y * y + 1.0))
+    # kurtosis z (Anscombe-Glynn)
+    eb2 = 3.0 * (n - 1) / (n + 1)
+    vb2 = 24.0 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    xk = (b2 - eb2) / math.sqrt(vb2)
+    sqrtbeta1 = (6.0 * (n * n - 5 * n + 2) / ((n + 7.0) * (n + 9))
+                 * math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2.0) * (n - 3))))
+    a = 6.0 + 8.0 / sqrtbeta1 * (2.0 / sqrtbeta1
+                                 + math.sqrt(1.0 + 4.0 / sqrtbeta1 ** 2))
+    term1 = 1.0 - 2.0 / (9.0 * a)
+    denom = 1.0 + xk * math.sqrt(2.0 / (a - 4.0))
+    term2 = math.copysign(abs((1.0 - 2.0 / a) / abs(denom)) ** (1.0 / 3.0), denom)
+    zk = (term1 - term2) / math.sqrt(2.0 / (9.0 * a))
+    k2 = zs * zs + zk * zk
+    return float(k2), chi2_sf(k2, 2.0)

@@ -529,8 +529,12 @@ def impute_knn(df: DataFrame, k: int = 3) -> DataFrame:
     import numpy as np
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        wide = pdf.pivot_table(index="subject", columns="feature",
-                               values="value", aggfunc="first")
+        # set_index + unstack, NOT pivot_table: pivot_table silently drops a
+        # subject whose every value is null (its NaN cells never enter the
+        # table), losing the row from the imputed output
+        wide = (
+            pdf.groupby(["subject", "feature"])["value"].first().unstack()
+        )
         mat = wide.to_numpy(dtype=float)
         filled = mat.copy()
         for i in range(mat.shape[0]):
@@ -1679,3 +1683,159 @@ def run_power_analysis(df: DataFrame, alpha: float = 0.05, power: float = 0.8,
         if row["mean"] is not None else float("nan")
     )
     return sample_size, power_df
+
+
+# -- assumption checks (reference analytics.py:861-882) -----------------------
+
+def check_equal_variances(df: DataFrame, alpha: float = 0.05) -> DataFrame:
+    """Levene's test (Brown-Forsythe, center=median — scipy's default the
+    reference calls) per feature across groups. Output mirrors the
+    reference: (identifier, test, pvalue, pass)."""
+
+    def per_feature(pdf: pd.DataFrame) -> pd.DataFrame:
+        groups = [g["value"].to_numpy(dtype=float) for _, g in pdf.groupby("group")]
+        w, p = ST.levene_test(groups)
+        return pd.DataFrame({
+            "identifier": [pdf["feature"].iloc[0]], "test": [w],
+            "pvalue": [p], "passed": [bool(p > alpha) if p == p else False],
+        })
+
+    return df.groupBy("feature").applyInPandas(
+        per_feature,
+        schema="identifier string, test double, pvalue double, passed boolean",
+    )
+
+
+def check_normality(df: DataFrame, alpha: float = 0.05) -> DataFrame:
+    """Normality screen per (group, feature). The reference uses
+    Shapiro-Wilk (analytics.py:874); this engine uses the D'Agostino-Pearson
+    K^2 omnibus statistic — same null hypothesis, no W lookup tables;
+    divergence documented in functions/stats.py::dagostino_k2. Output:
+    (group, identifier, test, pvalue, pass)."""
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        k2, p = ST.dagostino_k2(pdf["value"].to_numpy(dtype=float))
+        return pd.DataFrame({
+            "group": [pdf["group"].iloc[0]],
+            "identifier": [pdf["feature"].iloc[0]],
+            "test": [k2], "pvalue": [p],
+            "passed": [bool(p > alpha) if p == p else False],
+        })
+
+    return df.groupBy("group", "feature").applyInPandas(
+        per_cell,
+        schema=("group string, identifier string, test double, "
+                "pvalue double, passed boolean"),
+    )
+
+
+# -- pairwise post-hoc t-tests (reference analytics.py:1539-1566) -------------
+
+def run_pairwise_ttest(df: DataFrame, correction: str = "none",
+                       is_logged: bool = True) -> DataFrame:
+    """calculate_pairwise_ttest + complement_posthoc analog: Welch t-test
+    for every group pair per feature, Hedges-g effect size (pingouin form:
+    pooled-sd Cohen's d x (1 - 3/(4n - 9)) small-sample correction), fold
+    change (difference when logged, ratio otherwise), optional BH
+    correction across the pairs of each feature. Grouped-map per feature —
+    pair fan-out is dictionary-scale."""
+
+    def per_feature(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        feat = pdf["feature"].iloc[0]
+        out = []
+        groups = sorted(pdf["group"].dropna().unique())
+        for i, g1 in enumerate(groups):
+            for g2 in groups[i + 1:]:
+                x = pdf.loc[pdf["group"] == g1, "value"].to_numpy(dtype=float)
+                y = pdf.loc[pdf["group"] == g2, "value"].to_numpy(dtype=float)
+                x, y = x[~np.isnan(x)], y[~np.isnan(y)]
+                t, dof, p = ST.welch_ttest(x, y)
+                d = ST.cohens_d(x, y)
+                n = len(x) + len(y)
+                g = d * (1 - 3.0 / (4 * n - 9)) if n > 2 and d == d else float("nan")
+                if is_logged:
+                    fc = float(np.mean(x) - np.mean(y)) if len(x) and len(y) else float("nan")
+                else:
+                    fc = float(np.mean(x) / np.mean(y)) if len(y) and np.mean(y) != 0 else float("nan")
+                out.append((feat, g1, g2, float(np.mean(x)) if len(x) else float("nan"),
+                            float(np.std(x, ddof=1)) if len(x) > 1 else float("nan"),
+                            float(np.mean(y)) if len(y) else float("nan"),
+                            float(np.std(y, ddof=1)) if len(y) > 1 else float("nan"),
+                            t, dof, p, g, fc))
+        res = pd.DataFrame(out, columns=[
+            "feature", "group1", "group2", "mean1", "std1", "mean2", "std2",
+            "t", "dof", "pvalue", "effsize", "fc"])
+        if correction == "bh" and len(res):
+            srt = res.sort_values("pvalue", kind="mergesort")
+            m = int(srt["pvalue"].notna().sum())
+            ranks = pd.Series(range(1, len(srt) + 1), index=srt.index, dtype=float)
+            padj = (srt["pvalue"] * m / ranks).iloc[::-1].cummin().iloc[::-1]
+            res["padj"] = padj.clip(upper=1.0).reindex(res.index)
+        else:
+            res["padj"] = res["pvalue"]
+        return res
+
+    return df.groupBy("feature").applyInPandas(
+        per_feature,
+        schema=("feature string, group1 string, group2 string, mean1 double, "
+                "std1 double, mean2 double, std2 double, t double, dof double, "
+                "pvalue double, effsize double, fc double, padj double"),
+    )
+
+
+# -- mixed KNN + normal imputation (reference analytics.py:303-324) -----------
+
+def impute_mixed(df: DataFrame, cutoff: float = 0.6, shift: float = 1.8,
+                 nstd: float = 0.3, k: int = 3, seed: int = 11) -> DataFrame:
+    """imputation_mixed_norm_KNN analog: KNN-impute features whose valid
+    fraction is >= cutoff in EVERY group; fill every remaining null from
+    the down-shifted normal (MNAR). The feature split is one aggregation;
+    the KNN stage only receives the dense slice."""
+    valid = (
+        df.groupBy("group", "feature")
+        .agg(F.avg(F.col("value").isNotNull().cast("double")).alias("vf"))
+        .groupBy("feature").agg(F.min("vf").alias("minvf"))
+    )
+    dense = valid.where(F.col("minvf") >= cutoff).select("feature")
+    knn_part = impute_knn(df.join(dense, on="feature", how="left_semi"), k=k)
+    rest = df.join(dense, on="feature", how="left_anti")
+    combined = knn_part.unionByName(rest.select("group", "subject", "feature", "value"))
+    return impute_normal_distribution(combined, shift=shift, nstd=nstd, seed=seed)
+
+
+# -- small reference helpers --------------------------------------------------
+
+def remove_group(df: DataFrame) -> DataFrame:
+    """remove_group (analytics.py:624): drop the 'group' column."""
+    return df.drop("group")
+
+
+def get_max_permutations(df: DataFrame, group: str = "group") -> float:
+    """get_max_permutations (analytics.py:1692): multinomial bound on
+    distinct group relabelings, from per-group subject counts (one
+    dictionary-scale aggregation)."""
+    import math as _math
+
+    counts = [
+        r["n"] for r in
+        df.select(group, "subject").distinct()
+        .groupBy(group).agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    total = sum(counts)
+    val = _math.lgamma(total + 1) - sum(_math.lgamma(c + 1) for c in counts)
+    return float(round(_math.exp(val)))
+
+
+def check_is_paired(df: DataFrame, subject: str = "subject",
+                    group: str = "group") -> bool:
+    """check_is_paired (analytics.py:1708): every subject observed in every
+    group (one aggregation)."""
+    row = (
+        df.select(subject, group).distinct()
+        .groupBy(subject).agg(F.countDistinct(group).alias("k"))
+        .agg(F.min("k").alias("mn")).collect()[0]
+    )
+    n_groups = df.select(group).distinct().count()
+    return row["mn"] is not None and row["mn"] == n_groups
