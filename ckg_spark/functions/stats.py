@@ -223,12 +223,19 @@ def anova_two_way(values: np.ndarray, fa: np.ndarray, fb: np.ndarray):
     if df_w <= 0 or ss_w == 0:
         return None
     ms_w = ss_w / df_w
+    ss_total = ss_a + ss_b + ss_ab + ss_w
     out = {}
     for name, ss, dfx in (("a", ss_a, df_a), ("b", ss_b, df_b),
                           ("ab", ss_ab, df_ab)):
         f = (ss / dfx) / ms_w if dfx > 0 else float("nan")
         out[f"f_{name}"] = f
         out[f"p_{name}"] = f_sf(f, dfx, df_w)
+        # effect sizes appended the way the reference's eta_squared /
+        # omega_squared decorate the aov table (analytics.py:2860-2876)
+        out[f"eta_{name}"] = ss / ss_total if ss_total > 0 else float("nan")
+        out[f"omega_{name}"] = (
+            (ss - dfx * ms_w) / (ss_total + ms_w)
+            if ss_total + ms_w > 0 else float("nan"))
     return out
 
 

@@ -619,16 +619,18 @@ def run_two_way_anova(df: DataFrame, factor_a: str = "group",
             pdf[factor_b].to_numpy(),
         )
         base = {"feature": [pdf["feature"].iloc[0]]}
+        cols = [f"{m}_{s}" for s in ("a", "b", "ab")
+                for m in ("f", "p", "eta", "omega")]
         if res is None:
-            res = {k: float("nan") for k in
-                   ("f_a", "p_a", "f_b", "p_b", "f_ab", "p_ab")}
-        base.update({k: [v] for k, v in res.items()})
+            res = {k: float("nan") for k in cols}
+        base.update({k: [res[k]] for k in cols})
         return pd.DataFrame(base)
 
     return df.groupBy("feature").applyInPandas(
         per_feature,
-        schema=("feature string, f_a double, p_a double, f_b double, "
-                "p_b double, f_ab double, p_ab double"),
+        schema=("feature string, "
+                + ", ".join(f"{m}_{s} double" for s in ("a", "b", "ab")
+                            for m in ("f", "p", "eta", "omega"))),
     )
 
 
@@ -1839,3 +1841,57 @@ def check_is_paired(df: DataFrame, subject: str = "subject",
     )
     n_groups = df.select(group).distinct().count()
     return row["mn"] is not None and row["mn"] == n_groups
+
+
+def run_pairwise_ttest_with_covariates(
+        df: DataFrame, covariates: DataFrame,
+        covariate_cols: list[str], correction: str = "none") -> DataFrame:
+    """pairwise_ttest_with_covariates analog (reference analytics.py:1815):
+    per feature, every group pair tested with a two-level ANCOVA adjusting
+    for the subject covariates (t = sqrt(F) signed by the adjusted mean
+    difference; same linear model as run_ancova). Covariates are a
+    broadcast-scale subject table joined once."""
+    cov = F.broadcast(covariates.select("subject", *covariate_cols))
+    j = df.join(cov, on="subject")
+
+    def per_feature(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        feat = pdf["feature"].iloc[0]
+        out = []
+        groups = sorted(pdf["group"].dropna().unique())
+        for i, g1 in enumerate(groups):
+            for g2 in groups[i + 1:]:
+                sub = pdf[pdf["group"].isin([g1, g2])]
+                res = ST.ancova_oneway(
+                    sub["value"].to_numpy(dtype=float),
+                    sub["group"].to_numpy(),
+                    sub[covariate_cols].to_numpy(dtype=float),
+                )
+                if res is None:
+                    out.append((feat, g1, g2, float("nan")) + (float("nan"),) * 3)
+                    continue
+                f, df1, df2, p = res
+                sign = np.sign(
+                    sub.loc[sub["group"] == g1, "value"].mean()
+                    - sub.loc[sub["group"] == g2, "value"].mean())
+                out.append((feat, g1, g2, float(sign * np.sqrt(f)), df2, p,
+                            float(sub.loc[sub["group"] == g1, "value"].mean()
+                                  - sub.loc[sub["group"] == g2, "value"].mean())))
+        res_df = pd.DataFrame(out, columns=[
+            "feature", "group1", "group2", "t", "dof", "pvalue", "fc"])
+        if correction == "bh" and len(res_df):
+            srt = res_df.sort_values("pvalue", kind="mergesort")
+            m = int(srt["pvalue"].notna().sum())
+            ranks = pd.Series(range(1, len(srt) + 1), index=srt.index, dtype=float)
+            padj = (srt["pvalue"] * m / ranks).iloc[::-1].cummin().iloc[::-1]
+            res_df["padj"] = padj.clip(upper=1.0).reindex(res_df.index)
+        else:
+            res_df["padj"] = res_df["pvalue"]
+        return res_df
+
+    return j.groupBy("feature").applyInPandas(
+        per_feature,
+        schema=("feature string, group1 string, group2 string, t double, "
+                "dof double, pvalue double, fc double, padj double"),
+    )

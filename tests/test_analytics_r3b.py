@@ -125,3 +125,45 @@ def test_small_helpers(spark):
     assert A.check_is_paired(df) is True
     rows_unpaired = rows + [("b", "s3", "f", 5.0)]
     assert A.check_is_paired(_long(spark, rows_unpaired)) is False
+
+
+def test_two_way_anova_effect_sizes(spark):
+    """eta^2 / omega^2 columns match manual recomputation (reference
+    eta_squared/omega_squared decorations)."""
+    rng = np.random.default_rng(10)
+    rows = []
+    for a in ("a1", "a2"):
+        for b in ("b1", "b2"):
+            mu = (a == "a2") * 2.0 + (b == "b2") * 0.5
+            for s in range(8):
+                rows.append((a, f"{a}{b}{s}", "f1", float(rng.normal(mu, 1.0))))
+    pdf = pd.DataFrame(rows, columns=["group", "subject", "feature", "value"])
+    pdf["subject_group"] = [("b1" if "b1" in s else "b2") for s in pdf["subject"]]
+    df = spark.createDataFrame(pdf)
+    out = A.run_two_way_anova(df).toPandas().iloc[0]
+    res = ST.anova_two_way(pdf["value"].to_numpy(), pdf["group"].to_numpy(),
+                           pdf["subject_group"].to_numpy())
+    for k in ("eta_a", "omega_a", "eta_ab", "omega_ab"):
+        assert abs(out[k] - res[k]) < 1e-12
+    assert 0 < out["eta_a"] < 1
+
+
+def test_pairwise_ttest_with_covariates(spark):
+    """Covariate-free run agrees with plain ANCOVA F = t^2; a confounded
+    covariate changes the conclusion."""
+    rng = np.random.default_rng(11)
+    rows, covs = [], []
+    for gi, g in enumerate(("a", "b")):
+        for s in range(15):
+            age = 30 + gi * 20 + rng.normal(0, 2)
+            # value driven entirely by age -> adjusting kills the effect
+            rows.append((g, f"{g}{s}", "f1", float(age * 0.5 + rng.normal(0, 0.3))))
+            covs.append((f"{g}{s}", float(age)))
+    long = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["group", "subject", "feature", "value"]))
+    cov_df = spark.createDataFrame(pd.DataFrame(covs, columns=["subject", "age"]))
+    out = A.run_pairwise_ttest_with_covariates(long, cov_df, ["age"]).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    # unadjusted means differ hugely, adjusted test must NOT reject
+    assert abs(row["fc"]) > 5 and row["pvalue"] > 0.05
