@@ -346,3 +346,22 @@ def tokens_of(col):
     local alias avoids a circular import)."""
     t = F.split(F.trim(F.lower(F.coalesce(col, F.lit("")))), r"\s+")
     return F.filter(t, lambda x: x != "")
+
+
+def dedup_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3, bucket_cap: int = 200,
+                  metrics: dict | None = None) -> DataFrame:
+    """SimHash near-dup pipeline parity with ``dedup_minhash_lsh``:
+    (doc_id, canonical_id) for documents in a near-dup cluster, canonical =
+    min id of the connected component over the verified hamming pairs."""
+    from .canonicalize import connected_components
+
+    pairs = simhash_near_dups(df, id_col, text_col, max_hamming=max_hamming,
+                              bucket_cap=bucket_cap, metrics=metrics)
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("ident_a"),
+        F.col("doc_b").cast("string").alias("ident_b"),
+    )
+    return connected_components(edges).select(
+        F.col("ident").alias("doc_id"), F.col("component").alias("canonical_id")
+    )

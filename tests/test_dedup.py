@@ -113,3 +113,27 @@ def test_simhash_near_dups(spark):
             if a < b and texts[a] == texts[b]:
                 assert by_doc[a] == by_doc[b]
                 assert (a, b) in found
+
+
+def test_dedup_simhash_clusters(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # near-dup by token superset (one added token flips few sign
+            # sums; a token SUBSTITUTION on a 9-token doc flips ~half the
+            # bits — SimHash is a large-document sketch by design)
+            "the quick brown fox jumps over the lazy dog today",
+            "the quick brown fox jumps over the lazy dog today extra",
+            "a completely different document about spark partitions",
+            "yet another unrelated text concerning graph algorithms",
+        ],
+    }))
+    metrics = {}
+    out = {r["doc_id"]: r["canonical_id"]
+           for r in D.dedup_simhash(docs, max_hamming=6,
+                                    metrics=metrics).collect()}
+    assert out.get("1") == "1" and out.get("2") == "1"
+    assert "3" not in out and "4" not in out  # singletons excluded
+    assert metrics["dropped_buckets"] == 0
