@@ -1955,3 +1955,64 @@ WHERE l.lang = 'en'
 
 
 QUERIES.update({"q59_curation_pipeline": (q59_curation_pipeline, Q59_SQL)})
+
+
+def q60_knowledge_assembly(spark, sf):
+    """Knowledge assembly (queries/knowledge_assembly.py; reference
+    knowledge.py:175-367): correlation edges from the q43 per-user event
+    profile (|corr| >= 0.2), regulation hub edges for event types whose
+    mean value tops 50, assembled with max-weight dedup + node derivation."""
+    from .queries import knowledge_assembly as KA
+
+    e = _t(spark, sf, "events")
+    per_user = e.groupBy(
+        F.col("user_id").cast("string").alias("subject"),
+        F.col("event_type").alias("feature"),
+    ).agg(F.avg("value").alias("value"))
+    from .operators.analytics import pairwise_correlation
+
+    corr = pairwise_correlation(per_user, min_n=3).select(
+        F.col("fa").alias("node1"), F.col("fb").alias("node2"),
+        F.col("corr").alias("weight"))
+    corr_edges = KA.knowledge_from_correlation(
+        corr, "EventType", "EventType", cutoff=0.02)
+    hot = (
+        e.groupBy(F.col("event_type").alias("feature"))
+        .agg(F.avg("value").alias("m")).where(F.col("m") > 50)
+    )
+    reg_edges = KA.knowledge_from_regulation(hot, entity="EventType")
+    nodes, edges = KA.assemble_knowledge(corr_edges, reg_edges)
+    return edges.select(
+        "subj", "pred", "obj", F.round("weight", 6).alias("weight"),
+        "subj_type", "obj_type")
+
+
+Q60_SQL = """
+WITH per_user AS (
+  SELECT CAST(user_id AS VARCHAR) AS subject, event_type AS feature,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2),
+corr AS (
+  SELECT a.feature AS node1, b.feature AS node2,
+         corr(a.value, b.value) AS weight
+  FROM per_user a JOIN per_user b USING (subject)
+  WHERE a.feature < b.feature
+  GROUP BY 1, 2
+  HAVING count(*) >= 3 AND corr(a.value, b.value) IS NOT NULL),
+corr_edges AS (
+  SELECT node1 AS subj, 'correlates' AS pred, node2 AS obj,
+         weight, 'EventType' AS subj_type, 'EventType' AS obj_type
+  FROM corr WHERE abs(weight) >= 0.02),
+reg_edges AS (
+  SELECT 'Regulated' AS subj, 'is_regulated' AS pred, feature AS obj,
+         1.0 AS weight, 'Group' AS subj_type, 'EventType' AS obj_type
+  FROM (SELECT event_type AS feature, avg(value) AS m FROM events GROUP BY 1)
+  WHERE m > 50 AND feature NOT IN ('sample', 'group', 'subject')),
+unioned AS (SELECT * FROM corr_edges UNION ALL SELECT * FROM reg_edges)
+SELECT subj, pred, obj, round(max(weight), 6) AS weight,
+       max(subj_type) AS subj_type, max(obj_type) AS obj_type
+FROM unioned GROUP BY 1, 2, 3
+"""
+
+
+QUERIES.update({"q60_knowledge_assembly": (q60_knowledge_assembly, Q60_SQL)})
