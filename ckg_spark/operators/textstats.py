@@ -182,6 +182,71 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def _gopher_metric_cols(text_expr: Column) -> dict[str, Column]:
+    """The Gopher metric columns over one text expression (shared by the
+    DataFrame-level flags and the streaming keep-predicate)."""
+    text = F.coalesce(text_expr, F.lit(""))
+    toks = tokens(text_expr)
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    ).cast("double") / nw
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+        + F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": (n_hash + n_ell) / nw,
+        "bullet_line_frac": F.size(F.filter(
+            lines, lambda l: F.ltrim(l).rlike("^[-*•●▪]"))) / n_lines,
+        "ellipsis_line_frac": F.size(F.filter(
+            lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"))) / n_lines,
+        "alpha_word_frac": F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / nw,
+        "stopword_hits": F.size(F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))),
+    }
+
+
+def _gopher_keep(m: dict[str, Column], min_words: int, max_words: int,
+                 min_mean_word_len: float, max_mean_word_len: float,
+                 max_symbol_word_ratio: float, max_bullet_line_frac: float,
+                 max_ellipsis_line_frac: float, min_alpha_word_frac: float,
+                 min_stopword_hits: int) -> Column:
+    return (
+        m["n_words"].between(min_words, max_words)
+        & m["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (m["symbol_word_ratio"] <= max_symbol_word_ratio)
+        & (m["bullet_line_frac"] <= max_bullet_line_frac)
+        & (m["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+        & (m["alpha_word_frac"] >= min_alpha_word_frac)
+        & (m["stopword_hits"] >= min_stopword_hits)
+    )
+
+
+def gopher_keep_expr(
+    text_expr: Column,
+    min_words: int = 50, max_words: int = 100_000,
+    min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9, max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8, min_stopword_hits: int = 2,
+) -> Column:
+    """The Gopher keep-rule as ONE boolean column — usable directly in a
+    streaming ``where`` (no projection, no join; stays stateless)."""
+    return _gopher_keep(
+        _gopher_metric_cols(text_expr), min_words, max_words,
+        min_mean_word_len, max_mean_word_len, max_symbol_word_ratio,
+        max_bullet_line_frac, max_ellipsis_line_frac, min_alpha_word_frac,
+        min_stopword_hits)
+
+
 def gopher_quality_flags(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     min_words: int = 50, max_words: int = 100_000,
@@ -199,50 +264,14 @@ def gopher_quality_flags(
     (``array_intersect`` against an 8-word literal array — the Gopher
     "contains at least N of ..." rule).
     """
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens(F.col(text_col))
-    n_words = F.size(toks)
-    nw = F.greatest(n_words, F.lit(1)).cast("double")
-    mean_wl = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
-    ).cast("double") / nw
-    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
-    n_ell = (
-        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
-        + F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
-    )
-    symbol_ratio = (n_hash + n_ell) / nw
-    lines = F.split(text, "\n")
-    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
-    bullet_frac = F.size(F.filter(
-        lines, lambda l: F.ltrim(l).rlike("^[-*•●▪]")
-    )) / n_lines
-    ellipsis_frac = F.size(F.filter(
-        lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$")
-    )) / n_lines
-    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / nw
-    stop_hits = F.size(F.array_intersect(
-        F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    ))
+    m = _gopher_metric_cols(F.col(text_col))
     out = df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_word_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.alias("stopword_hits"),
-    )
-    keep = (
-        F.col("n_words").between(min_words, max_words)
-        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
-        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
-        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
-        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
-        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
-        & (F.col("stopword_hits") >= min_stopword_hits)
-    )
+        F.col(id_col), *[expr.alias(name) for name, expr in m.items()])
+    keep = _gopher_keep(
+        {name: F.col(name) for name in m}, min_words, max_words,
+        min_mean_word_len, max_mean_word_len, max_symbol_word_ratio,
+        max_bullet_line_frac, max_ellipsis_line_frac, min_alpha_word_frac,
+        min_stopword_hits)
     return out.withColumn("keep", keep)
 
 

@@ -189,3 +189,32 @@ def streaming_exact_dedup(
         digested.withWatermark(ts_col, watermark_delay)
         .dropDuplicatesWithinWatermark(["norm_hash"])
     )
+
+
+def streaming_curate(
+    stream_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+    languages: tuple = ("en",),
+    gopher_kwargs: dict | None = None,
+) -> DataFrame:
+    """Streaming corpus curation: the stateless slice of the batch
+    plans/curate.py stack (Gopher document rules + language allowlist,
+    evaluated as per-row JVM predicate COLUMNS on the stream itself — no
+    stream-stream join) composed with the watermark-bounded exact-dedup
+    state. Near-dup (MinHash) stays a batch/backfill concern: its bucket
+    self-join is not expressible as bounded streaming state.
+
+    Output mode: append (first surviving occurrence of each digest)."""
+    from ..operators.textstats import gopher_keep_expr, lang_best
+
+    filtered = (
+        stream_docs
+        .where(gopher_keep_expr(F.col(text_col), **(gopher_kwargs or {})))
+        .where(lang_best(F.col(text_col)).isin(list(languages)))
+    )
+    return streaming_exact_dedup(
+        filtered, text_col=text_col, id_col=id_col, ts_col=ts_col,
+        watermark_delay=watermark_delay)

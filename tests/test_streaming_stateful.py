@@ -182,3 +182,38 @@ def test_streaming_exact_dedup(spark, tmp_path):
     got = spark.sql("SELECT doc_id FROM dedupstream").toPandas()
     # doc 3 normalizes to doc 1's text; doc 4 too -> only first survives
     assert sorted(got["doc_id"]) == [1, 2, 5]
+
+
+def test_streaming_curate(spark, tmp_path):
+    """Stateless quality+language predicates + watermark dedup on a file
+    stream; matches the batch curation semantics for the same rules."""
+    from ckg_spark.streaming.stateful import streaming_curate
+
+    base = pd.Timestamp("2026-02-01 09:00:00")
+    good = ("the quick brown fox jumps over the lazy dog and then the dog "
+            "chases the fox around the big field while the sun sets")
+    b1 = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "ts": pd.Series([base] * 3, dtype="datetime64[us]"),
+        "text": [good, "too short", good.upper()],  # 3 = exact dup of 1
+    })
+    b2 = pd.DataFrame({
+        "doc_id": [4],
+        "ts": pd.Series([base + pd.Timedelta(minutes=1)], dtype="datetime64[us]"),
+        "text": [good.replace("fox", "owl").replace("dog", "cat")
+                     .replace("field", "yard")],
+    })
+    in_dir = str(tmp_path / "curate_in")
+    _write_ordered(in_dir, [b1, b2])
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    out = streaming_curate(
+        stream, gopher_kwargs={"min_words": 10, "min_stopword_hits": 1})
+    q = (out.writeStream.format("memory").queryName("curatestream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM curatestream").collect())
+    assert got == [1, 4]
