@@ -2016,3 +2016,51 @@ FROM unioned GROUP BY 1, 2, 3
 
 
 QUERIES.update({"q60_knowledge_assembly": (q60_knowledge_assembly, Q60_SQL)})
+
+
+def q61_contamination_report(spark, sf):
+    """Benchmark decontamination (dedup.py::contamination_report): shingle
+    overlap of every document against the benchmark slice (doc_id % 50 == 0),
+    k=5. The benchmark reduces to distinct hashes broadcast against the
+    corpus scan — no corpus shuffle."""
+    from .operators.dedup import contamination_report
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    rep = contamination_report(docs, bench, k=5)
+    return rep.select(
+        "doc_id",
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.round("frac_contaminated", 6).alias("frac_contaminated"),
+    )
+
+
+Q61_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(toks) >= 5 THEN array_to_string(toks[i:i+4], ' ')
+              ELSE array_to_string(toks, ' ') END AS shingle
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i
+        FROM norm WHERE len(toks) > 0 AND toks[1] <> '')),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+hits AS (
+  SELECT sh.doc_id, count(*) AS n_contaminated
+  FROM sh JOIN bench USING (shingle) GROUP BY 1)
+SELECT p.doc_id,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(p.n_shingles AS BIGINT) AS n_shingles,
+       round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+             / greatest(p.n_shingles, 1), 6) AS frac_contaminated
+FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+"""
+
+
+QUERIES.update({"q61_contamination_report": (q61_contamination_report, Q61_SQL)})

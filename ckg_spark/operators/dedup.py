@@ -365,3 +365,51 @@ def dedup_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return connected_components(edges).select(
         F.col("ident").alias("doc_id"), F.col("component").alias("canonical_id")
     )
+
+
+def contamination_report(docs: DataFrame, benchmark: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         k: int = 13) -> DataFrame:
+    """Benchmark-overlap report: for every training document, how many of
+    its k-token shingles appear anywhere in the benchmark set (the GPT-3 /
+    PaLM-style n-gram decontamination check, typically k = 13).
+
+    Scale shape: benchmark shingles reduce to DISTINCT 8-byte hashes — a
+    benchmark of millions of examples hashes to a broadcastable set — so
+    the corpus-side scan is one broadcast semi-join + algebraic count; the
+    100-TB corpus is never shuffled. Output: (doc_id, n_contaminated,
+    n_shingles, frac_contaminated)."""
+    bench_h = (
+        shingles(benchmark, id_col, text_col, k=k)
+        .select(F.xxhash64("shingle").alias("_bh")).distinct()
+    )
+    doc_sh = shingles(docs, id_col, text_col, k=k).withColumn(
+        "_h", F.xxhash64("shingle"))
+    per_doc = doc_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_h), on=doc_sh["_h"] == bench_h["_bh"],
+                    how="left_semi")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        per_doc.join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            "n_shingles",
+            (F.coalesce("n_contaminated", F.lit(0))
+             / F.greatest("n_shingles", F.lit(1))).alias("frac_contaminated"),
+        )
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 13, min_hits: int = 1) -> DataFrame:
+    """Drop training documents sharing >= min_hits k-token shingles with the
+    benchmark set (anti-join on the contamination report)."""
+    bad = contamination_report(docs, benchmark, id_col, text_col, k=k).where(
+        F.col("n_contaminated") >= min_hits).select("doc_id")
+    return docs.join(bad.withColumnRenamed("doc_id", id_col),
+                     on=id_col, how="left_anti")

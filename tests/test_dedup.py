@@ -137,3 +137,27 @@ def test_dedup_simhash_clusters(spark):
     assert out.get("1") == "1" and out.get("2") == "1"
     assert "3" not in out and "4" not in out  # singletons excluded
     assert metrics["dropped_buckets"] == 0
+
+
+def test_decontamination(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "alpha beta gamma delta epsilon zeta",     # contains bench 4-gram
+            "one two three four five six seven",       # clean
+            "alpha beta gamma delta unrelated tail",   # shares the 4-gram too
+        ],
+    }))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["question: alpha beta gamma delta answer: something"],
+    }))
+    rep = {r["doc_id"]: r for r in D.contamination_report(
+        docs, bench, k=4).collect()}
+    assert rep[1]["n_contaminated"] == 1  # exactly the shared 4-gram
+    assert rep[2]["n_contaminated"] == 0
+    assert rep[3]["n_contaminated"] == 1
+    clean = D.decontaminate(docs, bench, k=4)
+    assert [r["doc_id"] for r in clean.select("doc_id").collect()] == [2]
