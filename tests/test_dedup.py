@@ -161,3 +161,20 @@ def test_decontamination(spark):
     assert rep[3]["n_contaminated"] == 1
     clean = D.decontaminate(docs, bench, k=4)
     assert [r["doc_id"] for r in clean.select("doc_id").collect()] == [2]
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """Scale posture: the benchmark-hash side must be a broadcast exchange —
+    the corpus stream itself is never shuffled for the semi-join."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(20),
+        "text": [f"some words number {i} padding tokens here now" for i in range(20)],
+    }))
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    plan = (
+        D.contamination_report(docs, bench, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
