@@ -2064,3 +2064,36 @@ FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
 
 
 QUERIES.update({"q61_contamination_report": (q61_contamination_report, Q61_SQL)})
+
+
+def q62_unigram_logprob(spark, sf):
+    """Perplexity-proxy quality scoring (textstats.py::
+    unigram_logprob_score): mean token -log p under the corpus's own
+    add-one unigram LM. vocab_size exceeds the synthetic vocabulary, so no
+    tie-ordering at the cut enters the oracle comparison."""
+    from .operators.textstats import unigram_logprob_score
+
+    docs = _t(spark, sf, "documents")
+    out = unigram_logprob_score(docs, vocab_size=100_000)
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_neg_logp", 6).alias("mean_neg_logp"))
+
+
+Q62_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+           x -> x <> '')) AS tok
+  FROM documents),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+p AS (SELECT tok, (c + 1.0) / (tot.n + tot.v + 1) AS p FROM counts, tot)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(p.p)), 6) AS mean_neg_logp
+FROM toks t JOIN p USING (tok)
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q62_unigram_logprob": (q62_unigram_logprob, Q62_SQL)})

@@ -306,3 +306,46 @@ def c4_line_filter(
         F.size(kept).alias("n_lines_kept"),
         F.size(lines).alias("n_lines_total"),
     )
+
+
+def unigram_logprob_score(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          vocab_size: int = 100_000) -> DataFrame:
+    """Perplexity-proxy quality score: mean token negative log-probability
+    under the corpus's OWN add-one-smoothed unigram distribution — the
+    cheap stand-in for the CCNet-style LM quality signal (low score =
+    typical text, high = rare-token soup). Deterministic formula:
+
+        p(t) = (c_t + 1) / (N + V + 1)   for the top ``vocab_size`` tokens,
+        p(OOV) = 1 / (N + V + 1),
+
+    N = corpus token count, V = kept-vocabulary size.
+
+    Scale shape: one algebraic token-count aggregation (shuffle keyed on
+    token, map-side combined), top-``vocab_size`` cut (dictionary-scale),
+    BROADCAST back against the exploded token stream, one per-doc mean —
+    the corpus is scanned twice and never shuffled on doc_id beyond its
+    own layout. Output: (doc_id, n_tokens, mean_neg_logp)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
+    n_total, v = int(totals["n"] or 0), int(totals["v"] or 0)
+    denom = float(n_total + min(v, vocab_size) + 1)
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", ((F.col("c") + 1) / denom).alias("p"))
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), on="tok", how="left")
+        .select("doc_id",
+                (-F.log(F.coalesce("p", F.lit(1.0 / denom)))).alias("nlp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("nlp").alias("mean_neg_logp"),
+    )

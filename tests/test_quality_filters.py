@@ -122,3 +122,30 @@ def test_repetition_flags_clean_doc_keeps(spark):
     assert row["keep"] is True
     assert row["dup_line_frac"] == 0.0 and row["dup5gram_char_frac"] == 0.0
     assert row["top2gram_char_frac"] < 0.05
+
+
+def test_unigram_logprob_score(spark):
+    """Rare-token docs score strictly higher than common-token docs; values
+    match a hand-computed add-one unigram model."""
+    import math
+
+    from ckg_spark.operators.textstats import unigram_logprob_score
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the the the cat", "the cat sat", "zyx wvu tsr"],
+    }))
+    out = {r["doc_id"]: r for r in unigram_logprob_score(docs).collect()}
+    # corpus: the*4, cat*2, sat, zyx, wvu, tsr -> N=10, V=6, denom=17
+    denom = 17.0
+    p = {"the": 5 / denom, "cat": 3 / denom, "sat": 2 / denom,
+         "zyx": 2 / denom, "wvu": 2 / denom, "tsr": 2 / denom}
+    exp1 = -(3 * math.log(p["the"]) + math.log(p["cat"])) / 4
+    assert abs(out[1]["mean_neg_logp"] - exp1) < 1e-9
+    assert out[3]["mean_neg_logp"] > out[1]["mean_neg_logp"]
+    # vocab cut: limit to 1 token -> everything but 'the' is OOV
+    cut = {r["doc_id"]: r for r in
+           unigram_logprob_score(docs, vocab_size=1).collect()}
+    denom_cut = 10 + 1 + 1
+    exp1_cut = -(3 * math.log(5 / denom_cut) + math.log(1 / denom_cut)) / 4
+    assert abs(cut[1]["mean_neg_logp"] - exp1_cut) < 1e-9
