@@ -201,3 +201,55 @@ def test_c4_filter_agrees_with_python_on_generated_text(spark, texts):
         exp_text, exp_kept = _py_c4(t)
         assert got[i]["n_lines_kept"] == exp_kept, (i, t)
         assert got[i]["clean_text"] == exp_text, (i, t)
+
+
+def _py_repetition(t):
+    import re
+    from collections import Counter
+
+    lines = [l for l in (t or "").split("\n") if l.strip() != ""]
+    nl = max(len(lines), 1)
+    dup_line_frac = (len(lines) - len(set(lines))) / nl
+    line_chars = sum(len(l) for l in lines)
+    distinct_chars = sum(len(l) for l in set(lines))
+    dlcf = (line_chars - distinct_chars) / line_chars if line_chars else 0.0
+    toks = _py_tokens(t)
+    nsp = max(len(re.sub(r"\s+", "", t or "")), 1)
+
+    def gram_stats(n):
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        if not c:
+            return 0.0, 0.0
+        def chars(g):
+            return len(g.replace(" ", ""))
+        top = max(c.items(), key=lambda kv: (kv[1], chars(kv[0])))
+        topfrac = top[1] * chars(top[0]) / nsp
+        dupfrac = sum(k * chars(g) for g, k in c.items() if k > 1) / nsp
+        return topfrac, dupfrac
+
+    top2, _ = gram_stats(2)
+    _, dup5 = gram_stats(5)
+    return dup_line_frac, dlcf, top2, dup5
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_QF_FRAGMENTS), min_size=0, max_size=20).map(" ".join),
+        min_size=1, max_size=6,
+    )
+)
+def test_repetition_flags_agree_with_python(spark, texts):
+    from ckg_spark.operators.dedup import repetition_flags
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = {r["doc_id"]: r for r in repetition_flags(
+        spark.createDataFrame(pdf)).collect()}
+    for i, t in enumerate(texts):
+        dlf, dlcf, top2, dup5 = _py_repetition(t)
+        g = got[i]
+        assert abs(g["dup_line_frac"] - dlf) < 1e-9, (t, g["dup_line_frac"], dlf)
+        assert abs(g["dup_line_char_frac"] - dlcf) < 1e-9, (t,)
+        assert abs(g["top2gram_char_frac"] - top2) < 1e-9, (t, g["top2gram_char_frac"], top2)
+        assert abs(g["dup5gram_char_frac"] - dup5) < 1e-9, (t,)
