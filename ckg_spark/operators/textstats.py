@@ -349,3 +349,65 @@ def unigram_logprob_score(df: DataFrame, id_col: str = "doc_id",
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("nlp").alias("mean_neg_logp"),
     )
+
+
+def build_unigram_model(df: DataFrame, model_dir: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        vocab_size: int = 100_000) -> str:
+    """Persist the corpus unigram LM (the ``unigram_logprob_score`` model)
+    as a parquet vocabulary + JSON manifest — train once over the 100-TB
+    corpus, score any stream/batch later without re-aggregating (same
+    persisted-artifact pattern as the IVF/LSH indexes). Stage write goes
+    through lineage (resumable, per-partition metrics)."""
+    import json
+    import os
+
+    from ..plans import lineage as LIN
+
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
+    n_total, v = int(totals["n"] or 0), int(totals["v"] or 0)
+    denom = float(n_total + min(v, vocab_size) + 1)
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", ((F.col("c") + 1) / denom).alias("p"))
+    )
+    run_id = LIN.new_run_id()
+    LIN.write_stage(vocab, model_dir, "unigram_vocab", run_id)
+    with open(os.path.join(model_dir, "unigram_manifest.json"), "w") as f:
+        json.dump({"n_total": n_total, "v": v, "vocab_size": vocab_size,
+                   "denom": denom}, f)
+    return model_dir
+
+
+def unigram_score_with_model(df: DataFrame, model_dir: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Score documents against a persisted unigram model (broadcast
+    vocabulary join; identical output to ``unigram_logprob_score`` when the
+    model was built on the same corpus). Works on batch or streaming
+    inputs — the model side is static."""
+    import json
+    import os
+
+    from ..plans import lineage as LIN
+
+    with open(os.path.join(model_dir, "unigram_manifest.json")) as f:
+        m = json.load(f)
+    vocab = LIN.read_stage(df.sparkSession, model_dir, "unigram_vocab")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), on="tok", how="left")
+        .select("doc_id",
+                (-F.log(F.coalesce("p", F.lit(1.0 / m["denom"])))).alias("nlp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("nlp").alias("mean_neg_logp"),
+    )

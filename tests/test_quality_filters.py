@@ -149,3 +149,26 @@ def test_unigram_logprob_score(spark):
     denom_cut = 10 + 1 + 1
     exp1_cut = -(3 * math.log(5 / denom_cut) + math.log(1 / denom_cut)) / 4
     assert abs(cut[1]["mean_neg_logp"] - exp1_cut) < 1e-9
+
+
+def test_persisted_unigram_model_matches_inline(spark, tmp_path):
+    from ckg_spark.operators.textstats import (build_unigram_model,
+                                               unigram_logprob_score,
+                                               unigram_score_with_model)
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the the the cat", "the cat sat", "zyx wvu tsr"],
+    }))
+    model = str(tmp_path / "unigram")
+    build_unigram_model(docs, model)
+    inline = unigram_logprob_score(docs).toPandas().set_index("doc_id")
+    persisted = unigram_score_with_model(docs, model).toPandas().set_index("doc_id")
+    for d in (1, 2, 3):
+        assert abs(inline.loc[d, "mean_neg_logp"]
+                   - persisted.loc[d, "mean_neg_logp"]) < 1e-12
+    # scoring a NEW doc with OOV tokens works against the frozen model
+    new = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["the unseen token here"]}))
+    row = unigram_score_with_model(new, model).collect()[0]
+    assert row["n_tokens"] == 4 and row["mean_neg_logp"] > 0
