@@ -129,11 +129,62 @@ def _image_features(arr: np.ndarray) -> np.ndarray:
     return np.asarray(feats, dtype=np.float32)
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Stdlib decoder for PCM WAV (RIFF) audio: returns (samples float64 in
+    [-1, 1], mono-mixed, sample_rate) or None if not a decodable WAV."""
+    import io
+    import wave
+
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def _audio_features(x: np.ndarray, rate: int) -> np.ndarray:
+    """FEATURE_DIM real audio statistics: duration/rate, RMS, peak,
+    zero-crossing rate, mean absolute delta, 4-band quartile energies,
+    plus simple shape stats."""
+    n = max(len(x), 1)
+    rms = float(np.sqrt((x ** 2).mean())) if len(x) else 0.0
+    zc = float((np.abs(np.diff(np.sign(x))) > 0).mean()) if len(x) > 1 else 0.0
+    mad = float(np.abs(np.diff(x)).mean()) if len(x) > 1 else 0.0
+    quarters = [float(np.sqrt((q ** 2).mean())) if len(q) else 0.0
+                for q in np.array_split(x, 4)]
+    feats = [
+        float(rate), n / float(rate), float(n),
+        rms, float(np.abs(x).max()) if len(x) else 0.0,
+        zc, mad,
+        float(x.mean()) if len(x) else 0.0,
+        float(x.std()) if len(x) else 0.0,
+        *quarters,
+        float(np.percentile(np.abs(x), 90)) if len(x) else 0.0,
+        float((np.abs(x) > 0.5).mean()) if len(x) else 0.0,
+        float((np.abs(x) < 1e-3).mean()) if len(x) else 0.0,
+    ]
+    return np.asarray(feats[:FEATURE_DIM], dtype=np.float32)
+
+
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """Feature extraction with a REAL pure-Python pixel path for BMP/PPM
-    images (no external image libs needed) and a deterministic fake for
-    formats whose codecs don't ship in this container (JPEG/PNG/audio/video
-    would be PIL/librosa one-liners in deployment; the Arrow batching,
+    """Feature extraction with REAL pure-Python/stdlib paths for BMP/PPM
+    images and PCM WAV audio, and a deterministic fake for formats whose
+    codecs don't ship in this container (JPEG/PNG/MP3/video would be
+    PIL/librosa/ffmpeg one-liners in deployment; the Arrow batching,
     schema, and partitioning around this function are format-agnostic)."""
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for kind={kind!r}")
@@ -143,6 +194,10 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
             arr = decode_ppm(payload)
         if arr is not None:
             return _image_features(arr)
+    if kind == "audio":
+        wav = decode_wav(payload)
+        if wav is not None:
+            return _audio_features(*wav)
     h = hashlib.sha256(payload or b"").digest()
     seed = int.from_bytes(h[:8], "big") % (2**32)
     rng = np.random.default_rng(seed)

@@ -331,3 +331,44 @@ def test_ivf_topk_batch_prunes_index_partitions(spark, tmp_path):
     pf = scan.split("PartitionFilters: ")[1]
     # a single probed cluster -> a literal equality (or IN) partition filter
     assert re.search(r"cluster#\d+ (= \d+|IN \(\d+\))", pf), pf
+
+
+def test_wav_decode_real_audio_features(spark):
+    """decode_features produces real statistics for PCM WAV payloads: a
+    440 Hz sine at 8 kHz has known RMS (~1/sqrt(2)) and zero-crossing
+    rate (~2*440/8000)."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    rate, secs, freq = 8000, 1, 440
+    t = np.arange(rate * secs) / rate
+    x = (0.9 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    payload = buf.getvalue()
+
+    samples, got_rate = MM.decode_wav(payload)
+    assert got_rate == rate and len(samples) == rate
+    media = spark.createDataFrame(pd.DataFrame(
+        {"media_id": [1], "kind": ["audio"], "payload": [payload]}))
+    feats = MM.decode_features(media).collect()[0]["features"]
+    assert feats[0] == rate and abs(feats[1] - 1.0) < 1e-6  # rate, duration
+    assert abs(feats[3] - 0.9 / np.sqrt(2)) < 0.01          # sine RMS
+    assert abs(feats[5] - 2 * freq / rate) < 0.01           # zero crossings
+
+
+def test_non_wav_audio_falls_back_to_fake(spark):
+    import numpy as np
+
+    a = MM._decode_stub(b"\x00\x01not audio", "audio")
+    b = MM._decode_stub(b"\x00\x01not audio", "audio")
+    np.testing.assert_array_equal(a, b)
+    assert len(a) == MM.FEATURE_DIM
