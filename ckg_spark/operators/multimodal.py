@@ -1,10 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side contract is real and tested — schema, Arrow batch shape,
-partition-preserving mapInPandas — while the codec step is stubbed behind
-``NotImplementedError`` / a deterministic fake, because no image/audio
-libraries ship in this container. Swapping in a real decoder is a one-line
-change inside ``_decode_stub``.
+partition-preserving mapInPandas. The codec step has REAL pure-Python /
+stdlib decoders for the uncompressed formats (24-bit BMP + binary PPM
+images, PCM WAV audio, YUV4MPEG2 video — each with exact-value feature
+tests) and a clearly-marked deterministic fake for compressed formats
+whose codecs don't ship in this container (JPEG/PNG/MP3/MP4 are PIL /
+librosa / ffmpeg one-liners in deployment, swapped inside ``_decode_stub``
+without touching the Spark plumbing).
 
 Schema convention:
     media(media_id long, kind string, payload binary, meta map<string,string>)
@@ -198,6 +201,10 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
         wav = decode_wav(payload)
         if wav is not None:
             return _audio_features(*wav)
+    if kind == "video":
+        y4m = decode_y4m(payload)
+        if y4m is not None:
+            return _video_features(*y4m)
     h = hashlib.sha256(payload or b"").digest()
     seed = int.from_bytes(h[:8], "big") % (2**32)
     rng = np.random.default_rng(seed)
@@ -252,3 +259,79 @@ def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
         F.round(w * scale).cast("int").alias("target_w"),
         F.round(h * scale).cast("int").alias("target_h"),
     )
+
+
+def decode_y4m(payload: bytes, max_frames: int | None = None):
+    """Pure-Python decoder for YUV4MPEG2 (.y4m) uncompressed video: returns
+    (frames, fps) where frames is a list of (h, w) uint8 LUMA planes
+    (C420/C422/C444/Cmono subsampling — chroma planes are skipped, only
+    their sizes are consumed), or None if not a decodable y4m stream."""
+    if payload is None or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    header = payload[:nl].decode("ascii", "replace").split(" ")
+    w = h = 0
+    fps = 0.0
+    chroma = "420"
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            num, den = tok[1:].split(":")
+            fps = int(num) / max(int(den), 1)
+        elif tok.startswith("C"):
+            chroma = tok[1:]
+    if w <= 0 or h <= 0:
+        return None
+    luma = w * h
+    if chroma.startswith("420"):
+        chroma_bytes = luma // 2
+    elif chroma.startswith("422"):
+        chroma_bytes = luma
+    elif chroma.startswith("444"):
+        chroma_bytes = luma * 2
+    elif chroma.startswith("mono"):
+        chroma_bytes = 0
+    else:
+        return None
+    pos = nl + 1
+    frames = []
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            break
+        pos = fnl + 1
+        if pos + luma > len(payload):
+            break
+        frames.append(
+            np.frombuffer(payload[pos:pos + luma], dtype=np.uint8).reshape(h, w))
+        pos += luma + chroma_bytes
+        if max_frames and len(frames) >= max_frames:
+            break
+    if not frames:
+        return None
+    return frames, fps
+
+
+def _video_features(frames, fps: float) -> np.ndarray:
+    """FEATURE_DIM real video statistics: dims/fps/frame count, luma
+    mean/std of first, middle, and last frames, mean inter-frame absolute
+    delta (motion proxy), global min/max."""
+    h, w = frames[0].shape
+    first, mid, last = frames[0], frames[len(frames) // 2], frames[-1]
+    stack = np.stack([f.astype(np.float64) for f in frames])
+    deltas = (np.abs(np.diff(stack, axis=0)).mean()
+              if len(frames) > 1 else 0.0)
+    feats = [
+        float(w), float(h), float(len(frames)), float(fps),
+        first.mean(), first.std(), mid.mean(), mid.std(),
+        last.mean(), last.std(), float(deltas),
+        float(stack.min()), float(stack.max()), float(stack.mean()),
+        float(stack.std()),
+        len(frames) / fps if fps > 0 else 0.0,
+    ]
+    return np.asarray(feats[:FEATURE_DIM], dtype=np.float32)

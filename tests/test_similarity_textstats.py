@@ -372,3 +372,40 @@ def test_non_wav_audio_falls_back_to_fake(spark):
     b = MM._decode_stub(b"\x00\x01not audio", "audio")
     np.testing.assert_array_equal(a, b)
     assert len(a) == MM.FEATURE_DIM
+
+
+def test_y4m_decode_real_video_features(spark):
+    """decode_features produces real statistics for y4m payloads: 3 frames
+    of known constant luma with C420 chroma planes."""
+    import numpy as np
+    import pandas as pd
+
+    w, h = 4, 2
+    header = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n"
+    frames_luma = [10, 100, 200]
+    body = b""
+    for v in frames_luma:
+        body += b"FRAME\n"
+        body += bytes([v]) * (w * h)          # luma plane
+        body += bytes([128]) * (w * h // 2)   # chroma planes (skipped)
+    payload = header + body
+
+    frames, fps = MM.decode_y4m(payload)
+    assert len(frames) == 3 and fps == 25.0
+    np.testing.assert_array_equal(frames[1], np.full((h, w), 100, np.uint8))
+
+    media = spark.createDataFrame(pd.DataFrame(
+        {"media_id": [1], "kind": ["video"], "payload": [payload]}))
+    feats = MM.decode_features(media).collect()[0]["features"]
+    assert feats[0] == 4 and feats[1] == 2 and feats[2] == 3 and feats[3] == 25.0
+    assert feats[4] == 10.0 and feats[6] == 100.0 and feats[8] == 200.0
+    # motion proxy: mean |delta| between constant frames = (90 + 100) / 2
+    assert abs(feats[10] - 95.0) < 1e-6
+
+
+def test_non_y4m_video_falls_back_to_fake(spark):
+    import numpy as np
+
+    a = MM._decode_stub(b"mp4 junk bytes", "video")
+    b = MM._decode_stub(b"mp4 junk bytes", "video")
+    np.testing.assert_array_equal(a, b)
