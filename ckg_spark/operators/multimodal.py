@@ -335,3 +335,75 @@ def _video_features(frames, fps: float) -> np.ndarray:
         len(frames) / fps if fps > 0 else 0.0,
     ]
     return np.asarray(feats[:FEATURE_DIM], dtype=np.float32)
+
+
+def decode_y4m_frame(payload: bytes, frame_idx: int) -> np.ndarray | None:
+    """Random-access decode of ONE y4m frame's luma plane: frame records
+    are fixed-size, so the byte offset is computed directly — no scan of
+    preceding frames (what makes ``frame_sample``'s decode-only-sampled
+    contract real)."""
+    if payload is None or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    header = payload[:nl].decode("ascii", "replace").split(" ")
+    w = h = 0
+    chroma = "420"
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            chroma = tok[1:]
+    if w <= 0 or h <= 0:
+        return None
+    luma = w * h
+    chroma_bytes = {"420": luma // 2, "422": luma, "444": luma * 2,
+                    "mono": 0}.get(chroma[:4] if chroma.startswith("mono")
+                                   else chroma[:3])
+    if chroma_bytes is None:
+        return None
+    # every frame record: b"FRAME\n" (6 bytes, no frame params) + planes
+    first = payload.find(b"FRAME", nl)
+    if first < 0:
+        return None
+    fhdr = payload.find(b"\n", first) - first + 1
+    rec = fhdr + luma + chroma_bytes
+    pos = first + frame_idx * rec
+    if pos + rec > len(payload) or not payload[pos:pos + 5] == b"FRAME":
+        return None
+    start = pos + fhdr
+    return np.frombuffer(payload[start:start + luma], dtype=np.uint8).reshape(h, w)
+
+
+def sampled_frame_features(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """frame_sample composed with real per-frame decode: expand sampled
+    frame indexes (JVM), then decode ONLY those frames (Arrow-batched
+    mapInPandas, random-access into the payload). Output:
+    (media_id, frame_idx, luma_mean, luma_std)."""
+    sampled = (
+        media.where(F.col("kind") == "video")
+        .select("media_id", "payload",
+                F.explode(F.sequence(
+                    F.lit(0),
+                    F.element_at("meta", "frames").cast("int") - 1,
+                    F.lit(every_n))).alias("frame_idx"))
+    )
+    schema = "media_id long, frame_idx int, luma_mean double, luma_std double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload, idx in zip(pdf["media_id"], pdf["payload"],
+                                         pdf["frame_idx"]):
+                fr = decode_y4m_frame(payload, int(idx))
+                if fr is None:
+                    out.append((mid, int(idx), None, None))
+                else:
+                    out.append((mid, int(idx), float(fr.mean()), float(fr.std())))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "luma_mean", "luma_std"])
+
+    return sampled.mapInPandas(run, schema=schema)

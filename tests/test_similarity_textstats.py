@@ -409,3 +409,28 @@ def test_non_y4m_video_falls_back_to_fake(spark):
     a = MM._decode_stub(b"mp4 junk bytes", "video")
     b = MM._decode_stub(b"mp4 junk bytes", "video")
     np.testing.assert_array_equal(a, b)
+
+
+def test_sampled_frame_features_random_access(spark):
+    """Only sampled frames decode, values match the per-frame ground truth."""
+    import numpy as np
+    import pandas as pd
+
+    w, h = 4, 2
+    header = b"YUV4MPEG2 W4 H2 F25:1 C420\n"
+    lumas = [10, 60, 110, 160, 210]
+    body = b"".join(
+        b"FRAME\n" + bytes([v]) * (w * h) + bytes([128]) * (w * h // 2)
+        for v in lumas)
+    payload = header + body
+    # random access must hit exactly the right frame
+    np.testing.assert_array_equal(
+        MM.decode_y4m_frame(payload, 3), np.full((h, w), 160, np.uint8))
+    media = spark.createDataFrame(
+        [(1, "video", payload, {"frames": "5"})],
+        "media_id long, kind string, payload binary, meta map<string,string>")
+    got = (MM.sampled_frame_features(media, every_n=2).toPandas()
+           .sort_values("frame_idx"))
+    assert list(got["frame_idx"]) == [0, 2, 4]
+    assert list(got["luma_mean"]) == [10.0, 110.0, 210.0]
+    assert (got["luma_std"] == 0.0).all()
