@@ -2097,3 +2097,57 @@ GROUP BY 1
 
 
 QUERIES.update({"q62_unigram_logprob": (q62_unigram_logprob, Q62_SQL)})
+
+
+def q63_levene_w(spark, sf):
+    """§2.11 equal-variance screen (check_equal_variances; stats.levene_test
+    Brown-Forsythe form): the W statistic per feature is pure aggregation
+    algebra — medians, |x - median|, group/grand means — so it gets a full
+    value oracle (the p-value's F survival function stays pytest-verified)."""
+    from .operators.analytics import check_equal_variances
+
+    e = _t(spark, sf, "events")
+    long = e.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("group"),
+        F.col("event_id").cast("string").alias("subject"),
+        F.col("event_type").alias("feature"),
+        F.col("value"),
+    )
+    out = check_equal_variances(long)
+    return out.select(
+        "identifier", F.round("test", 6).alias("levene_w"))
+
+
+Q63_SQL = """
+WITH long AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+         event_type AS feature, value
+  FROM events WHERE value IS NOT NULL),
+med AS (
+  SELECT feature, grp, median(value) AS m
+  FROM long GROUP BY 1, 2),
+z AS (
+  SELECT l.feature, l.grp, abs(l.value - med.m) AS z
+  FROM long l JOIN med ON l.feature = med.feature AND l.grp = med.grp),
+per_group AS (
+  SELECT feature, grp, avg(z) AS zbar_g, count(*) AS n_g,
+         sum(z * z) AS zz, sum(z) AS zs
+  FROM z GROUP BY 1, 2),
+tot AS (
+  SELECT feature, sum(n_g) AS n, count(*) AS k,
+         sum(zs) / sum(n_g) AS zbar
+  FROM per_group GROUP BY 1),
+terms AS (
+  SELECT p.feature,
+         sum(p.n_g * (p.zbar_g - t.zbar) * (p.zbar_g - t.zbar)) AS num,
+         sum(p.zz - 2 * p.zbar_g * p.zs + p.n_g * p.zbar_g * p.zbar_g) AS den,
+         max(t.n) AS n, max(t.k) AS k
+  FROM per_group p JOIN tot t USING (feature)
+  GROUP BY 1)
+SELECT feature AS identifier,
+       round((n - k) * 1.0 / (k - 1) * num / den, 6) AS levene_w
+FROM terms
+"""
+
+
+QUERIES.update({"q63_levene_w": (q63_levene_w, Q63_SQL)})
