@@ -2151,3 +2151,60 @@ FROM terms
 
 
 QUERIES.update({"q63_levene_w": (q63_levene_w, Q63_SQL)})
+
+
+def q64_effect_sizes(spark, sf):
+    """§2.11 power-analysis effect sizes (run_power_analysis's JVM
+    aggregation; reference cohens_d/power_analysis analytics.py:2600-2672):
+    |Hedges g| per (feature, group-pair) from count/sum/sumsq stats with the
+    concatenated-sample std and the n<50 small-sample correction — the
+    noncentral-F curve stays pytest/MC-verified."""
+    e = _t(spark, sf, "events")
+    long = e.select(
+        F.concat(F.lit("g"), (F.col("user_id") % 3).cast("string")).alias("group"),
+        F.col("event_type").alias("feature"),
+        F.col("value"),
+    ).where(F.col("value").isNotNull())
+    per = long.groupBy("feature", "group").agg(
+        F.count("value").alias("n"), F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"))
+    a, b = per.alias("a"), per.alias("b")
+    j = a.join(b, on="feature").where(F.col("a.group") < F.col("b.group"))
+    nt = F.col("a.n") + F.col("b.n")
+    st = F.col("a.s") + F.col("b.s")
+    sst = F.col("a.ss") + F.col("b.ss")
+    sd = F.sqrt((sst - st * st / nt) / (nt - 1))
+    g_raw = (F.col("a.s") / F.col("a.n") - F.col("b.s") / F.col("b.n")) / sd
+    g = F.when(nt < 50, g_raw * ((nt - 3) / (nt - 2.25)) * F.sqrt((nt - 2) / nt)) \
+         .otherwise(g_raw)
+    return j.select(
+        "feature", F.col("a.group").alias("group1"),
+        F.col("b.group").alias("group2"),
+        F.round(F.abs(g), 6).alias("abs_hedges_g"))
+
+
+Q64_SQL = """
+WITH long AS (
+  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS grp, event_type AS feature, value
+  FROM events WHERE value IS NOT NULL),
+per AS (
+  SELECT feature, grp, count(*) AS n, sum(value) AS s, sum(value * value) AS ss
+  FROM long GROUP BY 1, 2),
+pairs AS (
+  SELECT a.feature, a.grp AS group1, b.grp AS group2,
+         a.n + b.n AS nt, a.s + b.s AS st, a.ss + b.ss AS sst,
+         a.s / a.n - b.s / b.n AS md
+  FROM per a JOIN per b ON a.feature = b.feature AND a.grp < b.grp),
+g AS (
+  SELECT feature, group1, group2,
+         md / sqrt((sst - st * st / nt) / (nt - 1)) AS g_raw, nt
+  FROM pairs)
+SELECT feature, group1, group2,
+       round(abs(CASE WHEN nt < 50
+             THEN g_raw * ((nt - 3) / (nt - 2.25)) * sqrt((nt - 2.0) / nt)
+             ELSE g_raw END), 6) AS abs_hedges_g
+FROM g
+"""
+
+
+QUERIES.update({"q64_effect_sizes": (q64_effect_sizes, Q64_SQL)})
