@@ -460,12 +460,32 @@ def chi2_sf(x: float, df: float) -> float:
     return _gammainc_q(df / 2.0, x / 2.0)
 
 
+def cohens_d(x: np.ndarray, y: np.ndarray, ddof: int = 1) -> float:
+    """The reference's ``cohens_d`` — the form ``power_analysis`` actually
+    calls with ddof=1 (reference analytics.py:2574-2587, 2646): mean
+    difference over the classic POOLED-BY-GROUP standard deviation
+    sqrt(((n1-1)*var1 + (n2-1)*var2) / (n1+n2-2)) with var(ddof=1), and NO
+    small-sample correction. Reimplemented from the published formula."""
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    x, y = x[~np.isnan(x)], y[~np.isnan(y)]
+    n1, n2 = len(x), len(y)
+    if n1 + n2 < 3 or n1 == 0 or n2 == 0:
+        return float("nan")
+    num = (n1 - 1) * float(np.var(x, ddof=1)) + (n2 - 1) * float(np.var(y, ddof=ddof))
+    sd = math.sqrt(num / (n1 + n2 - 2))
+    if sd == 0 or not math.isfinite(sd):
+        return float("nan")
+    return float((x.mean() - y.mean()) / sd)
+
+
 def hedges_g(x: np.ndarray, y: np.ndarray, ddof: int = 1) -> float:
-    """The reference's ``cohens_d`` as used by power_analysis (reference
-    analytics.py:2600-2641): effect size with the std of the CONCATENATED
-    sample (``np.nanstd(concat, ddof)``, not the classic pooled-by-group
-    form) and the small-sample Hedges bias correction applied when
-    n1 + n2 < 50. Reimplemented from the published formula."""
+    """The reference's ``hedges_g`` function (reference analytics.py:2589-
+    2637 — NOT the effect size power_analysis uses; that is ``cohens_d``
+    above): effect size with the std of the CONCATENATED sample
+    (``np.nanstd(concat, ddof)``, not the classic pooled-by-group form) and
+    the small-sample Hedges bias correction applied when n1 + n2 < 50.
+    Reimplemented from the published formula."""
     x = np.asarray(x, dtype=float)
     y = np.asarray(y, dtype=float)
     x, y = x[~np.isnan(x)], y[~np.isnan(y)]

@@ -1618,12 +1618,14 @@ def run_power_analysis(df: DataFrame, alpha: float = 0.05, power: float = 0.8,
     """power_analysis (reference analytics.py:2635): ANOVA power curves from
     the observed effect-size distribution.
 
-    1. |Hedges g| for every (feature, group-pair) — computed ENTIRELY
+    1. |Cohen's d| for every (feature, group-pair) — computed ENTIRELY
        JVM-side from per-(feature, group) count/sum/sum-of-squares
        aggregates self-joined on feature (group count is dictionary-scale,
        so the pair fan-out is bounded); matches the reference's
-       ``cohens_d(ddof=1)`` concatenated-sample form, including the
-       n < 50 Hedges small-sample correction.
+       ``cohens_d(ddof=1)`` — pooled-by-group sd
+       sqrt(((n1-1)v1 + (n2-1)v2)/(n1+n2-2)), NO small-sample correction
+       (the reference's separate ``hedges_g`` function, which applies one,
+       is never called by power_analysis).
     2. The distinct effect sizes (the reference's Python ``set``) reduce to
        4 driver-scale summary stats: 25th pct, mean, median, 75th pct
        (Spark ``percentile`` is linear-interpolating, same as np.percentile).
@@ -1647,14 +1649,11 @@ def run_power_analysis(df: DataFrame, alpha: float = 0.05, power: float = 0.8,
     a, b = per.alias("a"), per.alias("b")
     j = a.join(b, on="feature").where(F.col("a.group") < F.col("b.group"))
     nt = F.col("a.n") + F.col("b.n")
-    st = F.col("a.s") + F.col("b.s")
-    sst = F.col("a.ss") + F.col("b.ss")
-    concat_sd = F.sqrt((sst - st * st / nt) / (nt - 1))
-    g_raw = (F.col("a.s") / F.col("a.n") - F.col("b.s") / F.col("b.n")) / concat_sd
-    g = F.when(
-        nt < 50,
-        g_raw * ((nt - 3) / (nt - 2.25)) * F.sqrt((nt - 2) / nt),
-    ).otherwise(g_raw)
+    # pooled sd: (n-1)*var(ddof=1) telescopes to the centered sum of squares
+    css_a = F.col("a.ss") - F.col("a.s") * F.col("a.s") / F.col("a.n")
+    css_b = F.col("b.ss") - F.col("b.s") * F.col("b.s") / F.col("b.n")
+    pooled_sd = F.sqrt((css_a + css_b) / (nt - 2))
+    g = (F.col("a.s") / F.col("a.n") - F.col("b.s") / F.col("b.n")) / pooled_sd
     es = (
         j.select(F.abs(g).alias("es"))
         .where(F.col("es").isNotNull() & ~F.isnan("es"))
@@ -1691,8 +1690,9 @@ def run_power_analysis(df: DataFrame, alpha: float = 0.05, power: float = 0.8,
 
 def check_equal_variances(df: DataFrame, alpha: float = 0.05) -> DataFrame:
     """Levene's test (Brown-Forsythe, center=median — scipy's default the
-    reference calls) per feature across groups. Output mirrors the
-    reference: (identifier, test, pvalue, pass)."""
+    reference calls) per feature across groups. Output:
+    (identifier, test, pvalue, passed) — ``passed`` (not the reference's
+    ``pass``, a Python keyword) holds the p > alpha verdict."""
 
     def per_feature(pdf: pd.DataFrame) -> pd.DataFrame:
         groups = [g["value"].to_numpy(dtype=float) for _, g in pdf.groupby("group")]
@@ -1713,7 +1713,8 @@ def check_normality(df: DataFrame, alpha: float = 0.05) -> DataFrame:
     Shapiro-Wilk (analytics.py:874); this engine uses the D'Agostino-Pearson
     K^2 omnibus statistic — same null hypothesis, no W lookup tables;
     divergence documented in functions/stats.py::dagostino_k2. Output:
-    (group, identifier, test, pvalue, pass)."""
+    (group, identifier, test, pvalue, passed) — ``passed`` (not the
+    reference's ``pass``, a Python keyword) holds the p > alpha verdict."""
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         k2, p = ST.dagostino_k2(pdf["value"].to_numpy(dtype=float))

@@ -367,28 +367,40 @@ def dedup_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+DECONTAM_BROADCAST_MAX_HASHES = 20_000_000  # ~160 MB of 8-byte hashes
+
+
 def contamination_report(docs: DataFrame, benchmark: DataFrame,
                          id_col: str = "doc_id", text_col: str = "text",
-                         k: int = 13) -> DataFrame:
+                         k: int = 13,
+                         broadcast_max_hashes: int = DECONTAM_BROADCAST_MAX_HASHES) -> DataFrame:
     """Benchmark-overlap report: for every training document, how many of
     its k-token shingles appear anywhere in the benchmark set (the GPT-3 /
     PaLM-style n-gram decontamination check, typically k = 13).
 
     Scale shape: benchmark shingles reduce to DISTINCT 8-byte hashes — a
-    benchmark of millions of examples hashes to a broadcastable set — so
-    the corpus-side scan is one broadcast semi-join + algebraic count; the
-    100-TB corpus is never shuffled. Output: (doc_id, n_contaminated,
-    n_shingles, frac_contaminated)."""
+    benchmark SUITE of millions of examples hashes to a broadcastable set —
+    so the corpus-side scan is one broadcast semi-join + algebraic count
+    and the 100-TB corpus is never shuffled. The broadcast is SIZE-GATED
+    with a truncated count (same probe pattern as connected_components /
+    louvain): a caller passing a large held-out corpus as ``benchmark``
+    gets a plain shuffle left-semi join instead of a driver OOM. Output:
+    (doc_id, n_contaminated, n_shingles, frac_contaminated)."""
     bench_h = (
         shingles(benchmark, id_col, text_col, k=k)
         .select(F.xxhash64("shingle").alias("_bh")).distinct()
+        .localCheckpoint(eager=True)
     )
+    small_bench = (
+        bench_h.limit(broadcast_max_hashes + 1).count() <= broadcast_max_hashes
+    )
+    bench_side = F.broadcast(bench_h) if small_bench else bench_h
     doc_sh = shingles(docs, id_col, text_col, k=k).withColumn(
         "_h", F.xxhash64("shingle"))
     per_doc = doc_sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"))
     hits = (
-        doc_sh.join(F.broadcast(bench_h), on=doc_sh["_h"] == bench_h["_bh"],
+        doc_sh.join(bench_side, on=doc_sh["_h"] == bench_h["_bh"],
                     how="left_semi")
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_contaminated"))
     )

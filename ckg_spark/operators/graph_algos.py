@@ -360,66 +360,133 @@ def louvain(edges: DataFrame, weight_col: str | None = None,
                 sorted(mapping.items()), "id string, community string")
 
     # ---- distributed first pass -------------------------------------------
-    sym = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
-        .localCheckpoint(eager=True)
-    )
-    k = sym.groupBy("a").agg(F.sum("w").alias("k")).withColumnRenamed("a", "id")
-    m = float(e.agg(F.sum("w")).collect()[0][0])
-    labels = k.select("id", F.col("id").alias("com")).localCheckpoint(eager=True)
-    for rnd in range(move_rounds):
-        tot = (
-            labels.join(k, on="id")
-            .groupBy("com").agg(F.sum("k").alias("tot"))
+    m_row = e.agg(F.sum("w")).collect()[0][0]
+    if m_row is None:  # empty edge set on the forced-distributed path
+        return spark.createDataFrame([], "id string, community string")
+    m = float(m_row)
+
+    def _move_rounds(e2: DataFrame, m2: float,
+                     selfw: DataFrame | None = None) -> DataFrame:
+        """``move_rounds`` parity-damped modularity-gain rounds over the
+        (a, b, w) edge DataFrame; returns (id, com) labels. ``selfw``
+        (id, sw) carries contracted-graph self-loop weights: a supernode's
+        degree k includes 2*sw (standard Louvain aggregation step) — the
+        self-loop itself moves with the node, so it cancels in the gain
+        comparison and only enters through k and the community totals."""
+        sym = (
+            e2.unionByName(
+                e2.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+            .localCheckpoint(eager=True)
         )
-        # weight from each node to each neighbor community
-        to_com = (
-            sym.join(labels.withColumnRenamed("id", "b").withColumnRenamed("com", "cb"), on="b")
-            .groupBy("a", "cb").agg(F.sum("w").alias("w_in"))
-        )
-        cur = (
-            labels.withColumnRenamed("id", "a").withColumnRenamed("com", "ca")
-            .join(k.withColumnRenamed("id", "a"), on="a")
-            .join(tot.withColumnRenamed("com", "ca").withColumnRenamed("tot", "tot_ca"), on="ca")
-        )
-        cand = (
-            to_com.join(cur, on="a")
-            .join(tot.withColumnRenamed("com", "cb").withColumnRenamed("tot", "tot_cb"), on="cb")
-        )
-        # gain of joining cb (with a removed from its own community):
-        #   w_in(cb) - k_a * tot(cb \ a) / 2m ; staying uses ca with a removed
-        stay_tot = F.col("tot_ca") - F.col("k")
-        move_tot = F.when(F.col("cb") == F.col("ca"), stay_tot).otherwise(F.col("tot_cb"))
-        gain = F.col("w_in") - F.col("k") * move_tot / F.lit(2.0 * m)
-        scored = cand.select(
-            "a", "ca", "cb", gain.alias("gain"),
-            F.when(F.col("cb") == F.col("ca"), F.lit(1)).otherwise(F.lit(0)).alias("is_stay"),
-        )
-        wbest = Window.partitionBy("a").orderBy(
-            F.col("gain").desc(), F.col("is_stay").desc(), F.col("cb").asc())
-        best = (
-            scored.withColumn("_rn", F.row_number().over(wbest))
-            .where(F.col("_rn") == 1)
-        )
-        parity = F.pmod(F.xxhash64(F.col("a")), F.lit(2)) == F.lit(rnd % 2)
-        labels = (
-            best.select(
+        k = sym.groupBy("a").agg(F.sum("w").alias("k")).withColumnRenamed("a", "id")
+        if selfw is not None:
+            k = (
+                k.join(selfw, on="id", how="full")
+                .select("id", (F.coalesce("k", F.lit(0.0))
+                               + 2.0 * F.coalesce("sw", F.lit(0.0))).alias("k"))
+            )
+        labels = k.select("id", F.col("id").alias("com")).localCheckpoint(eager=True)
+        for rnd in range(move_rounds):
+            tot = (
+                labels.join(k, on="id")
+                .groupBy("com").agg(F.sum("k").alias("tot"))
+            )
+            # weight from each node to each neighbor community
+            to_com = (
+                sym.join(labels.withColumnRenamed("id", "b").withColumnRenamed("com", "cb"), on="b")
+                .groupBy("a", "cb").agg(F.sum("w").alias("w_in"))
+            )
+            cur = (
+                labels.withColumnRenamed("id", "a").withColumnRenamed("com", "ca")
+                .join(k.withColumnRenamed("id", "a"), on="a")
+                .join(tot.withColumnRenamed("com", "ca").withColumnRenamed("tot", "tot_ca"), on="ca")
+            )
+            cand = (
+                to_com.join(cur, on="a")
+                .join(tot.withColumnRenamed("com", "cb").withColumnRenamed("tot", "tot_cb"), on="cb")
+            )
+            # gain of joining cb (with a removed from its own community):
+            #   w_in(cb) - k_a * tot(cb \ a) / 2m ; staying uses ca with a removed
+            stay_tot = F.col("tot_ca") - F.col("k")
+            move_tot = F.when(F.col("cb") == F.col("ca"), stay_tot).otherwise(F.col("tot_cb"))
+            gain = F.col("w_in") - F.col("k") * move_tot / F.lit(2.0 * m2)
+            scored = cand.select(
+                "a", "ca", "cb", gain.alias("gain"),
+                F.when(F.col("cb") == F.col("ca"), F.lit(1)).otherwise(F.lit(0)).alias("is_stay"),
+            )
+            wbest = Window.partitionBy("a").orderBy(
+                F.col("gain").desc(), F.col("is_stay").desc(), F.col("cb").asc())
+            best = (
+                scored.withColumn("_rn", F.row_number().over(wbest))
+                .where(F.col("_rn") == 1)
+            )
+            parity = F.pmod(F.xxhash64(F.col("a")), F.lit(2)) == F.lit(rnd % 2)
+            moved = best.select(
                 F.col("a").alias("id"),
                 F.when(parity & (F.col("gain") > 1e-12), F.col("cb"))
                  .otherwise(F.col("ca")).alias("com"),
             )
+            if selfw is not None:
+                # keep self-loop-only supernodes (no sym edges, so no
+                # `best` row) in the partition instead of dropping them
+                moved = (
+                    labels.join(moved.withColumnRenamed("com", "_new"),
+                                on="id", how="left")
+                    .select("id", F.coalesce("_new", "com").alias("com"))
+                )
+            labels = moved.localCheckpoint(eager=True)
+        return labels
+
+    labels = _move_rounds(e, m)
+
+    # ---- contract; guard the driver collect, then finish on the driver ----
+    # The contracted graph is TYPICALLY orders of magnitude smaller, but a
+    # pathological structure (move rounds stall, e.g. near-bipartite hubs)
+    # can leave it near |E|; probe with a truncated count and, on overflow,
+    # run another LEVEL of distributed move rounds on the contracted graph
+    # (supernodes as nodes with self-loop-inclusive degrees — the standard
+    # Louvain aggregation step) instead of collecting it.
+    cap = int(driver_threshold or DRIVER_LOUVAIN_MAX_EDGES)
+    contracted = None
+    for _level in range(3):
+        la = labels.withColumnRenamed("id", "a").withColumnRenamed("com", "ca")
+        lb = labels.withColumnRenamed("id", "b").withColumnRenamed("com", "cb")
+        contracted = (
+            e.join(la, on="a").join(lb, on="b")
+            .groupBy("ca", "cb").agg(F.sum("w").alias("w"))
             .localCheckpoint(eager=True)
         )
-
-    # ---- contract and finish on the driver --------------------------------
-    la = labels.withColumnRenamed("id", "a").withColumnRenamed("com", "ca")
-    lb = labels.withColumnRenamed("id", "b").withColumnRenamed("com", "cb")
-    contracted = (
-        e.join(la, on="a").join(lb, on="b")
-        .groupBy("ca", "cb").agg(F.sum("w").alias("w"))
-    )
-    cpairs = [(r["ca"], r["cb"], float(r["w"])) for r in contracted.collect()]
-    refined = _driver_louvain(cpairs)
+        if contracted.limit(cap + 1).count() <= cap:
+            break
+        lvl = (
+            contracted.where(F.col("ca") != F.col("cb"))
+            .select(F.least("ca", "cb").alias("a"),
+                    F.greatest("ca", "cb").alias("b"), "w")
+            .groupBy("a", "b").agg(F.sum("w").alias("w"))
+        )
+        slf = (
+            contracted.where(F.col("ca") == F.col("cb"))
+            .select(F.col("ca").alias("id"), F.col("w").alias("sw"))
+        )
+        m_lvl = (
+            lvl.agg(F.sum("w")).collect()[0][0] or 0.0
+        ) + (slf.agg(F.sum("sw")).collect()[0][0] or 0.0)
+        if not m_lvl or lvl.limit(1).count() == 0:
+            break  # all edges intra-community: fully contracted already
+        lab2 = _move_rounds(lvl, float(m_lvl), selfw=slf).select(
+            F.col("id").alias("com"), F.col("com").alias("com2"))
+        labels = (
+            labels.join(lab2, on="com", how="left")
+            .select("id", F.coalesce("com2", "com").alias("com"))
+            .localCheckpoint(eager=True)
+        )
+    if contracted.limit(cap + 1).count() <= cap:
+        cpairs = [(r["ca"], r["cb"], float(r["w"])) for r in contracted.collect()]
+        refined = _driver_louvain(cpairs)
+    else:
+        # graph refuses to contract: keep the distributed labels unrefined
+        # rather than risk a driver OOM
+        refined = {}
     ref_df = spark.createDataFrame(
         sorted(refined.items()), "com string, community string")
     out = labels.join(ref_df, on="com", how="left").select(

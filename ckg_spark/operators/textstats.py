@@ -308,6 +308,18 @@ def c4_line_filter(
     )
 
 
+def _keep_empty_docs(df: DataFrame, id_col: str, per_doc: DataFrame) -> DataFrame:
+    """Left-join per-doc token scores back onto the input doc ids so
+    zero-token documents surface as (doc_id, 0, null) instead of silently
+    vanishing from the output (the explode emits no rows for them)."""
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(per_doc, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "mean_neg_logp",
+    )
+
+
 def unigram_logprob_score(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text",
                           vocab_size: int = 100_000) -> DataFrame:
@@ -325,7 +337,9 @@ def unigram_logprob_score(df: DataFrame, id_col: str = "doc_id",
     token, map-side combined), top-``vocab_size`` cut (dictionary-scale),
     BROADCAST back against the exploded token stream, one per-doc mean —
     the corpus is scanned twice and never shuffled on doc_id beyond its
-    own layout. Output: (doc_id, n_tokens, mean_neg_logp)."""
+    own layout. Output: (doc_id, n_tokens, mean_neg_logp) — zero-token
+    documents are KEPT (n_tokens=0, mean_neg_logp null) via a left join
+    back to the input ids; explode alone would silently drop them."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
@@ -345,10 +359,11 @@ def unigram_logprob_score(df: DataFrame, id_col: str = "doc_id",
         .select("doc_id",
                 (-F.log(F.coalesce("p", F.lit(1.0 / denom)))).alias("nlp"))
     )
-    return scored.groupBy("doc_id").agg(
+    per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("nlp").alias("mean_neg_logp"),
     )
+    return _keep_empty_docs(df, id_col, per_doc)
 
 
 def build_unigram_model(df: DataFrame, model_dir: str,
@@ -388,8 +403,11 @@ def unigram_score_with_model(df: DataFrame, model_dir: str,
                              text_col: str = "text") -> DataFrame:
     """Score documents against a persisted unigram model (broadcast
     vocabulary join; identical output to ``unigram_logprob_score`` when the
-    model was built on the same corpus). Works on batch or streaming
-    inputs — the model side is static."""
+    model was built on the same corpus, including zero-token docs kept as
+    (doc_id, 0, null) on batch inputs). Works on batch or streaming
+    inputs — the model side is static. Streaming inputs skip the
+    empty-doc left join (distinct over an unbounded stream needs state);
+    token-less streamed docs are dropped from the score stream."""
     import json
     import os
 
@@ -407,7 +425,10 @@ def unigram_score_with_model(df: DataFrame, model_dir: str,
         .select("doc_id",
                 (-F.log(F.coalesce("p", F.lit(1.0 / m["denom"])))).alias("nlp"))
     )
-    return scored.groupBy("doc_id").agg(
+    per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("nlp").alias("mean_neg_logp"),
     )
+    if df.isStreaming:
+        return per_doc
+    return _keep_empty_docs(df, id_col, per_doc)

@@ -126,9 +126,27 @@ def test_solve_power_roundtrip():
         assert abs(ST.ftest_anova_power(es, n, 0.05, k) - 0.8) < 1e-6
 
 
+def test_cohens_d_matches_reference_formula():
+    """cohens_d == the reference cohens_d (analytics.py:2574-2587), the
+    form power_analysis calls with ddof=1: pooled-by-group sd, NO
+    small-sample correction."""
+    rng = np.random.default_rng(11)
+    x, y = rng.normal(0, 1, 12), rng.normal(0.8, 1.2, 15)
+    n1, n2 = len(x), len(y)
+    pooled = math.sqrt(((n1 - 1) * np.var(x, ddof=1) + (n2 - 1) * np.var(y, ddof=1))
+                       / (n1 + n2 - 2))
+    exp = (np.mean(x) - np.mean(y)) / pooled
+    assert abs(ST.cohens_d(x, y) - exp) < 1e-12
+    # no n<50 correction anywhere
+    xl, yl = rng.normal(0, 1, 5), rng.normal(0.5, 1, 6)
+    pl = math.sqrt((4 * np.var(xl, ddof=1) + 5 * np.var(yl, ddof=1)) / 9)
+    assert abs(ST.cohens_d(xl, yl) - (np.mean(xl) - np.mean(yl)) / pl) < 1e-12
+
+
 def test_hedges_g_matches_reference_formula():
-    """hedges_g == the reference cohens_d (analytics.py:2600-2641):
-    concatenated-sample std, ddof=1, small-sample correction for n < 50."""
+    """hedges_g == the reference hedges_g (analytics.py:2589-2637 — NOT
+    the effect size power_analysis uses): concatenated-sample std, ddof=1,
+    small-sample correction for n < 50."""
     rng = np.random.default_rng(5)
     x, y = rng.normal(0, 1, 12), rng.normal(0.8, 1.2, 15)
     sd = np.nanstd(np.concatenate([x, y]), ddof=1)
@@ -142,7 +160,8 @@ def test_hedges_g_matches_reference_formula():
 
 
 def test_run_power_analysis_matches_numpy_rendition(spark):
-    """Spark JVM effect-size aggregation == per-pair numpy hedges_g; power
+    """Spark JVM effect-size aggregation == per-pair numpy cohens_d (the
+    reference's power_analysis effect size, ddof=1 pooled sd); power
     curve values match driver recomputation (reference power_analysis,
     analytics.py:2635-2672)."""
     rng = np.random.default_rng(9)
@@ -161,7 +180,7 @@ def test_run_power_analysis_matches_numpy_rendition(spark):
     for f_ in pdf["feature"].unique():
         sub = pdf[pdf["feature"] == f_]
         for g1, g2 in [("a", "b"), ("a", "c"), ("b", "c")]:
-            es.add(abs(ST.hedges_g(
+            es.add(abs(ST.cohens_d(
                 sub.loc[sub["group"] == g1, "value"].to_numpy(),
                 sub.loc[sub["group"] == g2, "value"].to_numpy())))
     es = sorted(es)

@@ -1,0 +1,68 @@
+"""Driver-contract stability (round-3 verdict item 9): the 64-query
+registry's NAME SET must stay stable round-over-round, the attestation
+ordering must keep the least-attested entries inside a 50-entry driver
+window, and every reference dispatch string must resolve (folded here from
+the r3 sweep so one test protects the whole contract surface)."""
+
+from ckg_spark import driver_contract as DC
+from ckg_spark.operators import analytics_factory as AF
+
+EXPECTED_NAMES = {
+    "q01_pricing_summary", "q02_filter_project", "q03_star_join",
+    "q04_semi_join", "q05_anti_join", "q06_group_collect", "q07_first_order",
+    "q08_window_lag", "q09_running_sum", "q10_topk_revenue",
+    "q11_pivot_events", "q12_union", "q13_intersect", "q14_except",
+    "q15_symmetric_dedup", "q16_scalar_funcs", "q17_cov", "q18_median",
+    "q19_rollup", "q20_indicator_agg", "q21_mentions",
+    "q22_mention_doc_counts", "q23_comention_pairs", "q24_link_best",
+    "q25_term_cc", "q26_dedup_exact", "q27_token_stats",
+    "q28_jaccard_adjacent", "q29_cosine_topk", "q30_doc_fingerprint",
+    "q31_minhash_clusters", "q32_transcript_mention_edges",
+    "q33_simhash_pairs", "q34_pivot_avg", "q35_zscore", "q36_quantile_norm",
+    "q37_correlation", "q38_bh_correction", "q39_summary_stats",
+    "q40_term_degree", "q41_tfidf", "q42_twostage_fdr",
+    "q43_multi_correlation", "q44_regulation_enrichment", "q45_ivf_topk",
+    "q46_kaplan_meier", "q47_ssgsea", "q48_rm_correlation",
+    "q49_median_centered_norm", "q50_merge_for_polar", "q51_fold_change",
+    "q52_ks_dstat", "q53_gopher_quality", "q54_c4_line_filter",
+    "q55_ivf_batch_topk", "q56_louvain_communities", "q57_repetition_flags",
+    "q58_language_id", "q59_curation_pipeline", "q60_knowledge_assembly",
+    "q61_contamination_report", "q62_unigram_logprob", "q63_levene_w",
+    "q64_effect_sizes",
+}
+
+ROWS_ONLY = {"q33_simhash_pairs", "q56_louvain_communities"}
+
+
+def test_registry_names_stable():
+    assert set(DC.queries_dict()) == EXPECTED_NAMES
+    assert len(DC.queries_dict()) == 64
+
+
+def test_oracle_coverage_complete_except_declared_rows_only():
+    oracles = DC.oracle_dict()
+    assert set(DC.queries_dict()) - set(oracles) == ROWS_ONLY
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_attestation_window_holds_least_attested_first():
+    """The round-3 driver wrote correctness rows for only the first 50
+    queries() entries. q51-q64 (never attested before round 4) and q31
+    (oracle upgraded from rows-only to exact ground truth in round 4) must
+    sit inside the first 50; the triply-attested q01-q14 primitives are the
+    only entries allowed to fall outside."""
+    names = list(DC.queries_dict())
+    window = set(names[:50])
+    for n in EXPECTED_NAMES:
+        if int(n[1:3]) >= 51 or n == "q31_minhash_clusters":
+            assert n in window, n
+    outside = set(names[50:])
+    assert outside == {n for n in EXPECTED_NAMES if int(n[1:3]) <= 14}
+
+
+def test_reference_dispatch_strings_resolve():
+    """Every analysis_type the reference's factory dispatches must resolve
+    to an operator or a documented NotImplementedError — never KeyError."""
+    for s in AF.REFERENCE_ANALYSIS_TYPES:
+        assert s in AF._DISPATCH or s in AF._UNSUPPORTED, s

@@ -178,3 +178,27 @@ def test_contamination_broadcasts_benchmark(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_contamination_large_benchmark_takes_shuffle_path(spark):
+    """The benchmark broadcast is size-gated (round-3 verdict item 3): a
+    caller passing a large held-out corpus as ``benchmark`` must get a plan
+    change (plain shuffle left-semi), not a forced-broadcast driver OOM —
+    and identical values on both paths."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(20),
+        "text": [f"some words number {i} padding tokens here now" for i in range(20)],
+    }))
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    wide = {r["doc_id"]: (r["n_contaminated"], r["n_shingles"])
+            for r in D.contamination_report(docs, bench, k=3).collect()}
+    gated = {r["doc_id"]: (r["n_contaminated"], r["n_shingles"])
+             for r in D.contamination_report(
+                 docs, bench, k=3, broadcast_max_hashes=1).collect()}
+    assert wide == gated
+    # doc 0 is itself in the benchmark: fully contaminated; doc 1 only
+    # shares the shingles not containing its unique number token
+    assert gated[0][0] == gated[0][1]
+    assert 0 < gated[1][0] < gated[1][1]

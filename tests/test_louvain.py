@@ -136,3 +136,47 @@ def test_get_network_communities_dispatch(spark, two_cliques):
         G.get_network_communities(edges, algorithm="girvan_newman")
     with pytest.raises(KeyError):
         G.get_network_communities(edges, algorithm="nope")
+
+
+def test_louvain_empty_edges_distributed_path(spark):
+    """Forced-distributed path on an empty edge set returns an empty
+    (id, community) frame instead of crashing on float(None) (round-3
+    ADVICE item)."""
+    e = spark.createDataFrame([], "subj string, obj string")
+    out = G.louvain(e, driver_threshold=None)
+    assert out.columns == ["id", "community"]
+    assert out.count() == 0
+
+
+def test_louvain_contract_collect_guarded(spark, two_cliques, monkeypatch):
+    """Round-3 verdict item 2: the post-contraction collect is probed with
+    a truncated count. With a tiny cap the contracted graph (3 rows here)
+    never reaches the driver — extra distributed levels run instead and
+    the partition is still the two cliques."""
+    edges, na, nb = two_cliques
+    calls = []
+    orig = G._driver_louvain
+
+    def spy(pairs, **kw):
+        calls.append(len(pairs))
+        return orig(pairs, **kw)
+
+    monkeypatch.setattr(G, "_driver_louvain", spy)
+    part = {r["id"]: r["community"]
+            for r in G.louvain(edges, driver_threshold=2).collect()}
+    assert all(c <= 2 for c in calls), calls  # nothing collected above cap
+    assert len({part[n] for n in na}) == 1
+    assert len({part[n] for n in nb}) == 1
+    assert part[na[0]] != part[nb[0]]
+    assert part[na[0]] == "a0" and part[nb[0]] == "b0"
+
+
+def test_louvain_small_cap_with_refinement_matches_default(spark, two_cliques):
+    """A cap that forces the distributed path but admits the contracted
+    graph (3 rows <= 4) still runs driver refinement; result identical to
+    the default path."""
+    edges, na, nb = two_cliques
+    base = {r["id"]: r["community"] for r in G.louvain(edges).collect()}
+    capped = {r["id"]: r["community"]
+              for r in G.louvain(edges, driver_threshold=4).collect()}
+    assert base == capped

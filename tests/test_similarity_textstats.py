@@ -434,3 +434,29 @@ def test_sampled_frame_features_random_access(spark):
     assert list(got["frame_idx"]) == [0, 2, 4]
     assert list(got["luma_mean"]) == [10.0, 110.0, 210.0]
     assert (got["luma_std"] == 0.0).all()
+
+
+def test_unigram_scoring_keeps_zero_token_docs(spark, tmp_path):
+    """Zero-token documents must surface as (doc_id, 0, null) instead of
+    silently vanishing (round-3 ADVICE item) — in both the inline scorer
+    and the persisted-model scorer."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "text": ["the quick brown fox", "", "   "],
+    }))
+    out = {r["doc_id"]: r for r in TS.unigram_logprob_score(docs).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"]["n_tokens"] == 4 and out["a"]["mean_neg_logp"] is not None
+    for d in ("b", "c"):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["mean_neg_logp"] is None
+
+    mdir = str(tmp_path / "um")
+    TS.build_unigram_model(docs, mdir)
+    out2 = {r["doc_id"]: r
+            for r in TS.unigram_score_with_model(docs, mdir).collect()}
+    assert set(out2) == {"a", "b", "c"}
+    assert out2["b"]["n_tokens"] == 0 and out2["b"]["mean_neg_logp"] is None
+    assert abs(out2["a"]["mean_neg_logp"] - out["a"]["mean_neg_logp"]) < 1e-12
