@@ -19,13 +19,18 @@ family of MapReduce CC algorithms. Skew notes:
 - the pointer-jumping self-join keys on label values; a mega-component makes
   one label hot, which AQE skew-join splits
   (spark.sql.adaptive.skewJoin.enabled, on in session.py).
-- ``localCheckpoint`` every round truncates the growing lineage so plans
-  stay bounded regardless of iteration count.
+- ``checkpoint_reset_stats`` (operators/ckpt.py) every round truncates the
+  growing lineage AND resets the inherited sizeInBytes estimate, so both
+  plan depth and Catalyst's BigInteger stats products stay bounded
+  regardless of iteration count (see ckpt.py for the failure mode a plain
+  localCheckpoint leaves open).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from .ckpt import checkpoint_reset_stats as _ckpt
 
 
 def _driver_union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
@@ -99,7 +104,7 @@ def connected_components(
         .distinct()
     )
     if checkpoint:
-        sym = sym.localCheckpoint(eager=True)
+        sym = _ckpt(sym)
 
     labels = (
         sym.select(F.col("a").alias("ident"))
@@ -107,7 +112,7 @@ def connected_components(
         .withColumn("label", F.col("ident"))
     )
     if checkpoint:
-        labels = labels.localCheckpoint(eager=True)
+        labels = _ckpt(labels)
 
     for _ in range(max_iter):
         # min label over neighbors (map-side combine handles degree skew)
@@ -136,7 +141,7 @@ def connected_components(
             )
         )
         if checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = _ckpt(new_labels)
 
         changed = (
             new_labels.alias("n")

@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .ckpt import checkpoint_reset_stats as _ckpt
+
 
 def _edge_pairs(edges: DataFrame, directed: bool) -> DataFrame:
     e = edges.select(F.col("subj").alias("a"), F.col("obj").alias("b")).where(
@@ -70,7 +72,8 @@ def _forward_bfs(pairs: DataFrame, sources: DataFrame,
     """
     frontier = sources.select(
         F.col("id").alias("src"), F.col("id"), F.lit(1).cast("long").alias("sigma")
-    ).localCheckpoint(eager=True)
+    )
+    frontier = _ckpt(frontier)
     visited = frontier.withColumn("dist", F.lit(0))
     depth = 0
     for h in range(1, max_hops + 1):
@@ -80,16 +83,15 @@ def _forward_bfs(pairs: DataFrame, sources: DataFrame,
             .agg(F.sum("sigma").alias("sigma"))
             .withColumnRenamed("nid", "id")
         )
-        new = (
+        new = _ckpt(
             cand.join(visited.select("src", "id"), on=["src", "id"], how="left_anti")
-            .localCheckpoint(eager=True)
         )
         if new.isEmpty():
             break
         depth = h
         visited = visited.unionByName(new.withColumn("dist", F.lit(h)))
         frontier = new
-    return visited.localCheckpoint(eager=True), depth
+    return _ckpt(visited), depth
 
 
 def betweenness_centrality(edges: DataFrame, n_samples: int | None = None,
@@ -112,7 +114,7 @@ def betweenness_centrality(edges: DataFrame, n_samples: int | None = None,
     deltas_by_level: dict[int, DataFrame] = {}
     lvl = visited.where(F.col("dist") == depth).select(
         "src", "id", "sigma", F.lit(0.0).alias("delta"))
-    deltas_by_level[depth] = lvl.localCheckpoint(eager=True)
+    deltas_by_level[depth] = _ckpt(lvl)
     acc = None
     for L in range(depth - 1, -1, -1):
         w_lvl = deltas_by_level.pop(L + 1)
@@ -132,11 +134,10 @@ def betweenness_centrality(edges: DataFrame, n_samples: int | None = None,
             .groupBy("src", "vid")
             .agg(F.sum(F.col("sigma_v") / F.col("sigma_w") * F.col("dw")).alias("c"))
         )
-        lvl = (
+        lvl = _ckpt(
             v_lvl.join(contrib.withColumnRenamed("vid", "id"), on=["src", "id"],
                        how="left")
             .select("src", "id", "sigma", F.coalesce("c", F.lit(0.0)).alias("delta"))
-            .localCheckpoint(eager=True)
         )
         deltas_by_level[L] = lvl
         # a level's deltas are final once computed (shortest-path DAG edges

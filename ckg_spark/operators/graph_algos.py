@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .ckpt import checkpoint_reset_stats as _ckpt
+
 
 def degrees(edges: DataFrame) -> DataFrame:
     """(id, out_degree, in_degree, degree) from the edge table."""
@@ -53,11 +55,10 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     groupBy-sum is algebraic (map-side combined) — hub nodes don't skew the
     shuffle; localCheckpoint bounds plan growth.
     """
-    verts = (
+    verts = _ckpt(
         edges.select(F.col("subj").alias("id"))
         .unionByName(edges.select(F.col("obj").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n = verts.count()
     if n == 0:
@@ -88,7 +89,7 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
             )
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _ckpt(ranks)
     return ranks
 
 
@@ -108,12 +109,11 @@ def k_hop(edges: DataFrame, seeds: DataFrame, hops: int = 2,
     frontier = seeds.select(F.col("id")).distinct()
     visited = frontier.withColumn("hop", F.lit(0))
     for h in range(1, hops + 1):
-        nxt = (
+        nxt = _ckpt(
             sym.join(frontier.withColumnRenamed("id", "a"), on="a")
             .select(F.col("b").alias("id"))
             .distinct()
             .join(visited.select("id"), on="id", how="left_anti")
-            .localCheckpoint(eager=True)
         )
         visited = visited.unionByName(nxt.withColumn("hop", F.lit(h)))
         frontier = nxt
@@ -147,12 +147,11 @@ def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
     ``louvain`` below (which does optimize modularity and is the analog of
     analytics.py:2793 get_louvain_partitions). Use ``modularity`` to score
     and compare either. Deterministic: ties broken by min label."""
-    sym = (
+    sym = _ckpt(
         edges.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
         .unionByName(edges.select(F.col("obj").alias("a"), F.col("subj").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
@@ -168,11 +167,10 @@ def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         w = Window.partitionBy("a").orderBy(F.col("cnt").desc(), F.col("label").asc())
-        labels = (
+        labels = _ckpt(
             counts.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select(F.col("a").alias("id"), "label")
-            .localCheckpoint(eager=True)
         )
     return labels
 
@@ -373,10 +371,9 @@ def louvain(edges: DataFrame, weight_col: str | None = None,
         degree k includes 2*sw (standard Louvain aggregation step) — the
         self-loop itself moves with the node, so it cancels in the gain
         comparison and only enters through k and the community totals."""
-        sym = (
+        sym = _ckpt(
             e2.unionByName(
                 e2.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
-            .localCheckpoint(eager=True)
         )
         k = sym.groupBy("a").agg(F.sum("w").alias("k")).withColumnRenamed("a", "id")
         if selfw is not None:
@@ -385,7 +382,7 @@ def louvain(edges: DataFrame, weight_col: str | None = None,
                 .select("id", (F.coalesce("k", F.lit(0.0))
                                + 2.0 * F.coalesce("sw", F.lit(0.0))).alias("k"))
             )
-        labels = k.select("id", F.col("id").alias("com")).localCheckpoint(eager=True)
+        labels = _ckpt(k.select("id", F.col("id").alias("com")))
         for rnd in range(move_rounds):
             tot = (
                 labels.join(k, on="id")
@@ -434,7 +431,7 @@ def louvain(edges: DataFrame, weight_col: str | None = None,
                                 on="id", how="left")
                     .select("id", F.coalesce("_new", "com").alias("com"))
                 )
-            labels = moved.localCheckpoint(eager=True)
+            labels = _ckpt(moved)
         return labels
 
     labels = _move_rounds(e, m)
@@ -451,10 +448,9 @@ def louvain(edges: DataFrame, weight_col: str | None = None,
     for _level in range(3):
         la = labels.withColumnRenamed("id", "a").withColumnRenamed("com", "ca")
         lb = labels.withColumnRenamed("id", "b").withColumnRenamed("com", "cb")
-        contracted = (
+        contracted = _ckpt(
             e.join(la, on="a").join(lb, on="b")
             .groupBy("ca", "cb").agg(F.sum("w").alias("w"))
-            .localCheckpoint(eager=True)
         )
         if contracted.limit(cap + 1).count() <= cap:
             break
@@ -475,10 +471,9 @@ def louvain(edges: DataFrame, weight_col: str | None = None,
             break  # all edges intra-community: fully contracted already
         lab2 = _move_rounds(lvl, float(m_lvl), selfw=slf).select(
             F.col("id").alias("com"), F.col("com").alias("com2"))
-        labels = (
+        labels = _ckpt(
             labels.join(lab2, on="com", how="left")
             .select("id", F.coalesce("com2", "com").alias("com"))
-            .localCheckpoint(eager=True)
         )
     if contracted.limit(cap + 1).count() <= cap:
         cpairs = [(r["ca"], r["cb"], float(r["w"])) for r in contracted.collect()]
@@ -497,26 +492,133 @@ def louvain(edges: DataFrame, weight_col: str | None = None,
         "id", F.col("_minid").alias("community"))
 
 
+def _driver_cnm(edge_list: list) -> dict:
+    """Sequential Clauset-Newman-Moore greedy modularity merging on
+    (a, b, w) undirected edges (self-loops = internal weight). Start with
+    singleton communities; repeatedly merge the CONNECTED community pair
+    with the largest modularity gain dQ = w_between/m - deg_c*deg_d/(2m^2)
+    while dQ > 0. Deterministic: ties broken on the lexicographically
+    smallest (min_id, max_id) pair. Returns {node: community} with
+    community = min member id. Reimplemented from the published CNM 2004
+    greedy heuristic — no third-party community library involved."""
+    inw: dict = {}
+    deg: dict = {}
+    between: dict = {}
+    for a, b, w in edge_list:
+        if a == b:
+            inw[a] = inw.get(a, 0.0) + w
+            deg[a] = deg.get(a, 0.0) + 2.0 * w
+            continue
+        deg[a] = deg.get(a, 0.0) + w
+        deg[b] = deg.get(b, 0.0) + w
+        inw.setdefault(a, 0.0)
+        inw.setdefault(b, 0.0)
+        between.setdefault(a, {})[b] = between.get(a, {}).get(b, 0.0) + w
+        between.setdefault(b, {})[a] = between.get(b, {}).get(a, 0.0) + w
+    m = sum(deg.values()) / 2.0
+    if m <= 0:
+        return {n: n for n in deg}
+    members = {n: [n] for n in deg}
+    while True:
+        best = None
+        best_gain = 1e-12
+        for c in sorted(between):
+            for d, w in sorted(between[c].items()):
+                if d <= c:
+                    continue
+                gain = w / m - deg[c] * deg[d] / (2.0 * m * m)
+                if gain > best_gain + 1e-15 or (
+                    abs(gain - best_gain) <= 1e-15
+                    and best is not None and (c, d) < best
+                ):
+                    best, best_gain = (c, d), gain
+        if best is None:
+            break
+        c, d = best  # merge d into c (c < d)
+        inw[c] += inw.pop(d) + between[c].pop(d)
+        between[d].pop(c)
+        deg[c] += deg.pop(d)
+        members[c].extend(members.pop(d))
+        for nbr, w in between.pop(d).items():
+            between[nbr].pop(d)
+            between[c][nbr] = between[c].get(nbr, 0.0) + w
+            between[nbr][c] = between[nbr].get(c, 0.0) + w
+        if not between.get(c):
+            between.pop(c, None)
+    out = {}
+    for c, ms in members.items():
+        label = min(ms)
+        for n in ms:
+            out[n] = label
+    return out
+
+
+def greedy_modularity(edges: DataFrame, weight_col: str | None = None,
+                      driver_threshold: int | None = DRIVER_LOUVAIN_MAX_EDGES) -> DataFrame:
+    """Reference 'greedy_modularity' (nx greedy_modularity_communities,
+    analytics.py:2825-2827): CNM greedy merging. Edge sets within
+    ``driver_threshold`` (truncated-count probe) run sequential CNM on the
+    driver — the reference's graphs are dictionary-scale report networks.
+    Larger graphs first contract by a distributed louvain partition (the
+    same guarded path louvain uses), then CNM-merge the contracted
+    supernode graph and compose the two mappings — greedy merging needs a
+    global best-pair priority each step, so the scale story is contraction,
+    not a distributed CNM. Returns (id, community), community = min member."""
+    e = _sym_weighted(edges, weight_col).where(F.col("a") != F.col("b"))
+    spark = edges.sparkSession
+    cap = int(driver_threshold or DRIVER_LOUVAIN_MAX_EDGES)
+    if e.limit(cap + 1).count() <= cap:
+        pairs = [(r["a"], r["b"], float(r["w"])) for r in e.collect()]
+        mapping = _driver_cnm(pairs)
+        if not mapping:
+            return spark.createDataFrame([], "id string, community string")
+        return spark.createDataFrame(
+            sorted(mapping.items()), "id string, community string")
+
+    # large path: louvain-contract first (guarded), then CNM on supernodes
+    labels = louvain(edges, weight_col=weight_col,
+                     driver_threshold=driver_threshold)
+    la = labels.select(F.col("id").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col("community").alias("cb"))
+    contracted = (
+        e.join(la, on="a").join(lb, on="b")
+        .groupBy("ca", "cb").agg(F.sum("w").alias("w"))
+    )
+    if contracted.limit(cap + 1).count() > cap:
+        return labels  # refuses to contract: keep the louvain partition
+    cpairs = [(r["ca"], r["cb"], float(r["w"])) for r in contracted.collect()]
+    merged = _driver_cnm(cpairs)
+    mdf = spark.createDataFrame(
+        sorted(merged.items()), "community string, merged string")
+    out = labels.join(mdf, on="community", how="left").select(
+        "id", F.coalesce("merged", "community").alias("community"))
+    minm = out.groupBy("community").agg(F.min("id").alias("_minid"))
+    return out.join(minm, on="community").select(
+        "id", F.col("_minid").alias("community"))
+
+
 def get_network_communities(edges: DataFrame, algorithm: str = "louvain",
                             weight_col: str | None = None,
                             **kwargs) -> DataFrame:
     """Community-detection dispatcher mirroring the reference's
     get_network_communities (analytics.py:2807-2842): 'louvain' (the
-    default there too) and 'asyn_label_propagation' are implemented;
-    'greedy_modularity', 'girvan_newman' and 'affinity_propagation' raise
-    NotImplementedError with their reference lines (driver-bound library
-    tails: Girvan-Newman recomputes global eigenvector centrality per edge
-    removal — O(E * centrality) serial; affinity propagation needs the
-    dense NxN adjacency). Returns (id, community)."""
+    default there too), 'greedy_modularity' (CNM, driver on dictionary-
+    scale graphs / louvain-contracted above threshold) and
+    'asyn_label_propagation' are implemented; 'girvan_newman' and
+    'affinity_propagation' raise NotImplementedError with their reference
+    lines (driver-bound library tails: Girvan-Newman recomputes global
+    edge centrality per edge removal — O(E * centrality) serial; affinity
+    propagation needs the dense NxN adjacency). Returns (id, community)."""
     if algorithm == "louvain":
         return louvain(edges, weight_col=weight_col, **kwargs)
+    if algorithm == "greedy_modularity":
+        return greedy_modularity(edges, weight_col=weight_col, **kwargs)
     if algorithm == "asyn_label_propagation":
         return label_propagation(edges, **kwargs).select(
             "id", F.col("label").alias("community"))
-    if algorithm in ("greedy_modularity", "girvan_newman",
-                     "affinity_propagation"):
+    if algorithm in ("girvan_newman", "affinity_propagation"):
         raise NotImplementedError(
             f"communities_algorithm {algorithm!r} (reference analytics.py:"
-            f"2824-2839) is a driver-bound library tail; use 'louvain' "
-            f"(modularity-optimizing) or 'asyn_label_propagation'")
+            f"2831-2839) is a driver-bound library tail; use 'louvain', "
+            f"'greedy_modularity' or 'asyn_label_propagation'")
     raise KeyError(f"unknown communities_algorithm {algorithm!r}")

@@ -2,10 +2,11 @@
 
 The Spark-side contract is real and tested — schema, Arrow batch shape,
 partition-preserving mapInPandas. The codec step has REAL pure-Python /
-stdlib decoders for the uncompressed formats (24-bit BMP + binary PPM
-images, PCM WAV audio, YUV4MPEG2 video — each with exact-value feature
-tests) and a clearly-marked deterministic fake for compressed formats
-whose codecs don't ship in this container (JPEG/PNG/MP3/MP4 are PIL /
+stdlib decoders for 24-bit BMP, binary PPM and (since round 4) PNG images
+(stdlib ``zlib`` inflate + per-row defilter — the most common compressed
+image format decodes for real now), PCM WAV audio and YUV4MPEG2 video —
+each with exact-value feature tests — and a clearly-marked deterministic
+fake ONLY for the remaining codec-bound formats (JPEG/MP3/MP4 are PIL /
 librosa / ffmpeg one-liners in deployment, swapped inside ``_decode_stub``
 without touching the Spark plumbing).
 
@@ -114,6 +115,98 @@ def decode_ppm(payload: bytes) -> np.ndarray | None:
     return np.frombuffer(payload[pos:pos + need], dtype=np.uint8).reshape(h, w, 3)
 
 
+def decode_png(payload: bytes) -> np.ndarray | None:
+    """Pure-stdlib PNG decoder (round-3 verdict item 7): concatenated IDAT
+    chunks -> ``zlib`` inflate -> per-row defilter (None/Sub/Up/Average/
+    Paeth from the public PNG spec §6), 8-bit depth, color types 0
+    (grayscale), 2 (RGB), 3 (palette), 4 (gray+alpha) and 6 (RGBA; alpha
+    dropped), non-interlaced. Returns (h, w, 3) uint8 RGB or None for
+    payloads outside that envelope (16-bit, Adam7) — no image library
+    involved."""
+    import zlib
+
+    if payload is None or len(payload) < 45 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, width, height = 8, None, None
+    depth = ctype = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            if len(data) < 13:
+                return None
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+        elif typ == b"PLTE":
+            if len(data) % 3:
+                return None
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if not width or not height or depth != 8 or interlace != 0:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None or (ctype == 3 and palette is None):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) < (stride + 1) * height:
+        return None
+    out = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    p = 0
+    for y in range(height):
+        flt = raw[p]
+        cur = np.frombuffer(raw[p + 1:p + 1 + stride], np.uint8).astype(np.int32)
+        p += 1 + stride
+        if flt == 0:
+            pass
+        elif flt == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif flt == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif flt == 3:  # Average
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif flt == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    arr = out.reshape(height, width, channels)
+    if ctype == 0:
+        return np.ascontiguousarray(np.repeat(arr, 3, axis=2))
+    if ctype == 2:
+        return arr
+    if ctype == 3:
+        if int(arr.max()) >= len(palette):
+            return None
+        return np.ascontiguousarray(palette[arr[..., 0]])
+    if ctype == 4:
+        return np.ascontiguousarray(np.repeat(arr[..., :1], 3, axis=2))
+    return np.ascontiguousarray(arr[..., :3])  # ctype 6: drop alpha
+
+
 def _image_features(arr: np.ndarray) -> np.ndarray:
     """FEATURE_DIM real statistics from decoded pixels: dims/aspect, per-
     channel mean+std, global min/max, luma mean/std, mean horizontal
@@ -184,17 +277,19 @@ def _audio_features(x: np.ndarray, rate: int) -> np.ndarray:
 
 
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """Feature extraction with REAL pure-Python/stdlib paths for BMP/PPM
-    images and PCM WAV audio, and a deterministic fake for formats whose
-    codecs don't ship in this container (JPEG/PNG/MP3/video would be
-    PIL/librosa/ffmpeg one-liners in deployment; the Arrow batching,
-    schema, and partitioning around this function are format-agnostic)."""
+    """Feature extraction with REAL pure-Python/stdlib paths for BMP/PPM/PNG
+    images, PCM WAV audio and Y4M video, and a deterministic fake for the
+    remaining codec-bound formats (JPEG/MP3/MP4 would be PIL/librosa/ffmpeg
+    one-liners in deployment; the Arrow batching, schema, and partitioning
+    around this function are format-agnostic)."""
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for kind={kind!r}")
     if kind == "image":
         arr = decode_bmp(payload)
         if arr is None:
             arr = decode_ppm(payload)
+        if arr is None:
+            arr = decode_png(payload)
         if arr is not None:
             return _image_features(arr)
     if kind == "audio":

@@ -44,9 +44,11 @@ def run_project_report(
     Knowledge parts per dataset (the generate_knowledge composition,
     knowledge.py:283 + project.py:552): regulation hub edges from
     BH-rejected ANOVA features, correlation edges above ``corr_cutoff``
-    from the report's correlation section, and annotation edges for
-    regulated features when an annotations table is supplied. Dataset names
-    containing 'longitudinal' take the longitudinal section config.
+    from the report's correlation section, WGCNA module edges
+    (knowledge_from_wgcna) when the section config includes 'wgcna', and
+    annotation edges for regulated features when an annotations table is
+    supplied. Dataset names containing 'longitudinal' take the longitudinal
+    section config.
     """
     res = ProjectResult()
     knowledge_parts: list[DataFrame] = []
@@ -71,6 +73,9 @@ def run_project_report(
                 F.col("corr").alias("weight"))
             knowledge_parts.append(KA.knowledge_from_correlation(
                 corr, name, name, cutoff=corr_cutoff))
+        if "wgcna" in report:
+            knowledge_parts.append(
+                KA.knowledge_from_wgcna(report["wgcna"], entity2=name))
         if annotations is not None:
             ann_edges = annotations.join(
                 regulated, on="feature", how="left_semi"

@@ -93,6 +93,33 @@ def knowledge_from_enrichment(enrich: DataFrame, entity: str,
                   F.col("_w"), entity, annotation_entity)
 
 
+def knowledge_from_wgcna(modules: DataFrame, entity2: str,
+                         module_trait_cor: DataFrame | None = None,
+                         entity1: str = "Clinical_variable",
+                         cutoff: float = 0.2) -> DataFrame:
+    """generate_knowledge_from_wgcna (knowledge.py:309): the co-expression
+    module edges — 'Regulated' hub -> ME<module> (weight 5), ME<module>
+    -CONTAINS-> feature (weight 5, the reference's features_per_module
+    walk), plus module—trait 'correlates' edges with |corr| >= cutoff when
+    a module_trait_cor table (module, trait, corr) is supplied. Input
+    ``modules`` is ``coexpression_modules`` output (feature, module, ...);
+    the reference's modColor becomes the deterministic module label.
+    Colors/widths are viz scope-outs, as with the rest of this module."""
+    me = F.concat(F.lit("ME"), F.col("module").cast("string"))
+    hub = _edges(modules.select("module").distinct(),
+                 F.lit("Regulated"), "has_module", me,
+                 F.lit(5.0), "Group", "Module")
+    contains = _edges(modules, me, "CONTAINS", F.col("feature"),
+                      F.lit(5.0), "Module", entity2)
+    out = hub.unionByName(contains)
+    if module_trait_cor is not None:
+        mt = module_trait_cor.where(F.abs(F.col("corr")) >= cutoff)
+        out = out.unionByName(_edges(
+            mt, F.concat(F.lit("ME"), F.col("module").cast("string")),
+            "correlates", F.col("trait"), F.col("corr"), "Module", entity1))
+    return out
+
+
 def knowledge_from_edgelist(df: DataFrame, entity1: str, entity2: str,
                             source: str, target: str, rtype: str,
                             weight: str) -> DataFrame:

@@ -67,3 +67,35 @@ def test_edgelist_and_assembly(spark):
                                      "targets", "w")
     _, edges2 = KA.assemble_knowledge(e1, dup)
     assert len(edges2.toPandas()) == 2
+
+
+def test_wgcna_module_edges(spark):
+    """knowledge_from_wgcna (reference knowledge.py:309): Regulated -> ME
+    hub edges + ME -CONTAINS-> feature edges, plus cutoff-filtered
+    module-trait correlates edges (round-3 verdict item 6)."""
+    modules = spark.createDataFrame(pd.DataFrame({
+        "feature": ["P1", "P2", "P3"],
+        "module": ["P1", "P1", "P3"],
+        "module_size": [2, 2, 1],
+    }))
+    mt = spark.createDataFrame(pd.DataFrame({
+        "module": ["P1", "P3"], "trait": ["age", "bmi"],
+        "corr": [0.6, 0.05]}))
+    edges = KA.knowledge_from_wgcna(
+        modules, entity2="Protein", module_trait_cor=mt, cutoff=0.2).toPandas()
+    hub = edges[edges["pred"] == "has_module"]
+    assert sorted(hub["obj"]) == ["MEP1", "MEP3"]
+    assert set(hub["subj"]) == {"Regulated"} and set(hub["weight"]) == {5.0}
+    contains = edges[edges["pred"] == "CONTAINS"]
+    assert sorted(zip(contains["subj"], contains["obj"])) == [
+        ("MEP1", "P1"), ("MEP1", "P2"), ("MEP3", "P3")]
+    assert set(contains["obj_type"]) == {"Protein"}
+    corr = edges[edges["pred"] == "correlates"]
+    assert list(zip(corr["subj"], corr["obj"])) == [("MEP1", "age")]
+    assert abs(corr.iloc[0]["weight"] - 0.6) < 1e-12
+
+    # composes through assemble_knowledge: module nodes typed 'Module'
+    nodes, e = KA.assemble_knowledge(
+        KA.knowledge_from_wgcna(modules, entity2="Protein"))
+    nd = {r["id"]: r["type"] for r in nodes.collect()}
+    assert nd["MEP1"] == "Module" and nd["P2"] == "Protein"

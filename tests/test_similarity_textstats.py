@@ -460,3 +460,91 @@ def test_unigram_scoring_keeps_zero_token_docs(spark, tmp_path):
     assert set(out2) == {"a", "b", "c"}
     assert out2["b"]["n_tokens"] == 0 and out2["b"]["mean_neg_logp"] is None
     assert abs(out2["a"]["mean_neg_logp"] - out["a"]["mean_neg_logp"]) < 1e-12
+
+
+def _encode_png(arr, ctype=2, filters=(0,)):
+    """Minimal stdlib PNG encoder for the decoder test: applies the given
+    per-row filter types (cycled), so every defilter branch is exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    h, w = arr.shape[:2]
+    if ctype == 2:
+        px, ch = arr, 3
+    elif ctype == 6:
+        px = np.dstack([arr, np.full((h, w, 1), 255, np.uint8)])
+        ch = 4
+    elif ctype == 0:
+        px, ch = arr[..., :1], 1
+    else:
+        raise ValueError(ctype)
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = (row - left) & 0xFF
+        elif f == 2:
+            enc = (row - prev) & 0xFF
+        elif f == 3:
+            enc = (row - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            enc = np.empty_like(row)
+            for i in range(len(row)):
+                a = int(row[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (row[i] - pr) & 0xFF
+        raw.append(f)
+        raw += bytes(enc.astype(np.uint8))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_png_decoder_roundtrip_all_filters():
+    """decode_png recovers exact pixels through every filter type
+    (None/Sub/Up/Average/Paeth) and color types 0/2/6 (round-3 verdict
+    item 7 — PNG is the one compressed format that needs no codec lib)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    for ct in (2, 6):
+        got = MM.decode_png(_encode_png(arr, ctype=ct, filters=(0, 1, 2, 3, 4)))
+        assert got is not None and got.shape == (7, 5, 3)
+        assert (got == arr).all(), ct
+    gray = arr.copy()
+    gray[..., 1] = gray[..., 0]
+    gray[..., 2] = gray[..., 0]
+    got0 = MM.decode_png(_encode_png(gray, ctype=0, filters=(4, 3, 2, 1, 0)))
+    assert (got0 == gray).all()
+    # non-PNG and truncated payloads return None, not garbage
+    assert MM.decode_png(b"not a png") is None
+    assert MM.decode_png(_encode_png(arr)[:40]) is None
+
+
+def test_png_features_known_values():
+    """A constant-color PNG produces exact feature statistics through the
+    same _decode_stub image path as BMP/PPM."""
+    import numpy as np
+
+    arr = np.full((8, 4, 3), 200, np.uint8)
+    feats = MM._decode_stub(_encode_png(arr, filters=(2,)), "image")
+    assert feats[0] == 4.0 and feats[1] == 8.0        # w, h
+    assert abs(feats[3] - 200.0) < 1e-5               # mean R
+    assert abs(feats[6]) < 1e-5                       # std R
+    assert feats[14] == 1.0                           # all pixels bright
