@@ -597,18 +597,215 @@ def greedy_modularity(edges: DataFrame, weight_col: str | None = None,
         "id", F.col("_minid").alias("community"))
 
 
+def _edge_betweenness(adj: dict) -> dict:
+    """Brandes edge-betweenness (unweighted BFS variant, published 2001
+    algorithm) over {node: set(neighbors)}; returns {(a, b) sorted: score}."""
+    eb: dict = {}
+    for s in sorted(adj):
+        # single-source shortest-path DAG
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = [s]
+        preds: dict = {s: []}
+        q = [s]
+        while q:
+            nxt = []
+            for v in q:
+                for w in sorted(adj[v]):
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        sigma[w] = 0.0
+                        preds[w] = []
+                        nxt.append(w)
+                        order.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+                        preds[w].append(v)
+            q = nxt
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in preds[w]:
+                c = sigma[v] / sigma[w] * (1.0 + delta[w])
+                key = (v, w) if v < w else (w, v)
+                eb[key] = eb.get(key, 0.0) + c
+                delta[v] += c
+    return {k: v / 2.0 for k, v in eb.items()}  # each pair counted twice
+
+
+def girvan_newman(edges: DataFrame, n_communities: int = 2,
+                  weight_col: str | None = None,
+                  driver_threshold: int | None = DRIVER_LOUVAIN_MAX_EDGES) -> DataFrame:
+    """Reference 'girvan_newman' branch (analytics.py:2831-2833). The
+    textbook algorithm: repeatedly remove the highest-edge-betweenness edge
+    (Brandes BFS accumulation) until the graph splits into
+    ``n_communities`` components. Driver-bound BY NATURE — each removal
+    needs a fresh global betweenness pass (O(V*E) serial), so this runs on
+    collected dictionary-scale graphs only, guarded by the same
+    truncated-count probe as louvain; at corpus scale, contract with
+    louvain first and refine the supernode graph.
+
+    Parity note: the reference wires ``most_central_edge`` as the
+    most_valuable_edge callback, but that function returns the max
+    eigenvector-centrality NODE (analytics.py:2780-2790), which
+    nx.girvan_newman would try to unpack as an edge — the reference branch
+    crashes on any real graph. This engine implements the algorithm the
+    branch NAMES (standard edge-betweenness GN) rather than reproducing
+    the broken callback. Ties break on the lexicographically smallest
+    edge. Returns (id, community), community = min member id."""
+    e = _sym_weighted(edges, weight_col).where(F.col("a") != F.col("b"))
+    spark = edges.sparkSession
+    cap = int(driver_threshold or DRIVER_LOUVAIN_MAX_EDGES)
+    if e.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"girvan_newman is driver-bound; edge count exceeds {cap}. "
+            f"Contract with louvain first (get_network_communities).")
+    adj: dict = {}
+    for r in e.collect():
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    if not adj:
+        return spark.createDataFrame([], "id string, community string")
+
+    def components():
+        seen, comps = set(), []
+        for n in sorted(adj):
+            if n in seen:
+                continue
+            comp, q = {n}, [n]
+            seen.add(n)
+            while q:
+                v = q.pop()
+                for w in adj[v]:
+                    if w not in seen:
+                        seen.add(w)
+                        comp.add(w)
+                        q.append(w)
+            comps.append(comp)
+        return comps
+
+    comps = components()
+    while len(comps) < n_communities:
+        eb = _edge_betweenness(adj)
+        if not eb:
+            break
+        best = max(sorted(eb), key=lambda k: (eb[k], ))
+        # deterministic: among ties take the lexicographically smallest edge
+        best_score = eb[best]
+        for k in sorted(eb):
+            if abs(eb[k] - best_score) <= 1e-9:
+                best = k
+                break
+        a, b = best
+        adj[a].discard(b)
+        adj[b].discard(a)
+        comps = components()
+    rows = []
+    for comp in comps:
+        label = min(comp)
+        rows.extend((n, label) for n in sorted(comp))
+    return spark.createDataFrame(sorted(rows), "id string, community string")
+
+
+def affinity_propagation(edges: DataFrame, weight_col: str | None = None,
+                         damping: float = 0.5, max_iter: int = 200,
+                         convergence_iter: int = 15,
+                         preference: float | None = None,
+                         driver_threshold: int | None = DRIVER_LOUVAIN_MAX_EDGES) -> DataFrame:
+    """Reference 'affinity_propagation' branch (analytics.py:2835-2839):
+    the reference densifies the graph (nx.to_pandas_adjacency) and runs
+    sklearn AffinityPropagation on the adjacency as the similarity matrix.
+    Reimplemented from the published Frey & Dueck 2007 message-passing
+    update rules (responsibility/availability, damping, preference =
+    median similarity when None — sklearn's default; note that on a
+    sparse-adjacency similarity the median is usually 0, which tends to a
+    single cluster, so callers wanting the classic behavior should pass an
+    explicit ``preference``) in pure numpy on the collected
+    dictionary-scale graph; dense NxN is inherent to the algorithm, so it
+    is guarded like the other driver-bound tails. Returns (id, community),
+    community = min member id of each exemplar's cluster."""
+    import numpy as np
+
+    e = _sym_weighted(edges, weight_col).where(F.col("a") != F.col("b"))
+    spark = edges.sparkSession
+    cap = int(driver_threshold or DRIVER_LOUVAIN_MAX_EDGES)
+    if e.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"affinity_propagation needs the dense NxN adjacency; edge "
+            f"count exceeds {cap}. Contract with louvain first.")
+    rows = e.collect()
+    nodes = sorted({r["a"] for r in rows} | {r["b"] for r in rows})
+    if not nodes:
+        return spark.createDataFrame([], "id string, community string")
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    S = np.zeros((n, n))
+    for r in rows:
+        i, j = idx[r["a"]], idx[r["b"]]
+        S[i, j] = S[j, i] = float(r["w"])
+    pref = float(np.median(S)) if preference is None else float(preference)
+    np.fill_diagonal(S, pref)
+    # deterministic symmetry-breaking noise, as sklearn does (fixed seed)
+    rng = np.random.RandomState(0)
+    S = S + 1e-12 * rng.standard_normal((n, n)) * (np.max(S) - np.min(S) + 1e-9)
+    R = np.zeros((n, n))
+    A = np.zeros((n, n))
+    stable = 0
+    last_ex = None
+    for _ in range(max_iter):
+        AS = A + S
+        m1 = AS.max(axis=1)
+        am = AS.argmax(axis=1)
+        AS[np.arange(n), am] = -np.inf
+        m2 = AS.max(axis=1)
+        Rn = S - m1[:, None]
+        Rn[np.arange(n), am] = S[np.arange(n), am] - m2
+        R = damping * R + (1 - damping) * Rn
+        Rp = np.maximum(R, 0)
+        np.fill_diagonal(Rp, R.diagonal())
+        An = Rp.sum(axis=0)[None, :] - Rp
+        dA = An.diagonal().copy()
+        An = np.minimum(An, 0)
+        np.fill_diagonal(An, dA)
+        A = damping * A + (1 - damping) * An
+        ex = np.flatnonzero((A + R).diagonal() > 0)
+        key = tuple(ex)
+        # an empty exemplar set is the pre-convergence transient (damped
+        # messages start at 0), never a converged state — don't count it
+        if key == last_ex and len(ex) > 0:
+            stable += 1
+            if stable >= convergence_iter:
+                break
+        else:
+            stable = 0
+            last_ex = key
+    ex = np.flatnonzero((A + R).diagonal() > 0)
+    if len(ex) == 0:
+        ex = np.array([int(np.argmax((A + R).diagonal()))])
+    assign = ex[np.argmax(S[:, ex], axis=1)]
+    assign[ex] = ex  # exemplars belong to themselves
+    clusters: dict = {}
+    for i, c in enumerate(assign):
+        clusters.setdefault(int(c), []).append(nodes[i])
+    out = []
+    for members in clusters.values():
+        label = min(members)
+        out.extend((m, label) for m in members)
+    return spark.createDataFrame(sorted(out), "id string, community string")
+
+
 def get_network_communities(edges: DataFrame, algorithm: str = "louvain",
                             weight_col: str | None = None,
                             **kwargs) -> DataFrame:
     """Community-detection dispatcher mirroring the reference's
-    get_network_communities (analytics.py:2807-2842): 'louvain' (the
-    default there too), 'greedy_modularity' (CNM, driver on dictionary-
-    scale graphs / louvain-contracted above threshold) and
-    'asyn_label_propagation' are implemented; 'girvan_newman' and
-    'affinity_propagation' raise NotImplementedError with their reference
-    lines (driver-bound library tails: Girvan-Newman recomputes global
-    edge centrality per edge removal — O(E * centrality) serial; affinity
-    propagation needs the dense NxN adjacency). Returns (id, community)."""
+    get_network_communities (analytics.py:2807-2842) — ALL five reference
+    algorithms resolve: 'louvain' (the default there too),
+    'greedy_modularity' (CNM), 'asyn_label_propagation',
+    'girvan_newman' (edge-betweenness GN; see its docstring for the
+    reference's broken most_valuable_edge callback) and
+    'affinity_propagation' (Frey-Dueck message passing). The last two are
+    driver-bound by nature (global recomputation per edge removal / dense
+    NxN) and guard their collect with the truncated-count probe.
+    Returns (id, community)."""
     if algorithm == "louvain":
         return louvain(edges, weight_col=weight_col, **kwargs)
     if algorithm == "greedy_modularity":
@@ -616,9 +813,8 @@ def get_network_communities(edges: DataFrame, algorithm: str = "louvain",
     if algorithm == "asyn_label_propagation":
         return label_propagation(edges, **kwargs).select(
             "id", F.col("label").alias("community"))
-    if algorithm in ("girvan_newman", "affinity_propagation"):
-        raise NotImplementedError(
-            f"communities_algorithm {algorithm!r} (reference analytics.py:"
-            f"2831-2839) is a driver-bound library tail; use 'louvain', "
-            f"'greedy_modularity' or 'asyn_label_propagation'")
+    if algorithm == "girvan_newman":
+        return girvan_newman(edges, weight_col=weight_col, **kwargs)
+    if algorithm == "affinity_propagation":
+        return affinity_propagation(edges, weight_col=weight_col, **kwargs)
     raise KeyError(f"unknown communities_algorithm {algorithm!r}")

@@ -93,3 +93,69 @@ def test_driver_cnm_matches_hand_computation():
     three end in one community — matching Q: one community has Q = 0."""
     part = G._driver_cnm([("a", "b", 1.0), ("b", "c", 1.0)])
     assert part == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_girvan_newman_two_cliques(spark, two_cliques):
+    """Edge-betweenness GN: the bridge edge has the highest betweenness, so
+    the first removal splits the graph into the two cliques. (The reference
+    branch itself would crash — its most_valuable_edge callback returns a
+    NODE; documented in the operator docstring.)"""
+    edges, na, nb = two_cliques
+    part = {r["id"]: r["community"]
+            for r in G.girvan_newman(edges, n_communities=2).collect()}
+    assert len({part[n] for n in na}) == 1
+    assert len({part[n] for n in nb}) == 1
+    assert part[na[0]] == "a0" and part[nb[0]] == "b0"
+
+
+def test_girvan_newman_deeper_split(spark):
+    """n_communities=4 on the ring of 4 triangles removes the 4 inter-
+    triangle bridges — exactly the triangles remain."""
+    pairs = []
+    for t in range(4):
+        n = [f"t{t}_{i}" for i in range(3)]
+        pairs += [(n[0], n[1]), (n[1], n[2]), (n[0], n[2])]
+        pairs.append((n[2], f"t{(t + 1) % 4}_0"))
+    edges = _edges_df(spark, pairs)
+    part = {r["id"]: r["community"]
+            for r in G.girvan_newman(edges, n_communities=4).collect()}
+    for t in range(4):
+        assert len({part[f"t{t}_{i}"] for i in range(3)}) == 1
+    assert len(set(part.values())) == 4
+
+
+def test_edge_betweenness_path_graph_exact():
+    """Hand-checkable: path a-b-c-d. Middle edge (b,c) carries the 4
+    cross pairs: betweenness {ab: 3, bc: 4, cd: 3}."""
+    adj = {"a": {"b"}, "b": {"a", "c"}, "c": {"b", "d"}, "d": {"c"}}
+    eb = G._edge_betweenness(adj)
+    assert eb[("a", "b")] == 3.0
+    assert eb[("b", "c")] == 4.0
+    assert eb[("c", "d")] == 3.0
+
+
+def test_affinity_propagation_two_blocks(spark):
+    """Two internally-heavy blocks with a weak cross edge: AP finds two
+    clusters aligned with the blocks (Frey-Dueck rules, median
+    preference)."""
+    rows = []
+    for ns in (["a0", "a1", "a2"], ["b0", "b1", "b2"]):
+        for i in range(3):
+            for j in range(i + 1, 3):
+                rows.append((ns[i], ns[j], 10.0))
+    rows.append(("a0", "b0", 0.5))
+    pdf = pd.DataFrame(rows, columns=["subj", "obj", "weight"])
+    part = {r["id"]: r["community"]
+            for r in G.affinity_propagation(
+                spark.createDataFrame(pdf), weight_col="weight").collect()}
+    assert len({part[n] for n in ("a0", "a1", "a2")}) == 1
+    assert len({part[n] for n in ("b0", "b1", "b2")}) == 1
+    assert part["a0"] != part["b0"]
+
+
+def test_driver_bound_algos_guard_large_graphs(spark, two_cliques):
+    edges, _, _ = two_cliques
+    with pytest.raises(ValueError):
+        G.girvan_newman(edges, driver_threshold=2)
+    with pytest.raises(ValueError):
+        G.affinity_propagation(edges, driver_threshold=2)

@@ -131,9 +131,11 @@ def test_get_network_communities_dispatch(spark, two_cliques):
     assert lou[na[1]] == "a0" and lou[nb[1]] == "b0"
     lpa = G.get_network_communities(edges, algorithm="asyn_label_propagation")
     assert set(lpa.columns) == {"id", "community"}
+    gn = {r["id"]: r["community"]
+          for r in G.get_network_communities(
+              edges, algorithm="girvan_newman").collect()}
+    assert gn[na[1]] == "a0" and gn[nb[1]] == "b0"
     import pytest
-    with pytest.raises(NotImplementedError):
-        G.get_network_communities(edges, algorithm="girvan_newman")
     with pytest.raises(KeyError):
         G.get_network_communities(edges, algorithm="nope")
 
