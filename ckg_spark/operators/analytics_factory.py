@@ -90,15 +90,29 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
     # dabest estimation core (bootstrap effect-size CIs; plot panels out of scope)
     "dabest": lambda df, group_a=None, group_b=None, **kw: (
         A.bootstrap_effect_sizes(df, group_a, group_b, **kw)),
+    # viz embeddings (reference analytics.py:960/:1015/:2673), implemented
+    # from the published algorithms in operators/embed_viz.py; driver-bound
+    # over the samples dimension by nature, guarded there
+    "tsne": lambda df, **kw: __import__(
+        "ckg_spark.operators.embed_viz", fromlist=["run_tsne"]
+    ).run_tsne(df, **kw),
+    "umap": lambda df, **kw: __import__(
+        "ckg_spark.operators.embed_viz", fromlist=["run_umap"]
+    ).run_umap(df, **kw),
+    # mapper returns (nodes, links); generate_result surfaces the nodes
+    # table (the simplicial complex), links reachable via run_mapper direct
+    "mapper": lambda df, **kw: __import__(
+        "ckg_spark.operators.embed_viz", fromlist=["run_mapper"]
+    ).run_mapper(df, **kw)[0],
 }
 
-# reference analysis_type names that are deliberately out of scope here
-# (driver-scale library tails; see COVERAGE.md §2.11).
+# reference analysis_type names that are deliberately out of scope here.
 # publications_abstracts (reference analytics_factory.py:628 ->
 # analytics.py:2844 get_publications_abstracts) is a live NCBI PubMed
 # web fetch, not a compute operator — out of engine scope by design.
+# (tsne/umap/mapper moved to _DISPATCH in round 4: operators/embed_viz.py.)
 _UNSUPPORTED = {
-    "tsne", "umap", "mapper", "publications_abstracts",
+    "publications_abstracts",
 }
 
 # the reference's complete analysis_type dispatch-string list
