@@ -104,16 +104,21 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
     "mapper": lambda df, **kw: __import__(
         "ckg_spark.operators.embed_viz", fromlist=["run_mapper"]
     ).run_mapper(df, **kw)[0],
+    # distributed MEDLINE fetch + broadcast join-back (sources/pubmed.py);
+    # the HTTP transport is injectable (fetch=) and the default targets
+    # NCBI eutils — transport failures yield an empty frame, loudly, the
+    # same contract as the reference's try/except around Entrez.efetch
+    "publications_abstracts": lambda df, **kw: __import__(
+        "ckg_spark.sources.pubmed", fromlist=["publications_abstracts"]
+    ).publications_abstracts(df, **kw),
 }
 
-# reference analysis_type names that are deliberately out of scope here.
-# publications_abstracts (reference analytics_factory.py:628 ->
-# analytics.py:2844 get_publications_abstracts) is a live NCBI PubMed
-# web fetch, not a compute operator — out of engine scope by design.
-# (tsne/umap/mapper moved to _DISPATCH in round 4: operators/embed_viz.py.)
-_UNSUPPORTED = {
-    "publications_abstracts",
-}
+# reference analysis_type names that are deliberately out of scope.
+# Empty as of round 4: tsne/umap/mapper moved to _DISPATCH
+# (operators/embed_viz.py) and publications_abstracts to sources/pubmed.py
+# (real parser + distributed fetch plumbing; only the default HTTP
+# transport needs egress, and it is injectable).
+_UNSUPPORTED: set = set()
 
 # the reference's complete analysis_type dispatch-string list
 # (ckg/analytics_core/analytics_factory.py:82-679, one per `analysis_type ==`

@@ -232,8 +232,6 @@ def test_analytics_factory_dispatch(spark, long_df):
     summ = AF.generate_result("summary", long_df)
     assert summ.count() > 0
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        AF.generate_result("publications_abstracts", long_df)
     with _pytest.raises(KeyError):
         AF.generate_result("nope", long_df)
     assert "anova" in AF.available()
