@@ -166,12 +166,15 @@ def run_tsne(df: DataFrame, index: str = "subject", n_components: int = 2,
     Long (subject, feature, value) in; (subject, x, y) out."""
     spark = df.sparkSession
     ids, X = _collect_wide(df, index=index)
+    cols = ["x", "y", "z"][:n_components]
+    schema = f"{index} string, " + ", ".join(f"{c} double" for c in cols)
+    if not ids:
+        return spark.createDataFrame([], schema)
     Y = tsne_embed(X, n_components=n_components, perplexity=perplexity,
                    n_iter=n_iter, seed=seed)
-    cols = ["x", "y", "z"][:n_components]
     out = pd.DataFrame(Y, columns=cols)
     out.insert(0, index, ids)
-    return spark.createDataFrame(out)
+    return spark.createDataFrame(out, schema=schema)
 
 
 # ----------------------------------------------------------------- UMAP
@@ -305,12 +308,15 @@ def run_umap(df: DataFrame, index: str = "subject", n_components: int = 2,
     n_neighbors=10, min_dist=0.3). Long in; (subject, x, y) out."""
     spark = df.sparkSession
     ids, X = _collect_wide(df, index=index)
+    cols = ["x", "y", "z"][:n_components]
+    schema = f"{index} string, " + ", ".join(f"{c} double" for c in cols)
+    if not ids:
+        return spark.createDataFrame([], schema)
     Y = umap_embed(X, n_components=n_components, n_neighbors=n_neighbors,
                    min_dist=min_dist, n_epochs=n_epochs, seed=seed)
-    cols = ["x", "y", "z"][:n_components]
     out = pd.DataFrame(Y, columns=cols)
     out.insert(0, index, ids)
-    return spark.createDataFrame(out)
+    return spark.createDataFrame(out, schema=schema)
 
 
 # --------------------------------------------------------------- Mapper
@@ -326,6 +332,8 @@ def isolation_scores(X: np.ndarray, n_trees: int = 100,
     rng = np.random.RandomState(seed)
     n, d = X.shape
     psi = min(subsample, n)
+    if psi < 2:
+        return np.full(n, 0.5)  # single point: neutral score, c(1) = 0
 
     def c(m):
         if m <= 1:

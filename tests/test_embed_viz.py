@@ -135,3 +135,17 @@ def test_viz_guard_driver_threshold(spark, monkeypatch):
     df = _blob_long(spark, n_per=6)
     with pytest.raises(ValueError):
         EV.run_tsne(df)
+
+
+def test_empty_and_tiny_inputs(spark):
+    empty = spark.createDataFrame([], "subject string, feature string, value double")
+    for fn in (EV.run_tsne, EV.run_umap):
+        out = fn(empty)
+        assert out.count() == 0
+        assert out.columns == ["subject", "x", "y"]
+    one = spark.createDataFrame(
+        pd.DataFrame({"subject": ["s1"], "feature": ["f1"], "value": [1.0]}))
+    assert EV.run_tsne(one).count() == 1     # n <= n_components -> zeros
+    assert EV.run_umap(one).count() == 1
+    nodes, links = EV.run_mapper(one)
+    assert nodes.count() == 1 and links.count() == 0
