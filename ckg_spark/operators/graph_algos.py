@@ -632,9 +632,18 @@ def _edge_betweenness(adj: dict) -> dict:
     return {k: v / 2.0 for k, v in eb.items()}  # each pair counted twice
 
 
+# GN recomputes global betweenness (O(V*(V+E)) BFS sweep) per edge removal
+# and AP needs the dense NxN similarity — both far costlier per element
+# than driver louvain/CNM, so their default caps are much tighter than
+# DRIVER_LOUVAIN_MAX_EDGES (contract with louvain first to get under them).
+DRIVER_GN_MAX_EDGES = 10_000
+DRIVER_AP_MAX_EDGES = 100_000
+DRIVER_AP_MAX_NODES = 2_000
+
+
 def girvan_newman(edges: DataFrame, n_communities: int = 2,
                   weight_col: str | None = None,
-                  driver_threshold: int | None = DRIVER_LOUVAIN_MAX_EDGES) -> DataFrame:
+                  driver_threshold: int | None = DRIVER_GN_MAX_EDGES) -> DataFrame:
     """Reference 'girvan_newman' branch (analytics.py:2831-2833). The
     textbook algorithm: repeatedly remove the highest-edge-betweenness edge
     (Brandes BFS accumulation) until the graph splits into
@@ -654,7 +663,7 @@ def girvan_newman(edges: DataFrame, n_communities: int = 2,
     edge. Returns (id, community), community = min member id."""
     e = _sym_weighted(edges, weight_col).where(F.col("a") != F.col("b"))
     spark = edges.sparkSession
-    cap = int(driver_threshold or DRIVER_LOUVAIN_MAX_EDGES)
+    cap = int(driver_threshold or DRIVER_GN_MAX_EDGES)
     if e.limit(cap + 1).count() > cap:
         raise ValueError(
             f"girvan_newman is driver-bound; edge count exceeds {cap}. "
@@ -710,7 +719,7 @@ def affinity_propagation(edges: DataFrame, weight_col: str | None = None,
                          damping: float = 0.5, max_iter: int = 200,
                          convergence_iter: int = 15,
                          preference: float | None = None,
-                         driver_threshold: int | None = DRIVER_LOUVAIN_MAX_EDGES) -> DataFrame:
+                         driver_threshold: int | None = DRIVER_AP_MAX_EDGES) -> DataFrame:
     """Reference 'affinity_propagation' branch (analytics.py:2835-2839):
     the reference densifies the graph (nx.to_pandas_adjacency) and runs
     sklearn AffinityPropagation on the adjacency as the similarity matrix.
@@ -727,13 +736,17 @@ def affinity_propagation(edges: DataFrame, weight_col: str | None = None,
 
     e = _sym_weighted(edges, weight_col).where(F.col("a") != F.col("b"))
     spark = edges.sparkSession
-    cap = int(driver_threshold or DRIVER_LOUVAIN_MAX_EDGES)
+    cap = int(driver_threshold or DRIVER_AP_MAX_EDGES)
     if e.limit(cap + 1).count() > cap:
         raise ValueError(
             f"affinity_propagation needs the dense NxN adjacency; edge "
             f"count exceeds {cap}. Contract with louvain first.")
     rows = e.collect()
     nodes = sorted({r["a"] for r in rows} | {r["b"] for r in rows})
+    if len(nodes) > DRIVER_AP_MAX_NODES:
+        raise ValueError(
+            f"affinity_propagation dense NxN exceeds {DRIVER_AP_MAX_NODES} "
+            f"nodes ({len(nodes)}); contract with louvain first.")
     if not nodes:
         return spark.createDataFrame([], "id string, community string")
     idx = {n: i for i, n in enumerate(nodes)}

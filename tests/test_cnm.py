@@ -159,3 +159,17 @@ def test_driver_bound_algos_guard_large_graphs(spark, two_cliques):
         G.girvan_newman(edges, driver_threshold=2)
     with pytest.raises(ValueError):
         G.affinity_propagation(edges, driver_threshold=2)
+
+
+def test_ap_node_cap_guard(spark):
+    """Even under the edge cap, AP refuses a dense NxN beyond its node
+    cap (a star graph has few edges but many nodes)."""
+    import ckg_spark.operators.graph_algos as GA
+    old = GA.DRIVER_AP_MAX_NODES
+    GA.DRIVER_AP_MAX_NODES = 3
+    try:
+        pairs = [("hub", f"n{i}") for i in range(5)]
+        with pytest.raises(ValueError, match="NxN"):
+            GA.affinity_propagation(_edges_df(spark, pairs))
+    finally:
+        GA.DRIVER_AP_MAX_NODES = old
