@@ -395,20 +395,29 @@ def _complete_linkage_labels(M: np.ndarray, n_clusters: int) -> np.ndarray:
     m = M.shape[0]
     if m <= n_clusters:
         return np.arange(m)
-    D = _correlation_dist(M)
-    clusters = [[i] for i in range(m)]
-    while len(clusters) > n_clusters:
-        best, bi, bj = np.inf, 0, 1
-        for i in range(len(clusters)):
-            for j in range(i + 1, len(clusters)):
-                d = max(D[p, q] for p in clusters[i] for q in clusters[j])
-                if d < best:
-                    best, bi, bj = d, i, j
-        clusters[bi] = clusters[bi] + clusters[bj]
-        del clusters[bj]
+    # Lance-Williams update for complete linkage: after merging clusters
+    # i and j, d(ij, k) = max(d(i, k), d(j, k)) — keeps the whole
+    # agglomeration O(m^3) with vectorized row maxima
+    D = _correlation_dist(M).astype(float)
+    np.fill_diagonal(D, np.inf)
+    active = list(range(m))
+    members = {i: [i] for i in range(m)}
+    while len(active) > n_clusters:
+        sub = D[np.ix_(active, active)]
+        flat = np.argmin(sub)
+        ai, aj = divmod(flat, len(active))
+        i, j = active[ai], active[aj]
+        if i > j:
+            i, j = j, i
+        newd = np.maximum(D[i], D[j])
+        D[i, :] = newd
+        D[:, i] = newd
+        D[i, i] = np.inf
+        members[i].extend(members.pop(j))
+        active.remove(j)
     labels = np.zeros(m, dtype=int)
-    for lbl, members in enumerate(clusters):
-        labels[members] = lbl
+    for lbl, i in enumerate(sorted(active)):
+        labels[members[i]] = lbl
     return labels
 
 

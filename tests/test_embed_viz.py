@@ -149,3 +149,35 @@ def test_empty_and_tiny_inputs(spark):
     assert EV.run_umap(one).count() == 1
     nodes, links = EV.run_mapper(one)
     assert nodes.count() == 1 and links.count() == 0
+
+
+def test_complete_linkage_matches_naive():
+    """Lance-Williams complete linkage must produce the same partition as
+    a brute-force agglomeration that rescans member pairs every merge."""
+    def naive(M, k):
+        D = EV._correlation_dist(M)
+        clusters = [[i] for i in range(len(M))]
+        while len(clusters) > k:
+            best, bi, bj = np.inf, 0, 1
+            for i in range(len(clusters)):
+                for j in range(i + 1, len(clusters)):
+                    d = max(D[p, q] for p in clusters[i] for q in clusters[j])
+                    if d < best:
+                        best, bi, bj = d, i, j
+            clusters[bi] += clusters[bj]
+            del clusters[bj]
+        lab = np.zeros(len(M), dtype=int)
+        for n, ms in enumerate(clusters):
+            lab[ms] = n
+        return lab
+
+    rng = np.random.RandomState(13)
+    for trial in range(5):
+        M = rng.randn(12, 6)
+        for k in (2, 3, 4):
+            a = EV._complete_linkage_labels(M, k)
+            b = naive(M, k)
+            # same partition up to label renaming
+            amap = {}
+            for x, y in zip(a, b):
+                assert amap.setdefault(x, y) == y, (a, b)
