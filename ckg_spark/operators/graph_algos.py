@@ -806,6 +806,43 @@ def affinity_propagation(edges: DataFrame, weight_col: str | None = None,
     return spark.createDataFrame(sorted(out), "id string, community string")
 
 
+def refine_communities(edges: DataFrame, algorithm: str,
+                       weight_col: str | None = None,
+                       **kwargs) -> DataFrame:
+    """Corpus-scale path for the driver-bound refiners (girvan_newman /
+    affinity_propagation): louvain-contract the graph distributively, run
+    the refiner on the dictionary-scale supernode graph, and project the
+    refined labels back through the louvain mapping — the code-path form
+    of the "contract with louvain first" escape hatch the guards print.
+
+    Plan shape: louvain (distributed joins/aggs) -> one groupBy building
+    the weighted supernode edge list -> driver refiner on the contracted
+    graph (its own cap still applies — a graph whose CONTRACTION exceeds
+    the refiner cap genuinely has no serial-refinement answer) -> one
+    broadcast join projecting (node -> supernode -> refined community)."""
+    base = louvain(edges, weight_col=weight_col)
+    e = _sym_weighted(edges, weight_col).where(F.col("a") != F.col("b"))
+    ca = base.select(F.col("id").alias("a"), F.col("community").alias("ca"))
+    cb = base.select(F.col("id").alias("b"), F.col("community").alias("cb"))
+    contracted = (
+        e.join(ca, on="a").join(cb, on="b")
+        .where(F.col("ca") != F.col("cb"))  # self-loops don't affect the
+        # refiners: betweenness ignores them, AP's diagonal is preference
+        .groupBy(F.col("ca").alias("subj"), F.col("cb").alias("obj"))
+        .agg(F.sum("w").alias("weight"))
+    )
+    fn = {"girvan_newman": girvan_newman,
+          "affinity_propagation": affinity_propagation}[algorithm]
+    refined = fn(contracted, weight_col="weight", **kwargs)
+    proj = refined.select(F.col("id").alias("community"),
+                          F.col("community").alias("refined"))
+    return (
+        base.join(F.broadcast(proj), on="community", how="left")
+        .select("id", F.coalesce(F.col("refined"), F.col("community"))
+                .alias("community"))
+    )
+
+
 def get_network_communities(edges: DataFrame, algorithm: str = "louvain",
                             weight_col: str | None = None,
                             **kwargs) -> DataFrame:
@@ -817,7 +854,9 @@ def get_network_communities(edges: DataFrame, algorithm: str = "louvain",
     reference's broken most_valuable_edge callback) and
     'affinity_propagation' (Frey-Dueck message passing). The last two are
     driver-bound by nature (global recomputation per edge removal / dense
-    NxN) and guard their collect with the truncated-count probe.
+    NxN) and guard their collect with the truncated-count probe; for
+    graphs above their caps use ``refine_communities`` (louvain-contract
+    -> refine -> project back), the corpus-scale composition.
     Returns (id, community)."""
     if algorithm == "louvain":
         return louvain(edges, weight_col=weight_col, **kwargs)

@@ -173,3 +173,33 @@ def test_ap_node_cap_guard(spark):
             GA.affinity_propagation(_edges_df(spark, pairs))
     finally:
         GA.DRIVER_AP_MAX_NODES = old
+
+
+def test_refine_communities_projects_through_contraction(spark):
+    """Corpus-scale path: louvain contracts the ring of 4 triangles to 4
+    supernodes; GN with n_communities=2 merges them into two adjacent
+    pairs; every node's final label is a member id of its refined group."""
+    pairs = []
+    for t in range(4):
+        n = [f"t{t}_{i}" for i in range(3)]
+        pairs += [(n[0], n[1]), (n[1], n[2]), (n[0], n[2])]
+        pairs.append((n[2], f"t{(t + 1) % 4}_0"))
+    edges = _edges_df(spark, pairs)
+    part = {r["id"]: r["community"]
+            for r in G.refine_communities(
+                edges, "girvan_newman", n_communities=2).collect()}
+    assert len(part) == 12
+    assert len(set(part.values())) == 2
+    for t in range(4):  # triangles stay atomic through contraction
+        assert len({part[f"t{t}_{i}"] for i in range(3)}) == 1
+    for n, c in part.items():
+        assert part[c] == c  # labels are member ids of their own group
+
+
+def test_refine_communities_ap(spark, two_cliques):
+    edges, na, nb = two_cliques
+    part = {r["id"]: r["community"]
+            for r in G.refine_communities(
+                edges, "affinity_propagation", preference=0.1).collect()}
+    assert len({part[n] for n in na}) == 1
+    assert len({part[n] for n in nb}) == 1
