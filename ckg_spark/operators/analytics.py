@@ -1161,21 +1161,34 @@ def run_rm_correlation(df: DataFrame, sample_col: str = "sample",
 def coexpression_modules(df: DataFrame, beta: float = 6.0,
                          adjacency_threshold: float = 0.5,
                          min_n: int = 3,
-                         min_module_size: int = 2) -> DataFrame:
-    """Weighted co-expression network + module detection (the WGCNA *core*:
-    soft-threshold adjacency a_ij = |corr(i,j)|^beta, network modules as
-    connected components over edges with a_ij >= threshold). The reference
-    hands 'wgcna' to the R package; the dendrogram/dynamic-tree-cut and
-    topological-overlap refinements remain out of scope — this is the
-    Spark-composable construction: one subject-keyed self-join + corr()
-    aggregation (pairwise_correlation) and the existing distributed
-    connected-components operator.
+                         min_module_size: int = 2,
+                         method: str = "cc",
+                         cut_height: float = 0.99) -> DataFrame:
+    """Weighted co-expression network + module detection (reference
+    'wgcna' dispatch -> R WGCNA, wgcnaAnalysis.py:250-302).
+
+    ``method='cc'`` (default, fully distributed): soft-threshold adjacency
+    a_ij = |corr(i,j)|^beta, modules = connected components over edges with
+    a_ij >= threshold — one subject-keyed self-join + corr() aggregation
+    and the distributed connected-components operator.
+
+    ``method='treecut'`` (round 4): the reference's actual chain —
+    adjacency -> topological overlap matrix (WGCNA TOMsimilarity formula)
+    -> dissTOM -> average-linkage dendrogram -> static tree cut at
+    ``cut_height`` (R cutreeDynamic method='tree' core; the adaptive
+    'hybrid' branch-pruning refinement stays declared out). Correlations
+    are computed distributively; the FxF TOM is dictionary-scale over the
+    FEATURES dimension and runs on the driver, guarded.
 
     Output: (feature, module, module_size); module = lexicographic min
-    feature of the component (deterministic at any parallelism). Features
-    with no strong neighbor form singleton modules and are filtered by
-    ``min_module_size``.
+    feature of the group (deterministic at any parallelism). Features in
+    groups below ``min_module_size`` are unassigned (WGCNA's grey) and
+    filtered.
     """
+    if method == "treecut":
+        return _treecut_modules(df, beta=beta, min_n=min_n,
+                                min_module_size=min_module_size,
+                                cut_height=cut_height)
     from .canonicalize import connected_components
 
     corr = pairwise_correlation(df, min_n=min_n)
@@ -1192,6 +1205,95 @@ def coexpression_modules(df: DataFrame, beta: float = 6.0,
         .select(F.col("ident").alias("feature"),
                 F.col("component").alias("module"), "module_size")
     )
+
+
+DRIVER_TOM_MAX_FEATURES = 3_000
+
+
+def tom_similarity(A: "np.ndarray") -> "np.ndarray":
+    """Unsigned topological overlap matrix (Zhang & Horvath 2005; the
+    WGCNA.TOMsimilarity formula): TOM_ij = (L_ij + a_ij) /
+    (min(k_i, k_j) + 1 - a_ij) with L_ij = sum_u a_iu a_uj over u != i, j
+    and k_i = sum_u!=i a_iu; TOM_ii = 1."""
+    import numpy as np
+
+    A = A.copy()
+    np.fill_diagonal(A, 0.0)
+    k = A.sum(axis=1)
+    L = A @ A  # diag(A)=0 makes this exactly sum over u != i (and != j on
+    # the off-diagonal terms where a_jj = 0)
+    kmin = np.minimum(k[:, None], k[None, :])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tom = (L + A) / (kmin + 1.0 - A)
+    tom = np.nan_to_num(tom, nan=0.0)
+    np.fill_diagonal(tom, 1.0)
+    return tom
+
+
+def _average_linkage_cut(D: "np.ndarray", cut_height: float) -> list:
+    """Average-linkage agglomeration (Lance-Williams size-weighted update)
+    stopped at ``cut_height`` — R `cutreeStatic(flashClust(d, 'average'))`
+    semantics: clusters are the branches entirely below the cut. Returns a
+    list of index lists."""
+    import numpy as np
+
+    m = D.shape[0]
+    D = D.astype(float).copy()
+    np.fill_diagonal(D, np.inf)
+    active = list(range(m))
+    members = {i: [i] for i in range(m)}
+    while len(active) > 1:
+        sub = D[np.ix_(active, active)]
+        flat = np.argmin(sub)
+        ai, aj = divmod(flat, len(active))
+        i, j = active[ai], active[aj]
+        if D[i, j] > cut_height:
+            break
+        if i > j:
+            i, j = j, i
+        ni, nj = len(members[i]), len(members[j])
+        newd = (ni * D[i] + nj * D[j]) / (ni + nj)
+        D[i, :] = newd
+        D[:, i] = newd
+        D[i, i] = np.inf
+        members[i].extend(members.pop(j))
+        active.remove(j)
+    return [sorted(members[i]) for i in sorted(active)]
+
+
+def _treecut_modules(df: DataFrame, beta: float, min_n: int,
+                     min_module_size: int, cut_height: float) -> DataFrame:
+    import numpy as np
+
+    spark = df.sparkSession
+    cap = DRIVER_TOM_MAX_FEATURES
+    if df.select("feature").distinct().limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"treecut WGCNA needs the dense FxF TOM; > {cap} distinct "
+            f"features. Use method='cc' (distributed) or pre-filter "
+            f"features (WGCNA's own sd_cutoff step).")
+    corr = pairwise_correlation(df, min_n=min_n).collect()
+    feats = sorted({r["fa"] for r in corr} | {r["fb"] for r in corr})
+    if not feats:
+        return spark.createDataFrame(
+            [], "feature string, module string, module_size int")
+    idx = {f: i for i, f in enumerate(feats)}
+    n = len(feats)
+    A = np.zeros((n, n))
+    for r in corr:
+        a = abs(float(r["corr"])) ** beta
+        A[idx[r["fa"]], idx[r["fb"]]] = A[idx[r["fb"]], idx[r["fa"]]] = a
+    diss = 1.0 - tom_similarity(A)
+    groups = _average_linkage_cut(diss, cut_height)
+    rows = []
+    for g in groups:
+        if len(g) < min_module_size:
+            continue  # WGCNA grey: unassigned
+        names = [feats[i] for i in g]
+        label = min(names)
+        rows.extend((f, label, len(names)) for f in sorted(names))
+    return spark.createDataFrame(
+        sorted(rows), "feature string, module string, module_size int")
 
 
 # -- SAM (significance analysis of microarrays; reference 'samr' dispatch) ----

@@ -1,0 +1,89 @@
+"""WGCNA treecut path (analytics.coexpression_modules(method='treecut')):
+TOM formula hand-checks + module recovery on a correlated-block fixture."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ckg_spark.operators import analytics as A
+
+
+def test_tom_similarity_hand_computed():
+    """Path graph b-a-c with a_ab = a_ac = 0.5, a_bc = 0:
+    TOM_ab = (0 + 0.5)/(min(1, .5) + 1 - .5) = 0.5
+    TOM_bc = (0.25 + 0)/(min(.5, .5) + 1 - 0) = 1/6 (shared neighbor a)."""
+    Adj = np.array([[0.0, 0.5, 0.5],
+                    [0.5, 0.0, 0.0],
+                    [0.5, 0.0, 0.0]])
+    tom = A.tom_similarity(Adj)
+    assert tom[0, 1] == pytest.approx(0.5)
+    assert tom[0, 2] == pytest.approx(0.5)
+    assert tom[1, 2] == pytest.approx(1.0 / 6.0)
+    assert np.allclose(np.diag(tom), 1.0)
+    assert np.allclose(tom, tom.T)
+
+
+def test_tom_isolated_node_zero_division_safe():
+    Adj = np.zeros((2, 2))
+    tom = A.tom_similarity(Adj)
+    assert tom[0, 1] == 0.0 and tom[0, 0] == 1.0
+
+
+def test_average_linkage_cut_respects_height():
+    """Two tight pairs at distance 0.1, 0.9 apart: cut at 0.5 keeps the
+    pairs separate; cut at 1.0 merges everything."""
+    D = np.array([
+        [0.0, 0.1, 0.9, 0.9],
+        [0.1, 0.0, 0.9, 0.9],
+        [0.9, 0.9, 0.0, 0.1],
+        [0.9, 0.9, 0.1, 0.0]])
+    low = A._average_linkage_cut(D, 0.5)
+    assert sorted(map(tuple, low)) == [(0, 1), (2, 3)]
+    high = A._average_linkage_cut(D, 1.0)
+    assert sorted(map(tuple, high)) == [(0, 1, 2, 3)]
+
+
+def _block_long(spark):
+    """Two blocks of 3 co-regulated features + 1 noise feature over 10
+    subjects (deterministic)."""
+    rng = np.random.RandomState(21)
+    base1, base2 = rng.randn(10) * 3, rng.randn(10) * 3
+    rows = []
+    for s in range(10):
+        sid = f"s{s:02d}"
+        for f in range(3):
+            rows.append((sid, f"g1_f{f}", float(base1[s] + 0.01 * rng.randn())))
+            rows.append((sid, f"g2_f{f}", float(base2[s] + 0.01 * rng.randn())))
+        rows.append((sid, "noise", float(rng.randn())))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["subject", "feature", "value"]))
+
+
+def test_treecut_recovers_blocks(spark):
+    df = _block_long(spark)
+    out = A.coexpression_modules(
+        df, beta=6.0, method="treecut", cut_height=0.5,
+        min_module_size=3).toPandas()
+    mods = out.groupby("module")["feature"].apply(sorted).to_dict()
+    assert sorted(map(tuple, mods.values())) == [
+        ("g1_f0", "g1_f1", "g1_f2"), ("g2_f0", "g2_f1", "g2_f2")]
+    assert "noise" not in set(out["feature"])          # grey: unassigned
+    assert set(out["module_size"]) == {3}
+    # deterministic across runs
+    out2 = A.coexpression_modules(
+        df, beta=6.0, method="treecut", cut_height=0.5,
+        min_module_size=3).toPandas()
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_treecut_guard(spark, monkeypatch):
+    monkeypatch.setattr(A, "DRIVER_TOM_MAX_FEATURES", 2)
+    with pytest.raises(ValueError, match="TOM"):
+        A.coexpression_modules(_block_long(spark), method="treecut")
+
+
+def test_factory_wgcna_treecut(spark):
+    from ckg_spark.operators import analytics_factory as AF
+    out = AF.generate_result("wgcna", _block_long(spark), method="treecut",
+                             cut_height=0.5, min_module_size=3)
+    assert out.count() == 6
