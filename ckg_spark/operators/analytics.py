@@ -1296,6 +1296,146 @@ def _treecut_modules(df: DataFrame, beta: float, min_n: int,
         sorted(rows), "feature string, module string, module_size int")
 
 
+def module_eigengenes(df: DataFrame, modules: DataFrame) -> DataFrame:
+    """Module eigengenes (reference wgcnaAnalysis.py:304
+    calculate_module_eigengenes -> WGCNA.moduleEigengenes): the first
+    principal component of each module's standardized samples x features
+    slice, sign-aligned with the module's average expression (WGCNA's
+    align='along average').
+
+    Distributed the Spark way: one broadcast join tagging each long row
+    with its module, then ``groupBy(module).applyInPandas`` — each module's
+    slice is cohort-scale and independent. Output:
+    (module, subject, eigengene)."""
+    tagged = df.join(F.broadcast(modules.select("feature", "module")),
+                     on="feature")
+
+    def per_module(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        wide = (pdf.pivot_table(index="subject", columns="feature",
+                                values="value", aggfunc="mean")
+                .sort_index())
+        X = wide.to_numpy(dtype=float)
+        X = np.where(np.isnan(X), np.nanmean(X, axis=0), X)
+        sd = X.std(axis=0, ddof=1)
+        sd[sd == 0] = 1.0
+        Z = (X - X.mean(axis=0)) / sd
+        U, S, Vt = np.linalg.svd(Z, full_matrices=False)
+        pc1 = U[:, 0] * S[0]
+        avg = Z.mean(axis=1)
+        if np.dot(pc1, avg) < 0:
+            pc1 = -pc1
+        return pd.DataFrame({"module": pdf["module"].iloc[0],
+                             "subject": wide.index,
+                             "eigengene": pc1})
+
+    return tagged.groupBy("module").applyInPandas(
+        per_module, schema="module string, subject string, eigengene double")
+
+
+def merge_close_modules(df: DataFrame, modules: DataFrame,
+                        me_diss_thres: float = 0.25) -> DataFrame:
+    """Reference merge_similar_modules (wgcnaAnalysis.py:332 ->
+    WGCNA.mergeCloseModules): modules whose eigengene dissimilarity
+    1 - cor(ME_i, ME_j) falls below ``me_diss_thres`` merge. Eigengene
+    computation distributes per module; the merge decision runs on the
+    dictionary-scale modules x modules correlation (average-linkage cut at
+    the threshold, mergeCloseModules' clustering). Returns the relabeled
+    (feature, module, module_size) table, labels = min member feature."""
+    import numpy as np
+
+    mes = module_eigengenes(df, modules).collect()
+    by_mod: dict = {}
+    for r in mes:
+        by_mod.setdefault(r["module"], {})[r["subject"]] = r["eigengene"]
+    mods = sorted(by_mod)
+    if not mods:
+        return modules.sparkSession.createDataFrame(
+            [], "feature string, module string, module_size int")
+    subjects = sorted({s for d in by_mod.values() for s in d})
+    M = np.array([[by_mod[m].get(s, 0.0) for s in subjects] for m in mods])
+    C = np.corrcoef(M) if len(mods) > 1 else np.ones((1, 1))
+    D = 1.0 - np.nan_to_num(C, nan=0.0)
+    np.fill_diagonal(D, 0.0)
+    groups = _average_linkage_cut(D, me_diss_thres)
+    remap = {}
+    for g in groups:
+        names = [mods[i] for i in g]
+        label = min(names)
+        for nm in names:
+            remap[nm] = label
+    spark = modules.sparkSession
+    remap_df = spark.createDataFrame(
+        sorted(remap.items()), "module string, merged string")
+    out = (modules.join(F.broadcast(remap_df), on="module")
+           .select("feature", F.col("merged").alias("module")))
+    sizes = out.groupBy("module").agg(F.count(F.lit(1)).alias("module_size"))
+    return out.join(sizes, on="module").select(
+        "feature", "module", "module_size")
+
+
+def pick_soft_threshold(df: DataFrame, r2_cut: float = 0.8,
+                        powers: "list[int] | None" = None,
+                        min_n: int = 3, n_breaks: int = 10) -> int:
+    """Reference pick_softThreshold (wgcnaAnalysis.py:272 ->
+    WGCNA.pickSoftThreshold): lowest power whose signed scale-free
+    topology fit R^2 exceeds ``r2_cut``. The pairwise correlations are
+    computed distributively ONCE (adjacency = |corr|^power needs no
+    recomputation per power); the degree-distribution fit
+    (WGCNA scaleFreeFitIndex: bin k, regress log10 p(k) on log10 mean k,
+    signed R^2 = -sign(slope) * R^2) runs on the features-scale vector.
+    Returns the chosen power (falls back to the max power if none meet
+    the cut, as the R tool's powerEstimate=NA callers conventionally do)."""
+    import numpy as np
+
+    powers = list(powers) if powers is not None else list(range(1, 20))
+    cap = DRIVER_TOM_MAX_FEATURES
+    if df.select("feature").distinct().limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"pick_soft_threshold collects the FxF correlations; > {cap} "
+            f"distinct features. Pre-filter features first.")
+    corr = pairwise_correlation(df, min_n=min_n).collect()
+    feats = sorted({r["fa"] for r in corr} | {r["fb"] for r in corr})
+    idx = {f: i for i, f in enumerate(feats)}
+    n = len(feats)
+    if n < 3:
+        return powers[0]
+    base = np.zeros((n, n))
+    for r in corr:
+        c = abs(float(r["corr"]))
+        base[idx[r["fa"]], idx[r["fb"]]] = base[idx[r["fb"]], idx[r["fa"]]] = c
+
+    def signed_r2(power: int) -> float:
+        k = (base ** power).sum(axis=1)
+        if k.max() <= 0:
+            return 0.0
+        cuts = np.linspace(k.min(), k.max(), n_breaks + 1)
+        cuts[-1] += 1e-9
+        pk, dk = [], []
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            mask = (k >= lo) & (k < hi)
+            if mask.sum() == 0:
+                continue
+            pk.append(mask.mean())
+            dk.append(k[mask].mean())
+        if len(pk) < 2:
+            return 0.0
+        x = np.log10(np.maximum(dk, 1e-12))
+        y = np.log10(np.maximum(pk, 1e-12))
+        slope, intercept = np.polyfit(x, y, 1)
+        yhat = slope * x + intercept
+        ss_res = ((y - yhat) ** 2).sum()
+        ss_tot = ((y - y.mean()) ** 2).sum()
+        r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+        return -np.sign(slope) * r2
+
+    for p in powers:
+        if signed_r2(p) >= r2_cut:
+            return int(p)
+    return int(powers[-1])
+
+
 # -- SAM (significance analysis of microarrays; reference 'samr' dispatch) ----
 
 def _sam_d_stats(df: DataFrame, group_a: str, group_b: str,

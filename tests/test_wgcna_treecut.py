@@ -87,3 +87,72 @@ def test_factory_wgcna_treecut(spark):
     out = AF.generate_result("wgcna", _block_long(spark), method="treecut",
                              cut_height=0.5, min_module_size=3)
     assert out.count() == 6
+
+
+def test_module_eigengenes_track_module_signal(spark):
+    """Each module's eigengene must correlate almost perfectly with the
+    shared base signal driving that module's features."""
+    rng = np.random.RandomState(21)
+    base1, base2 = rng.randn(10) * 3, rng.randn(10) * 3
+    rows = []
+    for s in range(10):
+        sid = f"s{s:02d}"
+        for f in range(3):
+            rows.append((sid, f"g1_f{f}", float(base1[s] + 0.01 * rng.randn())))
+            rows.append((sid, f"g2_f{f}", float(base2[s] + 0.01 * rng.randn())))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["subject", "feature", "value"]))
+    mods = A.coexpression_modules(df, method="treecut", cut_height=0.5,
+                                  min_module_size=3)
+    mes = A.module_eigengenes(df, mods).toPandas()
+    assert set(mes["module"]) == {"g1_f0", "g2_f0"}
+    for module, base in (("g1_f0", base1), ("g2_f0", base2)):
+        e = (mes[mes["module"] == module]
+             .sort_values("subject")["eigengene"].to_numpy())
+        r = np.corrcoef(e, base)[0, 1]
+        assert abs(r) > 0.999
+    # sign convention: aligned with average standardized expression
+    # (deterministic across runs)
+    mes2 = A.module_eigengenes(df, mods).toPandas()
+    pd.testing.assert_frame_equal(
+        mes.sort_values(["module", "subject"]).reset_index(drop=True),
+        mes2.sort_values(["module", "subject"]).reset_index(drop=True))
+
+
+def test_merge_close_modules(spark):
+    """Two modules driven by the SAME signal merge; the independent one
+    survives on its own."""
+    rng = np.random.RandomState(5)
+    shared, indep = rng.randn(12) * 3, rng.randn(12) * 3
+    rows = []
+    for s in range(12):
+        sid = f"s{s:02d}"
+        for f in range(2):
+            rows.append((sid, f"a_f{f}", float(shared[s] + 0.01 * rng.randn())))
+            rows.append((sid, f"b_f{f}", float(shared[s] + 0.01 * rng.randn())))
+            rows.append((sid, f"c_f{f}", float(indep[s] + 0.01 * rng.randn())))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["subject", "feature", "value"]))
+    mods = spark.createDataFrame(
+        pd.DataFrame({"feature": ["a_f0", "a_f1", "b_f0", "b_f1",
+                                  "c_f0", "c_f1"],
+                      "module": ["a_f0", "a_f0", "b_f0", "b_f0",
+                                 "c_f0", "c_f0"],
+                      "module_size": [2] * 6}))
+    merged = A.merge_close_modules(df, mods, me_diss_thres=0.25).toPandas()
+    out = merged.groupby("module")["feature"].apply(sorted).to_dict()
+    assert sorted(map(tuple, out.values())) == [
+        ("a_f0", "a_f1", "b_f0", "b_f1"), ("c_f0", "c_f1")]
+    sizes = merged.set_index("feature")["module_size"].to_dict()
+    assert sizes["a_f0"] == 4 and sizes["c_f0"] == 2
+
+
+def test_pick_soft_threshold_prefers_low_power_on_modular_net(spark):
+    """Block-structured data reaches a scale-free-ish fit at a finite
+    power; the returned power is one of the candidates and deterministic."""
+    df = _block_long(spark)
+    p = A.pick_soft_threshold(df, r2_cut=0.8)
+    assert 1 <= p <= 19
+    assert A.pick_soft_threshold(df, r2_cut=0.8) == p
+    # an absurd cut falls back to the max candidate power
+    assert A.pick_soft_threshold(df, r2_cut=2.0) == 19
