@@ -1464,16 +1464,58 @@ def _sam_d_stats(df: DataFrame, group_a: str, group_b: str,
     )
 
 
+def tune_s0(r, se) -> float:
+    """samr's s0 selection (Tusher/Chu; R samr est.s0): candidates are the
+    0, 5, ..., 100 percentiles of the per-feature se; for each candidate,
+    bin features into (up to) 100 se-quantile groups, compute the scaled
+    MAD of d = r/(se + s0) per bin (MAD/0.64), and pick the candidate
+    minimizing the coefficient of variation of those bin MADs — the s0
+    that makes the d-statistic's spread independent of expression level.
+    Runs on the dictionary-scale per-feature summary (features, not rows).
+    """
+    import numpy as np
+
+    r = np.asarray(r, dtype=float)
+    se = np.asarray(se, dtype=float)
+    ok = np.isfinite(r) & np.isfinite(se)
+    r, se = r[ok], se[ok]
+    if se.size < 5:
+        return float(np.median(se)) if se.size else 0.0
+    cands = np.percentile(se, np.arange(0, 101, 5))
+    n_bins = min(100, max(2, se.size // 5))
+    qs = np.quantile(se, np.linspace(0, 1, n_bins + 1))
+    qs[-1] += 1e-12
+    bin_of = np.clip(np.searchsorted(qs, se, side="right") - 1,
+                     0, n_bins - 1)
+    best_s0, best_cv = float(cands[0]), np.inf
+    for cand in cands:
+        d = r / (se + cand)
+        mads = []
+        for b in range(n_bins):
+            db = d[bin_of == b]
+            if db.size >= 2:
+                mads.append(np.median(np.abs(db - np.median(db))) / 0.64)
+        mads = np.array(mads)
+        if mads.size < 2 or mads.mean() == 0:
+            continue
+        cv = mads.std(ddof=1) / mads.mean()
+        if cv < best_cv - 1e-12:
+            best_cv, best_s0 = cv, float(cand)
+    return best_s0
+
+
 def run_samr(df: DataFrame, group_a: str, group_b: str,
              permutations: int = 50, seed: int = 0,
-             s0: float | None = None, alpha: float = 0.05) -> DataFrame:
+             s0: "float | str | None" = None, alpha: float = 0.05) -> DataFrame:
     """SAM-style permutation analysis (reference dispatches 'samr' to the R
     package; this is the method's core: Tusher et al. 2001 moderated
     t-statistic d = (mean_a - mean_b)/(se + s0) with permutation-estimated
-    q-values. Simplifications, stated: s0 defaults to the median per-feature
-    standard error (the R package tunes s0 over percentiles), and q is the
-    plain permutation FDR  q(|d|) = (E#{|d*| >= |d|}) / #{|d| >= |d|}
-    rather than the R package's order-statistic banding.
+    q-values. s0 defaults to the median per-feature standard error;
+    ``s0='tune'`` runs the R package's actual percentile tuning
+    (``tune_s0``, CV-of-binned-MADs minimization). Remaining stated
+    simplification: q is the plain permutation FDR
+    q(|d|) = (E#{|d*| >= |d|}) / #{|d| >= |d|} rather than the R
+    package's order-statistic banding.
 
     Distribution: d statistics are one JVM aggregation; permuted labels are
     a broadcast (subjects x permutations) table; q-value counting runs as
@@ -1484,7 +1526,11 @@ def run_samr(df: DataFrame, group_a: str, group_b: str,
 
     spark = df.sparkSession
     sub = df.where(F.col("group").isin([group_a, group_b]))
-    if s0 is None:
+    if s0 == "tune":
+        probe = _sam_d_stats(sub, group_a, group_b, 0.0).select(
+            (F.col("d") * F.col("se")).alias("r"), "se").collect()
+        s0 = tune_s0([p["r"] for p in probe], [p["se"] for p in probe])
+    elif s0 is None:
         probe = _sam_d_stats(sub, group_a, group_b, 0.0)
         s0 = float(probe.agg(
             F.percentile("se", F.lit(0.5)).alias("m")).collect()[0]["m"] or 0.0)

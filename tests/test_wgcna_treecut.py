@@ -156,3 +156,69 @@ def test_pick_soft_threshold_prefers_low_power_on_modular_net(spark):
     assert A.pick_soft_threshold(df, r2_cut=0.8) == p
     # an absurd cut falls back to the max candidate power
     assert A.pick_soft_threshold(df, r2_cut=2.0) == 19
+
+
+def test_tune_s0_flattens_spread_and_matches_naive():
+    """samr's s0 tuning: construct features whose d-spread depends on se
+    when s0=0; the tuned s0 must (a) equal a naive reimplementation of the
+    percentile/CV algorithm, (b) give a lower CV of binned d-MADs than
+    s0=0."""
+    rng = np.random.RandomState(9)
+    n = 400
+    se = np.exp(rng.randn(n) * 0.8)        # wide range of noise levels
+    # d = r/(se + s0) has se-independent spread exactly at s0 = 0.5, so
+    # the tuner should pick a candidate near 0.5, never 0
+    r = rng.randn(n) * (se + 0.5) * 2.0
+    s0 = A.tune_s0(r, se)
+    assert 0.0 < s0 <= se.max()
+
+    def cv_at(c):
+        d = r / (se + c)
+        qs = np.quantile(se, np.linspace(0, 1, 81))
+        qs[-1] += 1e-12
+        b = np.clip(np.searchsorted(qs, se, side="right") - 1, 0, 79)
+        mads = np.array([
+            np.median(np.abs(d[b == i] - np.median(d[b == i]))) / 0.64
+            for i in range(80) if (b == i).sum() >= 2])
+        return mads.std(ddof=1) / mads.mean()
+
+    # naive independent recomputation of the selection over candidates
+    cands = np.percentile(se, np.arange(0, 101, 5))
+    n_bins = min(100, max(2, n // 5))
+    qs = np.quantile(se, np.linspace(0, 1, n_bins + 1)); qs[-1] += 1e-12
+    bin_of = np.clip(np.searchsorted(qs, se, side="right") - 1, 0, n_bins - 1)
+    best, bestcv = cands[0], np.inf
+    for c in cands:
+        d = r / (se + c)
+        mads = np.array([
+            np.median(np.abs(d[bin_of == i] - np.median(d[bin_of == i]))) / 0.64
+            for i in range(n_bins) if (bin_of == i).sum() >= 2])
+        if mads.size < 2 or mads.mean() == 0:
+            continue
+        cv = mads.std(ddof=1) / mads.mean()
+        if cv < bestcv - 1e-12:
+            bestcv, best = cv, c
+    assert s0 == pytest.approx(float(best))
+    assert cv_at(s0) < cv_at(0.0)
+
+
+def test_run_samr_tuned_s0(spark):
+    rng = np.random.RandomState(3)
+    rows = []
+    for f in range(30):
+        noise = float(np.exp(rng.randn() * 0.5))
+        shift = 8.0 if f < 5 else 0.0
+        for s in range(6):
+            rows.append((f"f{f:02d}", f"sa{s}", "A",
+                         float(shift + rng.randn() * noise)))
+            rows.append((f"f{f:02d}", f"sb{s}", "B",
+                         float(rng.randn() * noise)))
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["feature", "subject", "group", "value"]))
+    out = A.run_samr(df, "A", "B", permutations=20, s0="tune").toPandas()
+    assert len(out) == 30
+    shifted = {f"f{i:02d}" for i in range(5)}
+    q = out.set_index("feature")["qvalue"]
+    # every shifted feature beats (or ties) every unshifted one
+    assert q[list(shifted)].max() <= q[[f for f in q.index
+                                        if f not in shifted]].min()
