@@ -852,8 +852,11 @@ def _attestation_order(names):
     new = [n for n in names if num(n) >= 51]
     reoracled = [n for n in names if n == "q31_minhash_clusters"]
     head = set(new) | set(reoracled)
-    stable_tail = [n for n in names if num(n) <= 14]
-    middle = [n for n in names if n not in head and num(n) > 14]
+    # registry grew to 66 in round 4 (q65/q66): the tail outside a
+    # 50-entry window is now q01-q16 — every one hash-green in rounds
+    # 1, 2 AND 3 (the safest to fall outside)
+    stable_tail = [n for n in names if num(n) <= 16]
+    middle = [n for n in names if n not in head and num(n) > 16]
     return new + reoracled + middle + stable_tail
 
 
@@ -2290,3 +2293,126 @@ FROM g
 
 
 QUERIES.update({"q64_effect_sizes": (q64_effect_sizes, Q64_SQL)})
+
+
+# shared long-format feature table for the WGCNA queries: per-order
+# sum/max/avg features over lineitem — sum and max of the SAME column are
+# strongly correlated (|corr|^2 ~ 0.43-0.54), cross-column ~0.05-0.14,
+# disc_avg ~0: with beta=2 / threshold 0.3 the margins to the boundary
+# are wide on both sides (no FP-flippable edge)
+_WGCNA_LONG_SQL = """
+  SELECT l_orderkey AS subject, f.feature, f.value FROM (
+    SELECT l_orderkey, sum(l_quantity) qs, max(l_quantity) qm,
+           sum(l_extendedprice) ps, max(l_extendedprice) pm,
+           avg(l_discount) d
+    FROM lineitem GROUP BY 1) base,
+  LATERAL (VALUES ('qty_sum', base.qs), ('qty_max', base.qm),
+                  ('price_sum', base.ps), ('price_max', base.pm),
+                  ('disc_avg', base.d)) f(feature, value)
+"""
+
+
+def _wgcna_long(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    base = li.groupBy(F.col("l_orderkey").alias("subject")).agg(
+        F.sum("l_quantity").alias("qty_sum"),
+        F.max("l_quantity").alias("qty_max"),
+        F.sum("l_extendedprice").alias("price_sum"),
+        F.max("l_extendedprice").alias("price_max"),
+        F.avg("l_discount").alias("disc_avg"),
+    )
+    return base.selectExpr(
+        "subject",
+        "stack(5, 'qty_sum', qty_sum, 'qty_max', qty_max, "
+        "'price_sum', price_sum, 'price_max', price_max, "
+        "'disc_avg', disc_avg) AS (feature, value)")
+
+
+def q65_wgcna_modules(spark, sf):
+    """WGCNA cc-modules (coexpression_modules method='cc') over the
+    lineitem-derived feature table: soft-threshold |corr|^2 adjacency,
+    edges >= 0.3, connected components, min module size 2. disc_avg stays
+    unconnected (grey) and is filtered."""
+    from .operators.analytics import coexpression_modules
+
+    return coexpression_modules(
+        _wgcna_long(spark, sf), beta=2.0, adjacency_threshold=0.3,
+        min_module_size=2)
+
+
+Q65_SQL = f"""
+WITH RECURSIVE long AS ({_WGCNA_LONG_SQL}),
+corrs AS (
+  SELECT a.feature fa, b.feature fb, corr(a.value, b.value) c, count(*) n
+  FROM long a JOIN long b ON a.subject = b.subject AND a.feature < b.feature
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+pairs AS (SELECT fa, fb FROM corrs WHERE pow(abs(c), 2) >= 0.3),
+verts(v) AS (SELECT DISTINCT fa FROM pairs UNION SELECT DISTINCT fb FROM pairs),
+edges(a, b) AS (SELECT fa, fb FROM pairs UNION SELECT fb, fa FROM pairs),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+comp AS (SELECT src AS feature, min(dst) AS module FROM reach GROUP BY src),
+sized AS (SELECT module, count(*) AS module_size FROM comp GROUP BY module)
+SELECT c.feature, c.module, s.module_size
+FROM comp c JOIN sized s ON c.module = s.module
+WHERE s.module_size >= 2
+"""
+
+
+def q66_tom_similarity(spark, sf):
+    """Topological overlap matrix (Zhang-Horvath TOMsimilarity, the
+    treecut-WGCNA building block) over the same feature table: the Spark
+    side computes correlations distributively and the 5x5 TOM via
+    operators.analytics.tom_similarity; values rounded to 4 decimals
+    (corr agreement between engines is ~1e-7; TOM composes one product)."""
+    import numpy as np
+
+    from .operators.analytics import pairwise_correlation, tom_similarity
+
+    corr = pairwise_correlation(_wgcna_long(spark, sf)).collect()
+    feats = sorted({r["fa"] for r in corr} | {r["fb"] for r in corr})
+    idx = {f: i for i, f in enumerate(feats)}
+    n = len(feats)
+    A = np.zeros((n, n))
+    for r in corr:
+        a = abs(float(r["corr"])) ** 2
+        A[idx[r["fa"]], idx[r["fb"]]] = A[idx[r["fb"]], idx[r["fa"]]] = a
+    tom = tom_similarity(A)
+    rows = [(feats[i], feats[j], float(round(tom[i, j], 4)))
+            for i in range(n) for j in range(i + 1, n)]
+    return spark.createDataFrame(rows, "fa string, fb string, tom double")
+
+
+Q66_SQL = f"""
+WITH long AS ({_WGCNA_LONG_SQL}),
+corrs AS (
+  SELECT a.feature fa, b.feature fb, corr(a.value, b.value) c
+  FROM long a JOIN long b ON a.subject = b.subject AND a.feature < b.feature
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+feats(f) AS (SELECT DISTINCT fa FROM corrs UNION SELECT DISTINCT fb FROM corrs),
+adj AS (
+  SELECT fa a, fb b, pow(abs(c), 2) w FROM corrs
+  UNION ALL
+  SELECT fb, fa, pow(abs(c), 2) FROM corrs),
+deg AS (SELECT a, sum(w) k FROM adj GROUP BY a),
+l AS (
+  SELECT x.a AS i, y.b AS j, sum(x.w * y.w) AS lij
+  FROM adj x JOIN adj y ON x.b = y.a AND x.a <> y.b
+  GROUP BY 1, 2)
+SELECT fi.f AS fa, fj.f AS fb,
+       round((coalesce(l.lij, 0) + coalesce(a.w, 0))
+             / (least(di.k, dj.k) + 1 - coalesce(a.w, 0)), 4) AS tom
+FROM feats fi JOIN feats fj ON fi.f < fj.f
+LEFT JOIN adj a ON a.a = fi.f AND a.b = fj.f
+LEFT JOIN l ON l.i = fi.f AND l.j = fj.f
+JOIN deg di ON di.a = fi.f
+JOIN deg dj ON dj.a = fj.f
+"""
+
+
+QUERIES.update({
+    "q65_wgcna_modules": (q65_wgcna_modules, Q65_SQL),
+    "q66_tom_similarity": (q66_tom_similarity, Q66_SQL),
+})

@@ -1,4 +1,4 @@
-"""Driver-contract stability (round-3 verdict item 9): the 64-query
+"""Driver-contract stability (round-3 verdict item 9): the 66-query
 registry's NAME SET must stay stable round-over-round, the attestation
 ordering must keep the least-attested entries inside a 50-entry driver
 window, and every reference dispatch string must resolve (folded here from
@@ -28,7 +28,7 @@ EXPECTED_NAMES = {
     "q55_ivf_batch_topk", "q56_louvain_communities", "q57_repetition_flags",
     "q58_language_id", "q59_curation_pipeline", "q60_knowledge_assembly",
     "q61_contamination_report", "q62_unigram_logprob", "q63_levene_w",
-    "q64_effect_sizes",
+    "q64_effect_sizes", "q65_wgcna_modules", "q66_tom_similarity",
 }
 
 ROWS_ONLY = {"q33_simhash_pairs", "q56_louvain_communities"}
@@ -36,7 +36,7 @@ ROWS_ONLY = {"q33_simhash_pairs", "q56_louvain_communities"}
 
 def test_registry_names_stable():
     assert set(DC.queries_dict()) == EXPECTED_NAMES
-    assert len(DC.queries_dict()) == 64
+    assert len(DC.queries_dict()) == 66
 
 
 def test_oracle_coverage_complete_except_declared_rows_only():
@@ -48,9 +48,9 @@ def test_oracle_coverage_complete_except_declared_rows_only():
 
 def test_attestation_window_holds_least_attested_first():
     """The round-3 driver wrote correctness rows for only the first 50
-    queries() entries. q51-q64 (never attested before round 4) and q31
+    queries() entries. q51-q66 (never attested before round 4) and q31
     (oracle upgraded from rows-only to exact ground truth in round 4) must
-    sit inside the first 50; the triply-attested q01-q14 primitives are the
+    sit inside the first 50; the triply-attested q01-q16 primitives are the
     only entries allowed to fall outside."""
     names = list(DC.queries_dict())
     window = set(names[:50])
@@ -58,7 +58,7 @@ def test_attestation_window_holds_least_attested_first():
         if int(n[1:3]) >= 51 or n == "q31_minhash_clusters":
             assert n in window, n
     outside = set(names[50:])
-    assert outside == {n for n in EXPECTED_NAMES if int(n[1:3]) <= 14}
+    assert outside == {n for n in EXPECTED_NAMES if int(n[1:3]) <= 16}
 
 
 def test_reference_dispatch_strings_resolve():
