@@ -548,3 +548,221 @@ def test_png_features_known_values():
     assert abs(feats[3] - 200.0) < 1e-5               # mean R
     assert abs(feats[6]) < 1e-5                       # std R
     assert feats[14] == 1.0                           # all pixels bright
+
+
+def _encode_jpeg(arr, sampling=(1, 1), dri=0):
+    """Minimal pure-Python baseline JPEG (SOF0) encoder for the decoder
+    test, written from the same public T.81 spec: quant tables of all ones
+    (near-lossless), the spec Annex K.3.3.1 luminance DC Huffman table
+    (multi-length, so canonical code-building is exercised) plus a flat
+    256-symbol length-9 AC table, `sampling` = (h, v) for Y with chroma at
+    (1, 1) — (1, 1)=4:4:4, (2, 2)=4:2:0 — and optional restart markers
+    every `dri` MCUs."""
+    import struct
+
+    import numpy as np
+
+    f = arr.astype(np.float64)
+    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    cb = 128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2]
+    cr = 128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2]
+    h, w = y.shape
+    hs, vs = sampling
+
+    def pad_to(plane, mh, mw):
+        return np.pad(plane, ((0, mh - plane.shape[0]), (0, mw - plane.shape[1])),
+                      mode="edge")
+
+    mcux = (w + 8 * hs - 1) // (8 * hs)
+    mcuy = (h + 8 * vs - 1) // (8 * vs)
+    yp = pad_to(y, mcuy * vs * 8, mcux * hs * 8)
+    # chroma: block-mean downsample by (vs, hs), then pad to 8-multiples
+    cpl = []
+    for c in (cb, cr):
+        cpad = pad_to(c, mcuy * vs * 8, mcux * hs * 8)
+        sub = cpad.reshape(cpad.shape[0] // vs, vs, cpad.shape[1] // hs, hs).mean(axis=(1, 3))
+        cpl.append(pad_to(sub, mcuy * 8, mcux * 8))
+    planes = [yp] + cpl
+    samp = [(hs, vs), (1, 1), (1, 1)]
+
+    u = np.arange(8).reshape(8, 1)
+    x8 = np.arange(8).reshape(1, 8)
+    C = np.cos((2 * x8 + 1) * u * np.pi / 16.0)
+    C[0] *= np.sqrt(1.0 / 8.0)
+    C[1:] *= np.sqrt(2.0 / 8.0)
+    zz = np.array([
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+    dc_bits = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+    dc_vals = bytes(range(12))
+    dc_code = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(dc_bits[length - 1]):
+            dc_code[dc_vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    # 256 AC symbols can't all sit at one length (count byte caps at 255):
+    # 255 codes at length 9 + 1 at length 10, canonical order 0x00..0xFF
+    ac_bits = bytes([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0])
+    ac_vals = bytes(range(256))
+    ac_code = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(ac_bits[length - 1]):
+            ac_code[ac_vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+
+    out = bytearray()
+    acc, nbits = 0, 0
+
+    def put(length, value):
+        nonlocal acc, nbits
+        acc = (acc << length) | (value & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+
+    def flush():
+        nonlocal acc, nbits
+        if nbits:
+            put(8 - nbits, (1 << (8 - nbits)) - 1)  # pad with 1s
+        acc, nbits = 0, 0
+
+    def size_cat(v):
+        return abs(v).bit_length()
+
+    def emit_block(block, pred):
+        coeff = C @ (block - 128.0) @ C.T
+        q = np.round(coeff).astype(np.int64).reshape(-1)[zz]
+        diff = int(q[0]) - pred
+        s = size_cat(diff)
+        length, codev = dc_code[s]
+        put(length, codev)
+        if s:
+            put(s, diff if diff >= 0 else diff + (1 << s) - 1)
+        run = 0
+        nz = np.nonzero(q[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(q[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, codev = ac_code[0xF0]
+                put(length, codev)
+                run -= 16
+            s = size_cat(v)
+            length, codev = ac_code[(run << 4) | s]
+            put(length, codev)
+            put(s, v if v >= 0 else v + (1 << s) - 1)
+            run = 0
+        if last < 63:
+            length, codev = ac_code[0x00]
+            put(length, codev)
+        return int(q[0])
+
+    preds = [0, 0, 0]
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            idx = my * mcux + mx
+            if dri and idx and idx % dri == 0:
+                flush()
+                out.extend(b"\xff" + bytes([0xD0 + (rst % 8)]))
+                rst += 1
+                preds = [0, 0, 0]
+            for ci in range(3):
+                ch, cv = samp[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        preds[ci] = emit_block(
+                            planes[ci][y0:y0 + 8, x0:x0 + 8], preds[ci])
+    flush()
+
+    def seg(marker, data):
+        return b"\xff" + bytes([marker]) + struct.pack(">H", len(data) + 2) + data
+
+    hdr = bytearray(b"\xff\xd8")
+    hdr += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    hdr += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, 3))
+    for cid, (ch, cv) in zip((1, 2, 3), samp):
+        sof += bytes([cid, (ch << 4) | cv, 0])
+    hdr += seg(0xC0, bytes(sof))
+    hdr += seg(0xC4, bytes([0x00]) + dc_bits + dc_vals)
+    hdr += seg(0xC4, bytes([0x10]) + ac_bits + ac_vals)
+    if dri:
+        hdr += seg(0xDD, struct.pack(">H", dri))
+    sos = bytearray([3])
+    for cid in (1, 2, 3):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    hdr += seg(0xDA, bytes(sos))
+    return bytes(hdr) + bytes(out) + b"\xff\xd9"
+
+
+def test_jpeg_decoder_roundtrip_444():
+    """decode_jpeg recovers a 4:4:4 quant=1 baseline JPEG to within DCT
+    rounding error, including non-multiple-of-8 dims (crop path)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # smooth gradient + mild noise: realistic for near-lossless roundtrip
+    yy, xx = np.mgrid[0:13, 0:10]
+    base = (8 * yy + 5 * xx)[..., None] + np.array([0, 40, 80])
+    arr = np.clip(base + rng.integers(-6, 7, size=(13, 10, 3)), 0, 255).astype(np.uint8)
+    got = MM.decode_jpeg(_encode_jpeg(arr))
+    assert got is not None and got.shape == (13, 10, 3)
+    diff = got.astype(np.int32) - arr.astype(np.int32)
+    assert np.abs(diff).max() <= 8, np.abs(diff).max()
+    assert np.abs(diff).mean() < 2.0
+
+
+def test_jpeg_decoder_420_and_restarts():
+    """4:2:0 chroma upsampling and DRI/RSTn restart handling both decode;
+    the restart-marker stream must equal the no-restart stream exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    g = np.clip(np.cumsum(rng.integers(-4, 5, size=(24, 18)), axis=1) + 120,
+                0, 255).astype(np.uint8)
+    arr = np.dstack([g, g, g])  # R=G=B: chroma flat at 128 -> 4:2:0 lossless
+    plain = MM.decode_jpeg(_encode_jpeg(arr, sampling=(2, 2)))
+    assert plain is not None and plain.shape == (24, 18, 3)
+    diff = plain.astype(np.int32) - arr.astype(np.int32)
+    assert np.abs(diff).max() <= 8, np.abs(diff).max()
+    with_rst = MM.decode_jpeg(_encode_jpeg(arr, sampling=(2, 2), dri=2))
+    assert with_rst is not None and (with_rst == plain).all()
+
+
+def test_jpeg_rejects_non_baseline_and_feeds_decode_stub():
+    """Progressive/garbage payloads return None (fall to the fake), and a
+    constant-color JPEG flows through _decode_stub with real statistics."""
+    import numpy as np
+
+    assert MM.decode_jpeg(b"\xff\xd8garbage") is None
+    payload = _encode_jpeg(np.full((8, 8, 3), 99, np.uint8))
+    assert MM.decode_jpeg(payload[:30]) is None
+    # flip SOF0 -> SOF2 (progressive): decoder must decline, not garble
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert MM.decode_jpeg(prog) is None
+
+    arr = np.full((16, 8, 3), 200, np.uint8)
+    feats = MM._decode_stub(_encode_jpeg(arr), "image")
+    assert feats[0] == 8.0 and feats[1] == 16.0
+    assert abs(feats[3] - 200.0) < 1.5   # mean R within rounding
+    assert abs(feats[6]) < 1.5           # std R ~ 0
