@@ -7,10 +7,13 @@ per-row defilter) and — since round 4 — baseline JPEG (ITU T.81 marker
 parse, canonical Huffman entropy decode, dequantize/dezigzag, 8x8 IDCT,
 chroma upsample, YCbCr->RGB: the two most common compressed image formats
 decode for real now), PCM WAV audio and YUV4MPEG2 video — each with
-exact-value or round-trip feature tests — and a clearly-marked
-deterministic fake ONLY for the remaining codec-bound audio/video formats
-(MP3/MP4 are librosa / ffmpeg one-liners in deployment, swapped inside
-``_decode_stub`` without touching the Spark plumbing).
+exact-value or round-trip feature tests — plus REAL container/header
+parsers for MP3 (MPEG frame-header walk: rate/duration/CBR-VBR/channels)
+and MP4 (ISO-BMFF box walk: durations, track handlers, codec fourcc,
+width/height, sample counts). The clearly-marked deterministic fake now
+covers ONLY the decoded codec-payload content of MP3/MP4 (the hybrid
+filterbank / video codec are librosa / ffmpeg one-liners in deployment,
+swapped inside ``_decode_stub`` without touching the Spark plumbing).
 
 Schema convention:
     media(media_id long, kind string, payload binary, meta map<string,string>)
@@ -534,13 +537,197 @@ def _audio_features(x: np.ndarray, rate: int) -> np.ndarray:
     return np.asarray(feats[:FEATURE_DIM], dtype=np.float32)
 
 
+# MPEG audio frame-header constants (public MPEG-1/2 spec, Layer III):
+# bitrate table index -> kbps, sample-rate table by version bits.
+_MP3_KBPS_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+_MP3_KBPS_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+_MP3_RATES = {3: (44100, 48000, 32000),   # MPEG-1
+              2: (22050, 24000, 16000),   # MPEG-2
+              0: (11025, 12000, 8000)}    # MPEG-2.5
+
+
+def parse_mp3(payload: bytes) -> dict | None:
+    """Real MP3 container parse (no audio decode): skip an ID3v2 tag, then
+    walk MPEG-1/2/2.5 Layer III frame headers (sync + version + bitrate +
+    sample-rate + padding -> frame length), requiring at least two
+    consecutive valid frames so random bytes can't false-sync. Returns
+    {rate, channels, n_frames, duration_s, mean_kbps, vbr} or None. The
+    remaining fake for MP3 is ONLY the decoded-PCM content statistics
+    (the hybrid filterbank is a codec library in deployment)."""
+    if payload is None or len(payload) < 4:
+        return None
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        sz = ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+              | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F))
+        pos = 10 + sz
+    n_frames = 0
+    rate = channels = 0
+    kbps_seen: set[int] = set()
+    kbps_sum = 0.0
+    samples_total = 0
+    while pos + 4 <= len(payload):
+        b0, b1, b2, b3 = payload[pos:pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        version = (b1 >> 3) & 3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 3            # 1 = Layer III
+        if version == 1 or layer != 1:
+            return None                  # reserved version / not Layer III
+        br_idx = (b2 >> 4) & 15
+        sr_idx = (b2 >> 2) & 3
+        padding = (b2 >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None                  # free-format / bad indexes
+        kbps = (_MP3_KBPS_V1 if version == 3 else _MP3_KBPS_V2)[br_idx]
+        sr = _MP3_RATES[version][sr_idx]
+        spf = 1152 if version == 3 else 576   # samples per L3 frame
+        frame_len = (144 if version == 3 else 72) * kbps * 1000 // sr + padding
+        if frame_len < 4:
+            return None
+        rate = sr
+        channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+        n_frames += 1
+        kbps_seen.add(kbps)
+        kbps_sum += kbps
+        samples_total += spf
+        pos += frame_len
+    if n_frames < 2:
+        return None
+    # trailing bytes: tolerate an ID3v1 'TAG' block or nothing
+    return {
+        "rate": rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_s": samples_total / float(rate),
+        "mean_kbps": kbps_sum / n_frames,
+        "vbr": len(kbps_seen) > 1,
+    }
+
+
+def _mp3_features(info: dict) -> np.ndarray:
+    feats = [
+        float(info["rate"]), info["duration_s"], float(info["n_frames"]),
+        info["mean_kbps"], 1.0 if info["vbr"] else 0.0,
+        float(info["channels"]),
+        info["mean_kbps"] * 1000.0 / 8.0 * info["duration_s"],  # ~payload bytes
+        info["duration_s"] * info["rate"],                       # total samples
+    ]
+    feats += [0.0] * (FEATURE_DIM - len(feats))
+    return np.asarray(feats[:FEATURE_DIM], dtype=np.float32)
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each ISO-BMFF box in
+    payload[start:end] (64-bit largesize and size-0 = to-end supported)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(payload[pos + 8:pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield typ, body, pos + size
+        pos += size
+
+
+def parse_mp4(payload: bytes) -> dict | None:
+    """Real MP4 / ISO-BMFF container parse (no codec decode): box walk into
+    moov -> mvhd (movie timescale/duration) and each trak -> tkhd
+    (width/height 16.16 fixed), mdia/mdhd (media timescale/duration),
+    mdia/hdlr (vide/soun), stbl/stsd (codec fourcc) + stsz (sample count).
+    Returns {duration_s, tracks:[{handler, codec, width, height, n_samples,
+    duration_s}]} or None. The remaining fake for MP4 is ONLY the decoded
+    frame-content statistics (the codec is ffmpeg in deployment)."""
+    if payload is None or len(payload) < 16:
+        return None
+    top = list(_mp4_boxes(payload, 0, len(payload)))
+    if not top or top[0][0] != b"ftyp":
+        return None
+    moov = next(((s, e) for t, s, e in top if t == b"moov"), None)
+    if moov is None:
+        return None
+    movie_dur = 0.0
+    tracks: list[dict] = []
+    for typ, s, e in _mp4_boxes(payload, *moov):
+        if typ == b"mvhd" and e - s >= 20:
+            ver = payload[s]
+            if ver == 1 and e - s >= 28:
+                ts = int.from_bytes(payload[s + 12:s + 16], "big")
+                dur = int.from_bytes(payload[s + 16:s + 24], "big")
+            else:
+                ts = int.from_bytes(payload[s + 12:s + 16], "big")
+                dur = int.from_bytes(payload[s + 16:s + 20], "big")
+            movie_dur = dur / ts if ts else 0.0
+        elif typ == b"trak":
+            tr = {"handler": "", "codec": "", "width": 0.0, "height": 0.0,
+                  "n_samples": 0, "duration_s": 0.0}
+            for t2, s2, e2 in _mp4_boxes(payload, s, e):
+                if t2 == b"tkhd" and e2 - s2 >= 84:
+                    # width/height: last 8 body bytes, 16.16 fixed point
+                    tr["width"] = int.from_bytes(payload[e2 - 8:e2 - 4], "big") / 65536.0
+                    tr["height"] = int.from_bytes(payload[e2 - 4:e2], "big") / 65536.0
+                elif t2 == b"mdia":
+                    for t3, s3, e3 in _mp4_boxes(payload, s2, e2):
+                        if t3 == b"mdhd" and e3 - s3 >= 20:
+                            ver = payload[s3]
+                            if ver == 1 and e3 - s3 >= 28:
+                                ts = int.from_bytes(payload[s3 + 12:s3 + 16], "big")
+                                dur = int.from_bytes(payload[s3 + 16:s3 + 24], "big")
+                            else:
+                                ts = int.from_bytes(payload[s3 + 12:s3 + 16], "big")
+                                dur = int.from_bytes(payload[s3 + 16:s3 + 20], "big")
+                            tr["duration_s"] = dur / ts if ts else 0.0
+                        elif t3 == b"hdlr" and e3 - s3 >= 12:
+                            tr["handler"] = payload[s3 + 8:s3 + 12].decode("ascii", "replace")
+                        elif t3 == b"minf":
+                            for t4, s4, e4 in _mp4_boxes(payload, s3, e3):
+                                if t4 != b"stbl":
+                                    continue
+                                for t5, s5, e5 in _mp4_boxes(payload, s4, e4):
+                                    if t5 == b"stsd" and e5 - s5 >= 16:
+                                        tr["codec"] = payload[s5 + 12:s5 + 16].decode(
+                                            "ascii", "replace")
+                                    elif t5 == b"stsz" and e5 - s5 >= 12:
+                                        tr["n_samples"] = int.from_bytes(
+                                            payload[s5 + 8:s5 + 12], "big")
+            tracks.append(tr)
+    if not tracks:
+        return None
+    return {"duration_s": movie_dur, "tracks": tracks}
+
+
+def _mp4_features(info: dict) -> np.ndarray:
+    vid = next((t for t in info["tracks"] if t["handler"] == "vide"), None)
+    aud = next((t for t in info["tracks"] if t["handler"] == "soun"), None)
+    fps = (vid["n_samples"] / vid["duration_s"]
+           if vid and vid["duration_s"] > 0 else 0.0)
+    feats = [
+        info["duration_s"], float(len(info["tracks"])),
+        1.0 if vid else 0.0, 1.0 if aud else 0.0,
+        vid["width"] if vid else 0.0, vid["height"] if vid else 0.0,
+        fps, float(vid["n_samples"]) if vid else 0.0,
+        float(aud["n_samples"]) if aud else 0.0,
+        aud["duration_s"] if aud else 0.0,
+    ]
+    feats += [0.0] * (FEATURE_DIM - len(feats))
+    return np.asarray(feats[:FEATURE_DIM], dtype=np.float32)
+
+
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     """Feature extraction with REAL pure-Python/stdlib paths for BMP/PPM/PNG
-    and baseline-JPEG images, PCM WAV audio and Y4M video, and a
-    deterministic fake ONLY for the remaining codec-bound audio/video
-    formats (MP3/MP4 would be librosa/ffmpeg one-liners in deployment; the
-    Arrow batching, schema, and partitioning around this function are
-    format-agnostic)."""
+    and baseline-JPEG images, PCM WAV audio and Y4M video, real
+    container/header parses for MP3 (frame walk) and MP4 (ISO-BMFF box
+    walk), and a deterministic fake ONLY for codec-payload content of
+    formats whose parse also fails (the Arrow batching, schema, and
+    partitioning around this function are format-agnostic)."""
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for kind={kind!r}")
     if kind == "image":
@@ -557,10 +744,16 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
         wav = decode_wav(payload)
         if wav is not None:
             return _audio_features(*wav)
+        mp3 = parse_mp3(payload)
+        if mp3 is not None:
+            return _mp3_features(mp3)
     if kind == "video":
         y4m = decode_y4m(payload)
         if y4m is not None:
             return _video_features(*y4m)
+        mp4 = parse_mp4(payload)
+        if mp4 is not None:
+            return _mp4_features(mp4)
     h = hashlib.sha256(payload or b"").digest()
     seed = int.from_bytes(h[:8], "big") % (2**32)
     rng = np.random.default_rng(seed)

@@ -766,3 +766,90 @@ def test_jpeg_rejects_non_baseline_and_feeds_decode_stub():
     assert feats[0] == 8.0 and feats[1] == 16.0
     assert abs(feats[3] - 200.0) < 1.5   # mean R within rounding
     assert abs(feats[6]) < 1.5           # std R ~ 0
+
+
+def _make_mp3(n_frames=5, vbr=False):
+    """Hand-built MPEG-1 Layer III stream from the public header spec:
+    ID3v2 prefix (synchsafe size), `n_frames` valid frames (44.1 kHz,
+    128 kbps CBR or alternating 128/160 VBR, joint stereo), ID3v1 tail."""
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    frames = bytearray()
+    for i in range(n_frames):
+        br_idx = 9 if (not vbr or i % 2 == 0) else 10   # 128 / 160 kbps
+        kbps = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160)[br_idx]
+        hdr = bytes([0xFF, 0xFB, (br_idx << 4) | 0x00, 0x40])
+        flen = 144 * kbps * 1000 // 44100
+        frames += hdr + b"\x00" * (flen - 4)
+    return id3v2 + bytes(frames) + b"TAG" + b"\x00" * 125
+
+
+def _make_mp4():
+    """Hand-built ISO-BMFF tree from the public spec: ftyp + moov(mvhd,
+    video trak 640x360 @30fps/2s, audio trak mp4a 86 samples) + mdat."""
+    import struct
+
+    def box(typ, body):
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    def full(ver_flags, body):
+        return struct.pack(">I", ver_flags) + body
+
+    mvhd = box(b"mvhd", full(0, struct.pack(">IIII", 0, 0, 600, 1200) + b"\x00" * 80))
+
+    def trak(handler, fourcc, w, h, mts, mdur, nsamples):
+        tkhd = box(b"tkhd", full(0x7, struct.pack(">IIIII", 0, 0, 1, 0, 0)
+                                 + b"\x00" * 52
+                                 + struct.pack(">II", int(w * 65536), int(h * 65536))))
+        mdhd = box(b"mdhd", full(0, struct.pack(">IIII", 0, 0, mts, mdur)
+                                 + struct.pack(">HH", 0x55C4, 0)))
+        hdlr = box(b"hdlr", full(0, struct.pack(">I", 0) + handler + b"\x00" * 12))
+        entry = struct.pack(">I", 16) + fourcc + b"\x00" * 8
+        stsd = box(b"stsd", full(0, struct.pack(">I", 1) + entry))
+        stsz = box(b"stsz", full(0, struct.pack(">II", 0, nsamples)))
+        stbl = box(b"stbl", stsd + stsz)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        return box(b"trak", tkhd + mdia)
+
+    moov = box(b"moov", mvhd
+               + trak(b"vide", b"avc1", 640, 360, 30, 60, 60)
+               + trak(b"soun", b"mp4a", 0, 0, 44100, 88200, 86))
+    return (box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            + moov + box(b"mdat", b"\x00" * 32))
+
+
+def test_mp3_header_parse_real_stats():
+    """parse_mp3 walks real frame headers: frame count, duration, CBR/VBR
+    and channel mode all come from the bytes, not a fake."""
+    info = MM.parse_mp3(_make_mp3(n_frames=5))
+    assert info is not None
+    assert info["rate"] == 44100 and info["n_frames"] == 5
+    assert abs(info["duration_s"] - 5 * 1152 / 44100) < 1e-9
+    assert info["mean_kbps"] == 128.0 and info["vbr"] is False
+    assert info["channels"] == 2
+    vinfo = MM.parse_mp3(_make_mp3(n_frames=6, vbr=True))
+    assert vinfo["vbr"] is True and abs(vinfo["mean_kbps"] - 144.0) < 1e-9
+    # the stub path emits these as features; a non-MP3 still gets the fake
+    feats = MM._decode_stub(_make_mp3(), "audio")
+    assert feats[0] == 44100.0 and feats[2] == 5.0 and feats[3] == 128.0
+    assert MM.parse_mp3(b"\xff\xfb too short") is None
+    assert MM.parse_mp3(b"utterly not audio bytes at all") is None
+
+
+def test_mp4_box_parse_real_stats():
+    """parse_mp4 walks the real box tree: movie duration from mvhd,
+    width/height from tkhd 16.16 fixed point, fps from mdhd+stsz."""
+    info = MM.parse_mp4(_make_mp4())
+    assert info is not None and abs(info["duration_s"] - 2.0) < 1e-9
+    vid = next(t for t in info["tracks"] if t["handler"] == "vide")
+    aud = next(t for t in info["tracks"] if t["handler"] == "soun")
+    assert vid["width"] == 640.0 and vid["height"] == 360.0
+    assert vid["codec"] == "avc1" and vid["n_samples"] == 60
+    assert abs(vid["duration_s"] - 2.0) < 1e-9
+    assert aud["codec"] == "mp4a" and aud["n_samples"] == 86
+    feats = MM._decode_stub(_make_mp4(), "video")
+    assert feats[0] == 2.0 and feats[1] == 2.0       # duration, n_tracks
+    assert feats[4] == 640.0 and feats[5] == 360.0   # w, h
+    assert abs(feats[6] - 30.0) < 1e-6               # fps from n_samples/dur
+    assert MM.parse_mp4(b"not an mp4") is None
+    assert MM.parse_mp4(_make_mp4()[:20]) is None
