@@ -1464,6 +1464,169 @@ def _sam_d_stats(df: DataFrame, group_a: str, group_b: str,
     )
 
 
+def _sam_perm_d(sub: DataFrame, group_a: str, group_b: str, s0: float,
+                permutations: int, seed: int) -> DataFrame:
+    """Permuted SAM d statistics: (perm, feature, d). The permuted group
+    assignment is a broadcast (perm, subject) -> group table built with a
+    seeded driver RNG over the SORTED subject list (deterministic across
+    partitionings); the data-scale work — one groupBy over
+    values x permutations — stays distributed."""
+    import numpy as np
+
+    spark = sub.sparkSession
+    subj_groups = sorted(
+        (r["subject"], r["group"])
+        for r in sub.select("subject", "group").distinct().collect()
+    )
+    subjects = [s for s, _ in subj_groups]
+    groups = [g for _, g in subj_groups]
+    rows = []
+    for p in range(permutations):
+        rng = np.random.default_rng((seed, p))
+        perm = rng.permutation(len(groups))
+        rows.extend((p, subjects[i], groups[perm[i]]) for i in range(len(groups)))
+    perm_df = spark.createDataFrame(rows, "perm int, subject string, pgroup string")
+    permuted = (
+        sub.join(F.broadcast(perm_df), on="subject")
+        .select("perm", F.col("pgroup").alias("group"), "feature", "value")
+    )
+    rand_d = (
+        permuted.groupBy("perm", "feature")
+        .agg(
+            F.avg(F.when(F.col("group") == group_a, F.col("value"))).alias("ma"),
+            F.avg(F.when(F.col("group") == group_b, F.col("value"))).alias("mb"),
+            F.var_samp(F.when(F.col("group") == group_a, F.col("value"))).alias("va"),
+            F.var_samp(F.when(F.col("group") == group_b, F.col("value"))).alias("vb"),
+            F.count(F.when(F.col("group") == group_a, 1)).alias("na"),
+            F.count(F.when(F.col("group") == group_b, 1)).alias("nb"),
+        )
+        .where((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+    vp = (((F.col("na") - 1) * F.col("va") + (F.col("nb") - 1) * F.col("vb"))
+          / (F.col("na") + F.col("nb") - 2))
+    se = F.sqrt(vp * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    return rand_d.select(
+        "perm", "feature",
+        ((F.col("ma") - F.col("mb")) / (se + F.lit(s0))).alias("d"))
+
+
+def samr_delta_table(df: DataFrame, group_a: str, group_b: str,
+                     permutations: int = 50, seed: int = 0,
+                     s0: "float | str | None" = None,
+                     n_deltas: int = 30) -> DataFrame:
+    """samr's order-statistic delta banding (R samr samr.compute.delta.table
+    + detec.slab; previously the one declared-out simplification of
+    ``run_samr``): sort observed d, average the per-permutation order
+    statistics into the expected quantiles dbar, and for each delta in a
+    grid find the slab cuts — cutup = d at the FIRST sorted position where
+    d - dbar > delta with dbar > 0, cutlow = d at the LAST position where
+    dbar - d > delta with dbar < 0 — then estimate FDR as
+    pi0 * median_b #{d*_b beyond the cuts} / #called (plus the 90th
+    percentile variant), with samr's pi0 = #{d inside the permuted d
+    quartiles} / (0.5 m).
+
+    Returns one row per delta:
+    (delta, cutlow, cutup, n_called, n_false_med, n_false_90,
+     fdr_med, fdr_90, pi0).
+
+    Distribution: observed ranks use the two-pass global rank (no empty
+    PARTITION BY); per-permutation order statistics use a window
+    partitioned by perm; dbar is a rank-keyed aggregation; the delta grid
+    (n_deltas rows) is the ONLY broadcast-cross multiplier — cut selection
+    scans features x n_deltas and false counting scans
+    (features x permutations) x n_deltas, both as JVM conditional
+    aggregations. Driver-side data: s0, max|d - dbar|, and the rank
+    offsets — all scalars/dictionary-scale. Ties in d follow sorted
+    position (feature-id tiebreak), matching samr's positional slab."""
+    sub = df.where(F.col("group").isin([group_a, group_b]))
+    if s0 == "tune":
+        probe = _sam_d_stats(sub, group_a, group_b, 0.0).select(
+            (F.col("d") * F.col("se")).alias("r"), "se").collect()
+        s0 = tune_s0([p["r"] for p in probe], [p["se"] for p in probe])
+    elif s0 is None:
+        probe = _sam_d_stats(sub, group_a, group_b, 0.0)
+        s0 = float(probe.agg(
+            F.percentile("se", F.lit(0.5)).alias("m")).collect()[0]["m"] or 0.0)
+
+    observed = with_global_rank(
+        _sam_d_stats(sub, group_a, group_b, s0).select("feature", "d"),
+        [F.col("d").asc(), F.col("feature").asc()], "rank")
+    rand = _sam_perm_d(sub, group_a, group_b, s0, permutations, seed)
+    wperm = Window.partitionBy("perm").orderBy(F.col("d").asc(), F.col("feature").asc())
+    dbar = (
+        rand.withColumn("rank", F.row_number().over(wperm))
+        .groupBy("rank").agg(F.avg("d").alias("dbar"))
+    )
+    joined = observed.join(dbar, on="rank", how="inner").select(
+        "rank", "feature", "d", "dbar", (F.col("d") - F.col("dbar")).alias("diff"))
+    from .ckpt import checkpoint_reset_stats
+    joined = checkpoint_reset_stats(joined)  # reused by every delta branch
+
+    spark = df.sparkSession
+    agg = joined.agg(
+        F.max(F.abs("diff")).alias("mx"), F.count(F.lit(1)).alias("m")).collect()[0]
+    max_diff, m = float(agg["mx"] or 0.0), int(agg["m"])
+    if m == 0:
+        return spark.createDataFrame(
+            [], "delta double, cutlow double, cutup double, n_called long, "
+                "n_false_med double, n_false_90 double, fdr_med double, "
+                "fdr_90 double, pi0 double")
+    q = rand.agg(
+        F.percentile("d", F.lit(0.25)).alias("q25"),
+        F.percentile("d", F.lit(0.75)).alias("q75")).collect()[0]
+    n_mid = joined.where(
+        (F.col("d") > q["q25"]) & (F.col("d") < q["q75"])).count()
+    pi0 = min(1.0, n_mid / (0.5 * m))
+
+    deltas = [i * max_diff / max(n_deltas - 1, 1) for i in range(n_deltas)]
+    delta_df = F.broadcast(spark.createDataFrame(
+        [(float(d),) for d in deltas], "delta double"))
+    up_rank = F.min(F.when((F.col("diff") > F.col("delta"))
+                           & (F.col("dbar") > 0), F.col("rank")))
+    lo_rank = F.max(F.when((F.col("dbar") - F.col("d") > F.col("delta"))
+                           & (F.col("dbar") < 0), F.col("rank")))
+    cuts = (
+        joined.crossJoin(delta_df)
+        .groupBy("delta")
+        .agg(up_rank.alias("up_rank"), lo_rank.alias("lo_rank"),
+             F.min(F.when((F.col("diff") > F.col("delta"))
+                          & (F.col("dbar") > 0), F.col("d"))).alias("cutup"),
+             F.max(F.when((F.col("dbar") - F.col("d") > F.col("delta"))
+                          & (F.col("dbar") < 0), F.col("d"))).alias("cutlow"))
+        .withColumn("n_called",
+                    F.coalesce(F.lit(m) - F.col("up_rank") + 1, F.lit(0))
+                    + F.coalesce(F.col("lo_rank"), F.lit(0)))
+    )
+    cuts = checkpoint_reset_stats(cuts)  # n_deltas rows; avoids re-scanning
+    # the features x deltas cut selection once per downstream consumer
+    beyond = (F.col("d") > F.col("cutup")) | (F.col("d") < F.col("cutlow"))
+    false_counts = (
+        rand.crossJoin(F.broadcast(cuts))
+        .groupBy("delta", "perm")
+        .agg(F.sum(F.when(beyond, 1).otherwise(0)).cast("double").alias("nf"))
+        .groupBy("delta")
+        .agg(F.percentile("nf", F.lit(0.5)).alias("n_false_med"),
+             F.percentile("nf", F.lit(0.9)).alias("n_false_90"))
+    )
+    return (
+        cuts.join(false_counts, on="delta", how="inner")
+        .select(
+            "delta",
+            F.col("cutlow").cast("double"), F.col("cutup").cast("double"),
+            F.col("n_called").cast("long"),
+            "n_false_med", "n_false_90",
+            F.when(F.col("n_called") > 0,
+                   F.lit(pi0) * F.col("n_false_med") / F.col("n_called"))
+             .otherwise(0.0).alias("fdr_med"),
+            F.when(F.col("n_called") > 0,
+                   F.lit(pi0) * F.col("n_false_90") / F.col("n_called"))
+             .otherwise(0.0).alias("fdr_90"),
+            F.lit(pi0).alias("pi0"),
+        )
+        .orderBy("delta")
+    )
+
+
 def tune_s0(r, se) -> float:
     """samr's s0 selection (Tusher/Chu; R samr est.s0): candidates are the
     0, 5, ..., 100 percentiles of the per-feature se; for each candidate,
@@ -1512,10 +1675,10 @@ def run_samr(df: DataFrame, group_a: str, group_b: str,
     t-statistic d = (mean_a - mean_b)/(se + s0) with permutation-estimated
     q-values. s0 defaults to the median per-feature standard error;
     ``s0='tune'`` runs the R package's actual percentile tuning
-    (``tune_s0``, CV-of-binned-MADs minimization). Remaining stated
-    simplification: q is the plain permutation FDR
-    q(|d|) = (E#{|d*| >= |d|}) / #{|d| >= |d|} rather than the R
-    package's order-statistic banding.
+    (``tune_s0``, CV-of-binned-MADs minimization). Per-feature q here is
+    the plain permutation FDR q(|d|) = (E#{|d*| >= |d|}) / #{|d| >= |d|};
+    the R package's order-statistic delta banding is ``samr_delta_table``
+    (factory: ``samr`` with ``delta_table=True``).
 
     Distribution: d statistics are one JVM aggregation; permuted labels are
     a broadcast (subjects x permutations) table; q-value counting runs as
@@ -1538,39 +1701,8 @@ def run_samr(df: DataFrame, group_a: str, group_b: str,
     observed = _sam_d_stats(sub, group_a, group_b, s0).select(
         "feature", "d", F.abs("d").alias("_ad"))
 
-    subj_groups = sorted(
-        (r["subject"], r["group"])
-        for r in sub.select("subject", "group").distinct().collect()
-    )
-    subjects = [s for s, _ in subj_groups]
-    groups = [g for _, g in subj_groups]
-    rows = []
-    for p in range(permutations):
-        rng = np.random.default_rng((seed, p))
-        perm = rng.permutation(len(groups))
-        rows.extend((p, subjects[i], groups[perm[i]]) for i in range(len(groups)))
-    perm_df = spark.createDataFrame(rows, "perm int, subject string, pgroup string")
-    permuted = (
-        sub.join(F.broadcast(perm_df), on="subject")
-        .select("perm", F.col("pgroup").alias("group"), "feature", "value")
-    )
-    rand_d = (
-        permuted.groupBy("perm", "feature")
-        .agg(
-            F.avg(F.when(F.col("group") == group_a, F.col("value"))).alias("ma"),
-            F.avg(F.when(F.col("group") == group_b, F.col("value"))).alias("mb"),
-            F.var_samp(F.when(F.col("group") == group_a, F.col("value"))).alias("va"),
-            F.var_samp(F.when(F.col("group") == group_b, F.col("value"))).alias("vb"),
-            F.count(F.when(F.col("group") == group_a, 1)).alias("na"),
-            F.count(F.when(F.col("group") == group_b, 1)).alias("nb"),
-        )
-        .where((F.col("na") >= 2) & (F.col("nb") >= 2))
-    )
-    vp = (((F.col("na") - 1) * F.col("va") + (F.col("nb") - 1) * F.col("vb"))
-          / (F.col("na") + F.col("nb") - 2))
-    se = F.sqrt(vp * (1.0 / F.col("na") + 1.0 / F.col("nb")))
-    rand_ad = rand_d.select(
-        F.abs((F.col("ma") - F.col("mb")) / (se + F.lit(s0))).alias("_ad"))
+    rand_ad = _sam_perm_d(sub, group_a, group_b, s0, permutations, seed).select(
+        F.abs("d").alias("_ad"))
 
     # counts of {rand |d*| >= x} and {observed |d| >= x} per distinct x:
     # descending cumulative sums via the two-pass global cumsum

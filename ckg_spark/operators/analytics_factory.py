@@ -83,10 +83,11 @@ _DISPATCH: dict[str, Callable[..., DataFrame]] = {
         "ckg_spark.operators.snf", fromlist=["run_snf"]).run_snf(dfs, **kw),
     # WGCNA core (network construction + modules; dendrogram cut out of scope)
     "wgcna": lambda df, **kw: A.coexpression_modules(df, **kw),
-    # SAM core (moderated t + permutation q-values; R samr's s0 tuning and
-    # order-statistic banding out of scope)
-    "samr": lambda df, group_a=None, group_b=None, **kw: A.run_samr(
-        df, group_a, group_b, **kw),
+    # SAM (moderated t + permutation q-values, R samr's s0 tuning; pass
+    # delta_table=True for the order-statistic delta banding / FDR table)
+    "samr": lambda df, group_a=None, group_b=None, delta_table=False, **kw: (
+        A.samr_delta_table(df, group_a, group_b, **kw) if delta_table
+        else A.run_samr(df, group_a, group_b, **kw)),
     # dabest estimation core (bootstrap effect-size CIs; plot panels out of scope)
     "dabest": lambda df, group_a=None, group_b=None, **kw: (
         A.bootstrap_effect_sizes(df, group_a, group_b, **kw)),

@@ -222,3 +222,95 @@ def test_run_samr_tuned_s0(spark):
     # every shifted feature beats (or ties) every unshifted one
     assert q[list(shifted)].max() <= q[[f for f in q.index
                                         if f not in shifted]].min()
+
+
+def test_samr_delta_table_matches_naive(spark):
+    """samr's order-statistic delta banding (the previously declared-out
+    piece of run_samr) against a from-scratch numpy recompute of
+    samr.compute.delta.table + detec.slab: same sorted-d / expected-order-
+    statistic slab cuts, called counts, permutation false counts and
+    pi0-scaled FDRs at every delta in the grid."""
+    rng = np.random.RandomState(17)
+    n_feat, n_per, B, s0 = 40, 5, 15, 0.2
+    rows = []
+    for f in range(n_feat):
+        shift = 5.0 if f < 6 else 0.0
+        for s in range(n_per):
+            rows.append((f"f{f:02d}", f"sa{s}", "A", float(shift + rng.randn())))
+            rows.append((f"f{f:02d}", f"sb{s}", "B", float(rng.randn())))
+    pdf = pd.DataFrame(rows, columns=["feature", "subject", "group", "value"])
+    df = spark.createDataFrame(pdf)
+    got = A.samr_delta_table(df, "A", "B", permutations=B, seed=4, s0=s0,
+                             n_deltas=12).toPandas()
+    assert len(got) == 12
+
+    # ---- independent naive recompute ------------------------------------
+    subj_groups = sorted({(r.subject, r.group) for r in pdf.itertuples()})
+    subjects = [s for s, _ in subj_groups]
+    groups = [g for _, g in subj_groups]
+    wide = pdf.pivot(index="feature", columns="subject", values="value")
+    wide = wide[subjects]
+    feats = list(wide.index)
+    vals = wide.to_numpy()
+
+    def dstats(assign):
+        a = np.array([g == "A" for g in assign])
+        b = np.array([g == "B" for g in assign])
+        ma, mb = vals[:, a].mean(1), vals[:, b].mean(1)
+        va, vb = vals[:, a].var(1, ddof=1), vals[:, b].var(1, ddof=1)
+        na, nb = a.sum(), b.sum()
+        vp = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+        se = np.sqrt(vp * (1.0 / na + 1.0 / nb))
+        return (ma - mb) / (se + s0)
+
+    d_obs = dstats(groups)
+    order = np.lexsort((feats, d_obs))
+    d_sorted = d_obs[order]
+    perm_d = []
+    for p in range(B):
+        prng = np.random.default_rng((4, p))
+        perm = prng.permutation(len(groups))
+        dp = dstats([groups[i] for i in perm])
+        perm_d.append(dp)
+        del dp
+    perm_sorted = np.stack([
+        dp[np.lexsort((feats, dp))] for dp in perm_d])
+    dbar = perm_sorted.mean(axis=0)
+    diff = d_sorted - dbar
+    m = n_feat
+    allperm = np.concatenate(perm_d)
+    q25, q75 = np.percentile(allperm, [25, 75])
+    pi0 = min(1.0, ((d_obs > q25) & (d_obs < q75)).sum() / (0.5 * m))
+    deltas = np.linspace(0, np.abs(diff).max(), 12)
+    for k, dl in enumerate(deltas):
+        row = got.iloc[k]
+        assert row["delta"] == pytest.approx(dl, abs=1e-9)
+        upq = np.where((diff > dl) & (dbar > 0))[0]
+        loq = np.where((dbar - d_sorted > dl) & (dbar < 0))[0]
+        cutup = d_sorted[upq[0]] if len(upq) else None
+        cutlow = d_sorted[loq[-1]] if len(loq) else None
+        n_called = (m - upq[0] if len(upq) else 0) + (loq[-1] + 1 if len(loq) else 0)
+        assert int(row["n_called"]) == n_called, (k, dl)
+        if cutup is None:
+            assert pd.isna(row["cutup"])
+        else:
+            assert row["cutup"] == pytest.approx(cutup, abs=1e-12)
+        if cutlow is None:
+            assert pd.isna(row["cutlow"])
+        else:
+            assert row["cutlow"] == pytest.approx(cutlow, abs=1e-12)
+        nf = []
+        for dp in perm_d:
+            c = 0
+            if cutup is not None:
+                c += (dp > cutup).sum()
+            if cutlow is not None:
+                c += (dp < cutlow).sum()
+            nf.append(float(c))
+        assert row["n_false_med"] == pytest.approx(np.percentile(nf, 50), abs=1e-9)
+        assert row["n_false_90"] == pytest.approx(np.percentile(nf, 90), abs=1e-9)
+        want_fdr = pi0 * np.percentile(nf, 50) / n_called if n_called else 0.0
+        assert row["fdr_med"] == pytest.approx(want_fdr, abs=1e-9)
+        assert row["pi0"] == pytest.approx(pi0, abs=1e-12)
+    # banding is monotone-ish: larger delta never calls more features
+    assert (np.diff(got["n_called"].to_numpy()) <= 0).all()
