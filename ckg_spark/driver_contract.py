@@ -852,11 +852,16 @@ def _attestation_order(names):
     new = [n for n in names if num(n) >= 51]
     reoracled = [n for n in names if n == "q31_minhash_clusters"]
     head = set(new) | set(reoracled)
-    # registry grew to 66 in round 4 (q65/q66): the tail outside a
-    # 50-entry window is now q01-q16 — every one hash-green in rounds
-    # 1, 2 AND 3 (the safest to fall outside)
+    # registry grew to 67 in round 4 (q65/q66/q67): whatever spills past a
+    # 50-entry window should be the MOST-attested entries. Attestation
+    # depth by round files: q01-q41 three rounds, q42-q49 two, q50 one —
+    # so the middle runs NEWEST FIRST (q50 down to q17) and the
+    # triply-attested q01-q16 primitives close the list; the spill is
+    # q01-q16 plus the oldest middle entries, all hash-green in rounds
+    # 1, 2 AND 3.
     stable_tail = [n for n in names if num(n) <= 16]
-    middle = [n for n in names if n not in head and num(n) > 16]
+    middle = sorted((n for n in names if n not in head and num(n) > 16),
+                    key=num, reverse=True)
     return new + reoracled + middle + stable_tail
 
 
@@ -2412,7 +2417,31 @@ JOIN deg dj ON dj.a = fj.f
 """
 
 
+def q67_word_frequencies(spark, sf):
+    """BPE pre-token word-frequency table (operators/bpe.py — the single
+    corpus-scale step of tokenizer training: regex pre-tokenize + explode
+    + map-side-combined count). Restricted to freq >= 3 to keep the
+    compared set crisp."""
+    from .operators.bpe import word_frequencies
+
+    return (word_frequencies(_t(spark, sf, "documents"))
+            .where(F.col("freq") >= 3)
+            .select("word", F.col("freq").cast("long").alias("freq")))
+
+
+Q67_SQL = r"""
+SELECT tok AS word, count(*) AS freq
+FROM (
+  SELECT unnest(regexp_extract_all(
+           lower(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS tok
+  FROM documents)
+GROUP BY tok
+HAVING count(*) >= 3
+"""
+
+
 QUERIES.update({
     "q65_wgcna_modules": (q65_wgcna_modules, Q65_SQL),
     "q66_tom_similarity": (q66_tom_similarity, Q66_SQL),
+    "q67_word_frequencies": (q67_word_frequencies, Q67_SQL),
 })

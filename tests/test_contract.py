@@ -29,6 +29,7 @@ EXPECTED_NAMES = {
     "q58_language_id", "q59_curation_pipeline", "q60_knowledge_assembly",
     "q61_contamination_report", "q62_unigram_logprob", "q63_levene_w",
     "q64_effect_sizes", "q65_wgcna_modules", "q66_tom_similarity",
+    "q67_word_frequencies",
 }
 
 ROWS_ONLY = {"q33_simhash_pairs", "q56_louvain_communities"}
@@ -36,7 +37,7 @@ ROWS_ONLY = {"q33_simhash_pairs", "q56_louvain_communities"}
 
 def test_registry_names_stable():
     assert set(DC.queries_dict()) == EXPECTED_NAMES
-    assert len(DC.queries_dict()) == 66
+    assert len(DC.queries_dict()) == 67
 
 
 def test_oracle_coverage_complete_except_declared_rows_only():
@@ -48,17 +49,18 @@ def test_oracle_coverage_complete_except_declared_rows_only():
 
 def test_attestation_window_holds_least_attested_first():
     """The round-3 driver wrote correctness rows for only the first 50
-    queries() entries. q51-q66 (never attested before round 4) and q31
+    queries() entries. q51-q67 (never attested before round 4) and q31
     (oracle upgraded from rows-only to exact ground truth in round 4) must
-    sit inside the first 50; the triply-attested q01-q16 primitives are the
-    only entries allowed to fall outside."""
+    sit inside the first 50; only triply-attested entries (q01-q41 per the
+    round-1/2/3 correctness files) may fall outside, oldest first."""
     names = list(DC.queries_dict())
     window = set(names[:50])
     for n in EXPECTED_NAMES:
         if int(n[1:3]) >= 51 or n == "q31_minhash_clusters":
             assert n in window, n
     outside = set(names[50:])
-    assert outside == {n for n in EXPECTED_NAMES if int(n[1:3]) <= 16}
+    assert all(int(n[1:3]) <= 41 for n in outside), outside
+    assert {n for n in EXPECTED_NAMES if int(n[1:3]) <= 16} <= outside
 
 
 def test_reference_dispatch_strings_resolve():
