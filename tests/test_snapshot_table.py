@@ -1,0 +1,90 @@
+"""Iceberg-style snapshot table: commit atomicity, time travel, rollback,
+expiry, crash-safety, and pushdown through the manifest-selected scan."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from ckg_spark.plans import table as T
+
+
+def _df(spark, vals):
+    return spark.createDataFrame(
+        pd.DataFrame({"k": list(vals), "v": [x * 10 for x in vals]}))
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    v1 = T.append(_df(spark, [1, 2, 3]), d)
+    v2 = T.append(_df(spark, [4, 5]), d)
+    assert (v1, v2) == (1, 2)
+    assert T.read(spark, d).count() == 5
+    assert sorted(r["k"] for r in T.read(spark, d, version=1).collect()) == [1, 2, 3]
+    v3 = T.overwrite(_df(spark, [9, 9]), d)
+    assert v3 == 3 and T.current_version(d) == 3
+    assert T.read(spark, d).count() == 2
+    # both historical snapshots stay queryable
+    assert T.read(spark, d, version=2).count() == 5
+    log = T.snapshots(d)
+    assert [s["operation"] for s in log] == ["append", "append", "overwrite"]
+    assert [s["row_count"] for s in log] == [3, 5, 2]
+    assert [s["parent_version"] for s in log] == [None, 1, 2]
+
+
+def test_rollback_is_a_new_snapshot(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    T.append(_df(spark, [1, 2, 3]), d)
+    T.overwrite(_df(spark, [7]), d)
+    v = T.rollback(d, 1)
+    assert v == 3
+    assert sorted(r["k"] for r in T.read(spark, d).collect()) == [1, 2, 3]
+    # the pre-rollback state is still time-travelable
+    assert T.read(spark, d, version=2).count() == 1
+
+
+def test_crashed_write_invisible_and_expired(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    T.append(_df(spark, [1, 2]), d)
+    # simulate a writer that died after data files, before the commit:
+    # files exist under data/ but no manifest references them
+    orphan = os.path.join(d, "data", "sdeadbeef0000")
+    _df(spark, [99, 98, 97]).write.parquet(orphan)
+    assert T.read(spark, d).count() == 2          # reader never sees them
+    assert T.current_version(d) == 1
+    removed = T.expire_snapshots(d, keep_last=1)
+    assert any("sdeadbeef0000" in p for p in removed)
+    assert T.read(spark, d).count() == 2
+
+
+def test_expire_snapshots_drops_unreferenced_files(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    T.append(_df(spark, [1]), d)
+    T.overwrite(_df(spark, [2]), d)
+    T.overwrite(_df(spark, [3]), d)
+    removed = T.expire_snapshots(d, keep_last=1)
+    assert removed  # v1/v2 manifests + their now-unreferenced data files
+    assert T.read(spark, d).count() == 1
+    assert T.read(spark, d).collect()[0]["k"] == 3
+    with pytest.raises(FileNotFoundError):
+        T.read_manifest(d, 1)
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    T.append(_df(spark, [1]), d)
+    # another writer landed v2 between our snapshot write and commit
+    with open(T._manifest_path(d, 2), "w") as f:
+        json.dump({"files": [], "row_count": 0}, f)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        T.append(_df(spark, [2]), d)
+
+
+def test_manifest_scan_keeps_pushdown(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    T.append(_df(spark, range(100)), d)
+    q = T.read(spark, d).where("k = 7").select("v")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,7)]" in plan
+    assert q.collect()[0]["v"] == 70
