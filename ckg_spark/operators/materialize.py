@@ -193,6 +193,38 @@ def materialize_nodes(terms: DataFrame, canonical: DataFrame) -> DataFrame:
     )
 
 
+def _merge_rows(allrows: DataFrame) -> DataFrame:
+    """MERGE resolution: keep the highest-score row per
+    (subj, pred, obj, source) — mention re-extraction refreshes counts."""
+    from pyspark.sql import Window
+
+    key = ["subj", "pred", "obj", "source"]
+    w = Window.partitionBy(*key).orderBy(F.col("score").desc(),
+                                         F.col("evidence_type").asc())
+    return (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_edges_snapshot(spark, table_dir: str, new_edges: DataFrame) -> DataFrame:
+    """Snapshot-committed MERGE of new triples into an edge table backed by
+    ``plans.table`` (the Iceberg MERGE INTO shape the reference's Cypher
+    MERGE maps to at deployment): read the latest snapshot, resolve with
+    the same highest-score-per-key rule as ``merge_edges``, and commit the
+    result as a NEW snapshot — so every merge stays time-travelable and a
+    bad load is a ``table.rollback`` instead of a restore-from-backup."""
+    from ..plans import table as T
+
+    if T.current_version(table_dir) is not None:
+        allrows = T.read(spark, table_dir).unionByName(new_edges)
+    else:
+        allrows = new_edges
+    T.overwrite(_merge_rows(allrows), table_dir)
+    return T.read(spark, table_dir)
+
+
 def merge_edges(spark, existing_path: str, new_edges: DataFrame) -> DataFrame:
     """Incremental MERGE of new triples into a materialized edge table
     (the reference's Cypher MERGE / partial-update mode, cypher.yml:16-34 +
@@ -208,19 +240,12 @@ def merge_edges(spark, existing_path: str, new_edges: DataFrame) -> DataFrame:
 
     from pyspark.sql import Window
 
-    key = ["subj", "pred", "obj", "source"]
     if os.path.exists(os.path.join(existing_path, "_SUCCESS")):
         existing = spark.read.parquet(existing_path)
         allrows = existing.unionByName(new_edges)
     else:
         allrows = new_edges
-    w = Window.partitionBy(*key).orderBy(F.col("score").desc(),
-                                         F.col("evidence_type").asc())
-    merged = (
-        allrows.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    merged = _merge_rows(allrows)
     # Crash-safe promotion: the old table is RENAMED to a backup before the
     # new one takes its place, so no instant ever has zero live copies (a
     # crash leaves either the original, or original-as-backup + tmp, or the

@@ -88,3 +88,31 @@ def test_manifest_scan_keeps_pushdown(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,7)]" in plan
     assert q.collect()[0]["v"] == 70
+
+
+def test_merge_edges_snapshot_upsert_with_history(spark, tmp_path):
+    """merge_edges_snapshot: same upsert semantics as merge_edges, but every
+    merge is a snapshot commit — the pre-merge state stays time-travelable
+    and a bad load rolls back instead of restoring a backup."""
+    from ckg_spark.operators.materialize import merge_edges_snapshot
+
+    d = str(tmp_path / "edges_tbl")
+    schema = ("subj string, pred string, obj string, source string, "
+              "score double, evidence_type string")
+    base = spark.createDataFrame(
+        [("a", "MENTIONED_IN_TURN", "t1", "tagger", 1.0, "Entity"),
+         ("b", "MENTIONED_IN_TURN", "t2", "tagger", 2.0, "Entity")], schema)
+    m1 = merge_edges_snapshot(spark, d, base)
+    assert m1.count() == 2
+    update = spark.createDataFrame(
+        [("a", "MENTIONED_IN_TURN", "t1", "tagger", 3.0, "Entity"),
+         ("c", "MENTIONED_IN_TURN", "t3", "tagger", 1.0, "Entity")], schema)
+    m2 = merge_edges_snapshot(spark, d, update)
+    got = {(r["subj"], r["obj"]): r["score"] for r in m2.collect()}
+    assert got == {("a", "t1"): 3.0, ("b", "t2"): 2.0, ("c", "t3"): 1.0}
+    # the pre-merge snapshot is still readable, and rollback restores it
+    pre = {(r["subj"], r["obj"]): r["score"]
+           for r in T.read(spark, d, version=1).collect()}
+    assert pre == {("a", "t1"): 1.0, ("b", "t2"): 2.0}
+    T.rollback(d, 1)
+    assert T.read(spark, d).count() == 2
