@@ -853,3 +853,31 @@ def test_mp4_box_parse_real_stats():
     assert abs(feats[6] - 30.0) < 1e-6               # fps from n_samples/dur
     assert MM.parse_mp4(b"not an mp4") is None
     assert MM.parse_mp4(_make_mp4()[:20]) is None
+
+
+from hypothesis import given as _h_given, settings as _h_settings, strategies as _h_st
+
+
+@_h_settings(max_examples=15, deadline=None)
+@_h_given(
+    w=_h_st.integers(1, 20), h=_h_st.integers(1, 20),
+    sampling=_h_st.sampled_from([(1, 1), (2, 2), (2, 1), (1, 2)]),
+    dri=_h_st.sampled_from([0, 1, 3]),
+    seed=_h_st.integers(0, 10**6),
+)
+def test_jpeg_decoder_property_roundtrip(w, h, sampling, dri, seed):
+    """Any dims (incl. 1x1 and non-multiples of 8), all four sampling
+    layouts (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 analog) and restart intervals
+    round-trip within DCT rounding error on smooth-gradient images; with
+    chroma-free pixels (R=G=B) subsampling loses nothing extra."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = np.clip((3 * yy + 5 * xx) % 200 // 8 * 8 + 20
+                + rng.integers(-3, 4, size=(h, w)), 0, 255).astype(np.uint8)
+    arr = np.dstack([g, g, g])
+    got = MM.decode_jpeg(_encode_jpeg(arr, sampling=sampling, dri=dri))
+    assert got is not None and got.shape == (h, w, 3)
+    diff = np.abs(got.astype(np.int32) - arr.astype(np.int32))
+    assert diff.max() <= 10, (w, h, sampling, dri, diff.max())
