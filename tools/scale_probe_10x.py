@@ -116,6 +116,22 @@ def time_minhash(spark, docs_path):
     return {"wall": round(time.time() - t0, 2), "cluster_rows": n}
 
 
+def time_bpe(spark, docs_path):
+    """BPE train (150 merges, min_freq 2) + apply over the corpus — the
+    round-4b tokenizer surface; merge count is fixed so the 10x run does
+    strictly more counting work over strictly more words."""
+    from pyspark.sql import functions as F
+
+    from ckg_spark.operators.bpe import apply_bpe, learn_bpe
+
+    docs = spark.read.parquet(docs_path)
+    t0 = time.time()
+    merges = learn_bpe(docs, n_merges=150, min_freq=2)
+    toks = apply_bpe(docs, merges).agg(F.sum("bpe_token_count").alias("t")).collect()[0]["t"]
+    return {"wall": round(time.time() - t0, 2),
+            "merges": len(merges), "tokens_out": int(toks)}
+
+
 def _child(pipeline: str, scale: str, cpus: int, sf_dir: str):
     """One measurement in a FRESH JVM (session-state contamination made a
     shared-session sequential sweep overstate 1x walls by up to 70% — see
@@ -134,8 +150,8 @@ def _child(pipeline: str, scale: str, cpus: int, sf_dir: str):
     else:
         path = (os.path.join(sf_dir, "documents.parquet") if scale == "1x"
                 else ensure_docs_10x(spark, sf_dir, base))
-        out = (time_curation(spark, path) if pipeline == "curation"
-               else time_minhash(spark, path))
+        out = {"curation": time_curation, "minhash": time_minhash,
+               "bpe": time_bpe}[pipeline](spark, path)
     print("CHILD_RESULT " + json.dumps(out))
     spark.stop()
 
@@ -146,6 +162,8 @@ def main():
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--child", nargs=2, metavar=("PIPELINE", "SCALE"))
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--pipelines", default="kg,curation,minhash",
+                    help="comma list from kg,curation,minhash,bpe")
     args = ap.parse_args()
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 
@@ -178,7 +196,7 @@ def main():
         raise RuntimeError(f"{pipeline}/{scale} child failed:\n{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
 
     res = {"cpus": args.cpus, "trials": args.trials, "pipelines": {}}
-    for name in ["kg", "curation", "minhash"]:
+    for name in args.pipelines.split(","):
         runs = {"1x": [], "10x": []}
         for _ in range(args.trials):          # interleaved best-of
             for scale in ("1x", "10x"):
