@@ -83,7 +83,8 @@ def _list_parquet_files(prefix: str) -> list[str]:
 
 
 def _commit(table_dir: str, files: list[str], operation: str, rows: int,
-            parent: int | None, snapshot_id: str) -> int:
+            parent: int | None, snapshot_id: str,
+            properties: dict | None = None) -> int:
     """Write manifest v<N+1> then atomically swap the _latest pointer."""
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     version = (parent if parent is not None else 0) + 1
@@ -94,6 +95,7 @@ def _commit(table_dir: str, files: list[str], operation: str, rows: int,
         "committed_at": time.time(),
         "row_count": rows,
         "file_count": len(files),
+        "properties": properties or {},
         "files": files,
     }
     mp = _manifest_path(table_dir, version)
@@ -122,15 +124,19 @@ def _write_snapshot_files(df: DataFrame, table_dir: str) -> tuple[list[str], int
     return files, rows, sid
 
 
-def overwrite(df: DataFrame, table_dir: str) -> int:
+def overwrite(df: DataFrame, table_dir: str,
+              properties: dict | None = None) -> int:
     """Replace the table contents in a new snapshot; returns the version."""
     files, rows, sid = _write_snapshot_files(df, table_dir)
     return _commit(table_dir, files, "overwrite", rows,
-                   current_version(table_dir), sid)
+                   current_version(table_dir), sid, properties)
 
 
-def append(df: DataFrame, table_dir: str) -> int:
-    """Append df as a new snapshot (parent files + new files)."""
+def append(df: DataFrame, table_dir: str,
+           properties: dict | None = None) -> int:
+    """Append df as a new snapshot (parent files + new files).
+    ``properties`` land in the manifest — e.g. a streaming sink records
+    its micro-batch id there to make replayed batches skippable."""
     parent = current_version(table_dir)
     base_files, base_rows = [], 0
     if parent is not None:
@@ -138,7 +144,7 @@ def append(df: DataFrame, table_dir: str) -> int:
         base_files, base_rows = m["files"], m["row_count"]
     files, rows, sid = _write_snapshot_files(df, table_dir)
     return _commit(table_dir, base_files + files, "append",
-                   base_rows + rows, parent, sid)
+                   base_rows + rows, parent, sid, properties)
 
 
 def rollback(table_dir: str, version: int) -> int:
@@ -167,9 +173,10 @@ def snapshots(table_dir: str) -> list[dict]:
     v = 1
     while os.path.exists(_manifest_path(table_dir, v)):
         m = read_manifest(table_dir, v)
-        out.append({k: m[k] for k in
+        out.append({k: m.get(k) for k in
                     ("version", "snapshot_id", "operation", "parent_version",
-                     "committed_at", "row_count", "file_count")})
+                     "committed_at", "row_count", "file_count",
+                     "properties")})
         v += 1
     return out
 

@@ -44,18 +44,76 @@ def stream_mention_edges(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import functions as F
-
-        mentions = X.extract_mentions(batch_df, alias_grams)
-        linked = L.link_mentions(mentions, alias_table, stoplist, keep="best")
-        cmap = (
-            canonical
-            if canonical is not None
-            else linked.select("ident").distinct()
-            .select("ident", F.col("ident").alias("canonical_id"))
-        )
-        edges = M.mention_edges(M.canonicalize_linked(linked, cmap))
+        edges = _batch_edges(batch_df, alias_grams, alias_table, stoplist,
+                             canonical)
         edges.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _batch_edges(batch_df: DataFrame, alias_grams, alias_table, stoplist,
+                 canonical: DataFrame | None) -> DataFrame:
+    """One micro-batch through the identical batch operators:
+    extract -> link -> canonicalize -> mention edges."""
+    from pyspark.sql import functions as F
+
+    mentions = X.extract_mentions(batch_df, alias_grams)
+    linked = L.link_mentions(mentions, alias_table, stoplist, keep="best")
+    cmap = (
+        canonical
+        if canonical is not None
+        else linked.select("ident").distinct()
+        .select("ident", F.col("ident").alias("canonical_id"))
+    )
+    return M.mention_edges(M.canonicalize_linked(linked, cmap))
+
+
+def stream_mention_edges_snapshot(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    vocab_tables: dict,
+    table_dir: str,
+    checkpoint_dir: str,
+    canonical: DataFrame | None = None,
+):
+    """Same per-micro-batch extract->link as ``stream_mention_edges``, but
+    the sink is a SNAPSHOT-TABLE append (``plans.table``): each micro-batch
+    commits one snapshot with its batch id in the manifest properties.
+    foreachBatch is at-least-once for non-idempotent sinks — on replay
+    after a crash between sink commit and stream checkpoint, the batch id
+    is already in the snapshot log and the batch is SKIPPED, giving the
+    table exactly-once batch semantics (Iceberg sinks make the same move
+    with snapshot summary properties). Every ingest tick stays
+    time-travelable, and a poisoned batch is a ``table.rollback``."""
+    from ..plans import table as T
+
+    alias_grams = X.prepare_alias_grams(vocab_tables["aliases"])
+    alias_table = L.prepare_alias_table(vocab_tables["aliases"])
+    stoplist = vocab_tables["stoplist"]
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        seen = {
+            s.get("properties", {}).get("batch_id")
+            for s in (T.snapshots(table_dir) if T.current_version(table_dir)
+                      else [])
+        }
+        if batch_id in seen:
+            return  # replayed batch: already committed, skip
+        edges = _batch_edges(batch_df, alias_grams, alias_table, stoplist,
+                             canonical)
+        T.append(edges, table_dir, properties={"batch_id": batch_id})
 
     return (
         stream.writeStream.foreachBatch(process_batch)
