@@ -84,7 +84,8 @@ def _list_parquet_files(prefix: str) -> list[str]:
 
 def _commit(table_dir: str, files: list[str], operation: str, rows: int,
             parent: int | None, snapshot_id: str,
-            properties: dict | None = None) -> int:
+            properties: dict | None = None,
+            extra: dict | None = None) -> int:
     """Write manifest v<N+1> then atomically swap the _latest pointer."""
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     version = (parent if parent is not None else 0) + 1
@@ -96,6 +97,7 @@ def _commit(table_dir: str, files: list[str], operation: str, rows: int,
         "row_count": rows,
         "file_count": len(files),
         "properties": properties or {},
+        **(extra or {}),
         "files": files,
     }
     mp = _manifest_path(table_dir, version)
@@ -114,37 +116,93 @@ def _commit(table_dir: str, files: list[str], operation: str, rows: int,
     return version
 
 
-def _write_snapshot_files(df: DataFrame, table_dir: str) -> tuple[list[str], int, str]:
+def _file_partition_values(path: str, prefix: str) -> dict:
+    """Hive-layout partition values encoded in the dirs between the
+    snapshot prefix and the data file (col=value, URL-encoded by Spark;
+    __HIVE_DEFAULT_PARTITION__ marks null)."""
+    from urllib.parse import unquote
+
+    vals = {}
+    rel = os.path.relpath(os.path.dirname(path), prefix)
+    for comp in rel.split(os.sep):
+        if "=" in comp:
+            k, v = comp.split("=", 1)
+            v = unquote(v)
+            vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return vals
+
+
+def _write_snapshot_files(df: DataFrame, table_dir: str,
+                          partition_by: list[str] | None):
     sid = uuid.uuid4().hex[:12]
     prefix = os.path.join(table_dir, "data", f"s{sid}")
-    df.write.mode("overwrite").parquet(prefix)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(prefix)
     files = _list_parquet_files(prefix)
     spark = df.sparkSession
     rows = spark.read.parquet(prefix).count() if files else 0
-    return files, rows, sid
+    fparts = ({f: _file_partition_values(f, prefix) for f in files}
+              if partition_by else {})
+    ptypes = ({f.name: f.dataType.simpleString()
+               for f in df.schema.fields if f.name in (partition_by or [])}
+              if partition_by else {})
+    return files, rows, sid, fparts, ptypes
+
+
+def _check_partition_compat(parent_manifest: dict | None,
+                            partition_by: list[str] | None) -> None:
+    if parent_manifest is None:
+        return
+    prev = parent_manifest.get("partition_by") or None
+    cur = list(partition_by) if partition_by else None
+    if prev != cur:
+        raise ValueError(
+            f"partition spec mismatch: table is partitioned by {prev}, "
+            f"append/overwrite requested {cur}")
 
 
 def overwrite(df: DataFrame, table_dir: str,
-              properties: dict | None = None) -> int:
+              properties: dict | None = None,
+              partition_by: list[str] | None = None) -> int:
     """Replace the table contents in a new snapshot; returns the version."""
-    files, rows, sid = _write_snapshot_files(df, table_dir)
-    return _commit(table_dir, files, "overwrite", rows,
-                   current_version(table_dir), sid, properties)
+    parent = current_version(table_dir)
+    pm = read_manifest(table_dir, parent) if parent is not None else None
+    _check_partition_compat(pm, partition_by)
+    files, rows, sid, fparts, ptypes = _write_snapshot_files(
+        df, table_dir, partition_by)
+    props = dict(properties or {})
+    extra = {"partition_by": list(partition_by), "file_partitions": fparts,
+             "partition_types": ptypes} if partition_by else {}
+    return _commit(table_dir, files, "overwrite", rows, parent, sid,
+                   props, extra)
 
 
 def append(df: DataFrame, table_dir: str,
-           properties: dict | None = None) -> int:
+           properties: dict | None = None,
+           partition_by: list[str] | None = None) -> int:
     """Append df as a new snapshot (parent files + new files).
     ``properties`` land in the manifest — e.g. a streaming sink records
     its micro-batch id there to make replayed batches skippable."""
     parent = current_version(table_dir)
     base_files, base_rows = [], 0
+    base_fparts: dict = {}
+    pm = None
     if parent is not None:
-        m = read_manifest(table_dir, parent)
-        base_files, base_rows = m["files"], m["row_count"]
-    files, rows, sid = _write_snapshot_files(df, table_dir)
+        pm = read_manifest(table_dir, parent)
+        base_files, base_rows = pm["files"], pm["row_count"]
+        base_fparts = pm.get("file_partitions", {})
+    _check_partition_compat(pm, partition_by)
+    files, rows, sid, fparts, ptypes = _write_snapshot_files(
+        df, table_dir, partition_by)
+    extra = {}
+    if partition_by:
+        extra = {"partition_by": list(partition_by),
+                 "file_partitions": {**base_fparts, **fparts},
+                 "partition_types": ptypes}
     return _commit(table_dir, base_files + files, "append",
-                   base_rows + rows, parent, sid, properties)
+                   base_rows + rows, parent, sid, properties, extra)
 
 
 def rollback(table_dir: str, version: int) -> int:
@@ -152,19 +210,62 @@ def rollback(table_dir: str, version: int) -> int:
     history is never rewritten, so the rolled-back state is itself
     time-travelable."""
     m = read_manifest(table_dir, version)
+    extra = {k: m[k] for k in
+             ("partition_by", "file_partitions", "partition_types")
+             if k in m}
     return _commit(table_dir, m["files"], f"rollback[v{version}]",
                    m["row_count"], current_version(table_dir),
-                   uuid.uuid4().hex[:12])
+                   uuid.uuid4().hex[:12], None, extra)
 
 
 def read(spark: SparkSession, table_dir: str,
-         version: int | None = None) -> DataFrame:
+         version: int | None = None,
+         partition_filter: dict | None = None) -> DataFrame:
     """Scan the table at a snapshot (default: latest). The manifest only
-    selects files; the result is a plain parquet scan with full pushdown."""
+    selects files; the result is a plain parquet scan with full pushdown.
+
+    For a partitioned table, partition VALUES live in the manifest (hive
+    dirs parsed at commit), so ``partition_filter={"pred": "MAPS_TO"}``
+    prunes to the matching files before any I/O — manifest-level partition
+    pruning, the Iceberg read path. Partition columns are re-attached as
+    typed literals per file group."""
+    from pyspark.sql import functions as F
+
     m = read_manifest(table_dir, version)
     if not m["files"]:
         raise FileNotFoundError(f"snapshot v{m['version']} has no data files")
-    return spark.read.parquet(*m["files"])
+    part_by = m.get("partition_by")
+    if not part_by:
+        if partition_filter:
+            raise ValueError("partition_filter on an unpartitioned table")
+        return spark.read.parquet(*m["files"])
+    fparts = m["file_partitions"]
+    ptypes = m.get("partition_types", {})
+
+    def matches(vals: dict) -> bool:
+        return all(vals.get(c) == (None if v is None else str(v))
+                   for c, v in (partition_filter or {}).items())
+
+    groups: dict[tuple, list[str]] = {}
+    for f in m["files"]:
+        vals = fparts.get(f, {})
+        if not matches(vals):
+            continue
+        key = tuple(vals.get(c) for c in part_by)
+        groups.setdefault(key, []).append(f)
+    if not groups:
+        # empty result with the right columns
+        base = spark.read.parquet(m["files"][0])
+        for c in part_by:
+            base = base.withColumn(c, F.lit(None).cast(ptypes.get(c, "string")))
+        return base.where(F.lit(False))
+    out = None
+    for key, fs in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+        df = spark.read.parquet(*fs)
+        for c, v in zip(part_by, key):
+            df = df.withColumn(c, F.lit(v).cast(ptypes.get(c, "string")))
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def snapshots(table_dir: str) -> list[dict]:

@@ -116,3 +116,43 @@ def test_merge_edges_snapshot_upsert_with_history(spark, tmp_path):
     assert pre == {("a", "t1"): 1.0, ("b", "t2"): 2.0}
     T.rollback(d, 1)
     assert T.read(spark, d).count() == 2
+
+
+def test_partitioned_snapshots_and_manifest_pruning(spark, tmp_path):
+    """Partitioned writes record hive partition values in the manifest;
+    reads re-attach typed partition columns and partition_filter prunes to
+    the matching files BEFORE any scan (Iceberg's metadata pruning)."""
+    d = str(tmp_path / "ptbl")
+    df1 = spark.createDataFrame(
+        pd.DataFrame({"pred": ["A", "A", "B"], "n": [1, 2, 3]}))
+    v1 = T.append(df1, d, partition_by=["pred"])
+    df2 = spark.createDataFrame(pd.DataFrame({"pred": ["B", "C"], "n": [4, 5]}))
+    T.append(df2, d, partition_by=["pred"])
+
+    full = T.read(spark, d)
+    assert sorted((r["pred"], r["n"]) for r in full.collect()) == [
+        ("A", 1), ("A", 2), ("B", 3), ("B", 4), ("C", 5)]
+    assert dict(full.dtypes)["pred"] == "string"
+
+    # manifest-level pruning: only B files enter the plan
+    b = T.read(spark, d, partition_filter={"pred": "B"})
+    assert sorted(r["n"] for r in b.collect()) == [3, 4]
+    m = T.read_manifest(d)
+    b_files = {f for f, p in m["file_partitions"].items() if p.get("pred") == "B"}
+    scanned = {f.replace("file://", "") for f in b.inputFiles()}
+    assert scanned == b_files  # ONLY the B partition's files enter the scan
+    assert b.count() == 2
+
+    # no-match filter -> empty with correct schema; time travel still works
+    empty = T.read(spark, d, partition_filter={"pred": "Z"})
+    assert empty.count() == 0 and "pred" in empty.columns
+    assert T.read(spark, d, version=v1).count() == 3
+
+    # partition-spec drift is refused
+    with pytest.raises(ValueError, match="partition spec mismatch"):
+        T.append(df2, d)
+    # unpartitioned table refuses partition_filter
+    d2 = str(tmp_path / "plain")
+    T.append(df1, d2)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        T.read(spark, d2, partition_filter={"pred": "A"})
