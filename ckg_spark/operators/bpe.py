@@ -217,6 +217,26 @@ def learn_bpe(docs: DataFrame, n_merges: int = 1000, text_col: str = "text",
     return _distributed_merge_rounds(wf, n_merges, min_pair_freq)
 
 
+def save_bpe_model(merges: list, path: str) -> None:
+    """Persist a merge table as the standard subword-nmt text format: one
+    'left right' pair per line, rank order (symbols never contain spaces
+    by the pre-token construction)."""
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+    os.replace(tmp, path)
+
+
+def load_bpe_model(path: str) -> list:
+    with open(path, encoding="utf-8") as f:
+        return [tuple(line.rstrip("\n").split(" ", 1))
+                for line in f if line.strip()]
+
+
 def _apply_word(word: str, ranks: dict) -> list:
     """GPT-2-style rank-greedy BPE apply: repeatedly merge the
     lowest-ranked adjacent pair until none remains."""

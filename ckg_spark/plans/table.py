@@ -268,6 +268,28 @@ def read(spark: SparkSession, table_dir: str,
     return out
 
 
+def compact(spark: SparkSession, table_dir: str,
+            target_files: int | None = None) -> int:
+    """Rewrite the current snapshot's data into fewer, larger files and
+    commit the result as a new snapshot (operation 'compact') — the answer
+    to the small-file problem a per-micro-batch streaming sink creates.
+    Row-for-row identical contents; history (including the fragmented
+    snapshots) stays time-travelable until ``expire_snapshots``. A
+    partitioned table is rewritten with the same partition spec.
+    ``target_files`` defaults to the session shuffle parallelism."""
+    m = read_manifest(table_dir)
+    df = read(spark, table_dir)
+    n = target_files or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part_by = m.get("partition_by")
+    df = df.repartition(n, *part_by) if part_by else df.repartition(n)
+    files, rows, sid, fparts, ptypes = _write_snapshot_files(
+        df, table_dir, part_by)
+    extra = ({"partition_by": part_by, "file_partitions": fparts,
+              "partition_types": ptypes} if part_by else {})
+    return _commit(table_dir, files, "compact", rows,
+                   m["version"], sid, None, extra)
+
+
 def snapshots(table_dir: str) -> list[dict]:
     """Snapshot log, oldest first (version, operation, rows, files, parent)."""
     out = []

@@ -116,3 +116,15 @@ def test_bpe_degenerate_inputs(spark):
     assert B.learn_bpe(df, n_merges=5) == []
     out = B.apply_bpe(df, [("l", "o")]).toPandas()
     assert sorted(out["bpe_token_count"]) == [0, 0, 0]
+
+
+def test_bpe_model_roundtrip(spark, tmp_path):
+    df = _docs_df(spark)
+    merges = B.learn_bpe(df, n_merges=15)
+    p = str(tmp_path / "model" / "bpe.merges")
+    B.save_bpe_model(merges, p)
+    loaded = B.load_bpe_model(p)
+    assert loaded == merges
+    a = B.apply_bpe(df, merges).toPandas().set_index("doc_id")["bpe_token_count"]
+    b = B.apply_bpe(df, loaded).toPandas().set_index("doc_id")["bpe_token_count"]
+    assert (a == b).all()

@@ -156,3 +156,27 @@ def test_partitioned_snapshots_and_manifest_pruning(spark, tmp_path):
     T.append(df1, d2)
     with pytest.raises(ValueError, match="unpartitioned"):
         T.read(spark, d2, partition_filter={"pred": "A"})
+
+
+def test_compact_shrinks_files_preserves_rows_and_partitions(spark, tmp_path):
+    """compact() folds a fragmented (streaming-style many-small-snapshot)
+    table into few files in one new snapshot, row-identical, partition
+    spec preserved, history intact."""
+    d = str(tmp_path / "ctbl")
+    for i in range(5):
+        df = spark.createDataFrame(pd.DataFrame(
+            {"pred": ["A", "B"], "n": [i * 2, i * 2 + 1]}))
+        T.append(df, d, partition_by=["pred"])
+    before = T.read(spark, d)
+    n_before = len(before.inputFiles())
+    rows_before = sorted((r["pred"], r["n"]) for r in before.collect())
+    v = T.compact(spark, d, target_files=1)
+    after = T.read(spark, d)
+    assert sorted((r["pred"], r["n"]) for r in after.collect()) == rows_before
+    assert len(after.inputFiles()) < n_before
+    assert T.read_manifest(d)["operation"] == "compact"
+    # pruning still works post-compact; pre-compact snapshot still readable
+    assert T.read(spark, d, partition_filter={"pred": "A"}).count() == 5
+    assert T.read(spark, d, version=v - 1).count() == 10
+    removed = T.expire_snapshots(d, keep_last=1)
+    assert removed and T.read(spark, d).count() == 10
