@@ -148,7 +148,8 @@ def _write_snapshot_files(df: DataFrame, table_dir: str,
     ptypes = ({f.name: f.dataType.simpleString()
                for f in df.schema.fields if f.name in (partition_by or [])}
               if partition_by else {})
-    return files, rows, sid, fparts, ptypes
+    schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+    return files, rows, sid, fparts, ptypes, schema
 
 
 def _check_partition_compat(parent_manifest: dict | None,
@@ -163,6 +164,29 @@ def _check_partition_compat(parent_manifest: dict | None,
             f"append/overwrite requested {cur}")
 
 
+def _schema_evolution(parent_manifest: dict | None, schema: list,
+                      keeps_parent_files: bool) -> bool:
+    """Column ADD/DROP across commits is legal schema evolution (Iceberg's
+    safe subset here); a TYPE change for a same-named column is refused —
+    parquet footers would disagree and mergeSchema would throw mid-scan.
+    Returns whether the committed snapshot mixes file schemas."""
+    if parent_manifest is None:
+        return False
+    prev = parent_manifest.get("schema")
+    if prev is None:
+        return bool(keeps_parent_files)
+    prev_t, cur_t = dict(map(tuple, prev)), dict(map(tuple, schema))
+    for name in prev_t.keys() & cur_t.keys():
+        if prev_t[name] != cur_t[name]:
+            raise ValueError(
+                f"schema evolution rejected: column {name!r} changes type "
+                f"{prev_t[name]} -> {cur_t[name]} (add/drop only)")
+    changed = prev != schema
+    if not keeps_parent_files:
+        return False  # overwrite: only the new files are live
+    return changed or bool(parent_manifest.get("schema_evolved"))
+
+
 def overwrite(df: DataFrame, table_dir: str,
               properties: dict | None = None,
               partition_by: list[str] | None = None) -> int:
@@ -170,11 +194,15 @@ def overwrite(df: DataFrame, table_dir: str,
     parent = current_version(table_dir)
     pm = read_manifest(table_dir, parent) if parent is not None else None
     _check_partition_compat(pm, partition_by)
-    files, rows, sid, fparts, ptypes = _write_snapshot_files(
+    files, rows, sid, fparts, ptypes, schema = _write_snapshot_files(
         df, table_dir, partition_by)
+    _schema_evolution(pm, schema, keeps_parent_files=False)
     props = dict(properties or {})
-    extra = {"partition_by": list(partition_by), "file_partitions": fparts,
-             "partition_types": ptypes} if partition_by else {}
+    extra = {"schema": schema}
+    if partition_by:
+        extra.update({"partition_by": list(partition_by),
+                      "file_partitions": fparts,
+                      "partition_types": ptypes})
     return _commit(table_dir, files, "overwrite", rows, parent, sid,
                    props, extra)
 
@@ -194,13 +222,14 @@ def append(df: DataFrame, table_dir: str,
         base_files, base_rows = pm["files"], pm["row_count"]
         base_fparts = pm.get("file_partitions", {})
     _check_partition_compat(pm, partition_by)
-    files, rows, sid, fparts, ptypes = _write_snapshot_files(
+    files, rows, sid, fparts, ptypes, schema = _write_snapshot_files(
         df, table_dir, partition_by)
-    extra = {}
+    evolved = _schema_evolution(pm, schema, keeps_parent_files=bool(base_files))
+    extra = {"schema": schema, "schema_evolved": evolved}
     if partition_by:
-        extra = {"partition_by": list(partition_by),
-                 "file_partitions": {**base_fparts, **fparts},
-                 "partition_types": ptypes}
+        extra.update({"partition_by": list(partition_by),
+                      "file_partitions": {**base_fparts, **fparts},
+                      "partition_types": ptypes})
     return _commit(table_dir, base_files + files, "append",
                    base_rows + rows, parent, sid, properties, extra)
 
@@ -211,7 +240,8 @@ def rollback(table_dir: str, version: int) -> int:
     time-travelable."""
     m = read_manifest(table_dir, version)
     extra = {k: m[k] for k in
-             ("partition_by", "file_partitions", "partition_types")
+             ("partition_by", "file_partitions", "partition_types",
+              "schema", "schema_evolved")
              if k in m}
     return _commit(table_dir, m["files"], f"rollback[v{version}]",
                    m["row_count"], current_version(table_dir),
@@ -235,10 +265,13 @@ def read(spark: SparkSession, table_dir: str,
     if not m["files"]:
         raise FileNotFoundError(f"snapshot v{m['version']} has no data files")
     part_by = m.get("partition_by")
+    evolved = bool(m.get("schema_evolved"))
+    reader = (spark.read.option("mergeSchema", "true") if evolved
+              else spark.read)
     if not part_by:
         if partition_filter:
             raise ValueError("partition_filter on an unpartitioned table")
-        return spark.read.parquet(*m["files"])
+        return reader.parquet(*m["files"])
     fparts = m["file_partitions"]
     ptypes = m.get("partition_types", {})
 
@@ -255,16 +288,17 @@ def read(spark: SparkSession, table_dir: str,
         groups.setdefault(key, []).append(f)
     if not groups:
         # empty result with the right columns
-        base = spark.read.parquet(m["files"][0])
+        base = reader.parquet(m["files"][0])
         for c in part_by:
             base = base.withColumn(c, F.lit(None).cast(ptypes.get(c, "string")))
         return base.where(F.lit(False))
     out = None
     for key, fs in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-        df = spark.read.parquet(*fs)
+        df = reader.parquet(*fs)
         for c, v in zip(part_by, key):
             df = df.withColumn(c, F.lit(v).cast(ptypes.get(c, "string")))
-        out = df if out is None else out.unionByName(df)
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=evolved)
     return out
 
 
@@ -282,10 +316,13 @@ def compact(spark: SparkSession, table_dir: str,
     n = target_files or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part_by = m.get("partition_by")
     df = df.repartition(n, *part_by) if part_by else df.repartition(n)
-    files, rows, sid, fparts, ptypes = _write_snapshot_files(
+    files, rows, sid, fparts, ptypes, schema = _write_snapshot_files(
         df, table_dir, part_by)
-    extra = ({"partition_by": part_by, "file_partitions": fparts,
-              "partition_types": ptypes} if part_by else {})
+    # a compact rewrite unifies file schemas: evolved flag resets
+    extra = {"schema": schema}
+    if part_by:
+        extra.update({"partition_by": part_by, "file_partitions": fparts,
+                      "partition_types": ptypes})
     return _commit(table_dir, files, "compact", rows,
                    m["version"], sid, None, extra)
 

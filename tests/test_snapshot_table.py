@@ -180,3 +180,48 @@ def test_compact_shrinks_files_preserves_rows_and_partitions(spark, tmp_path):
     assert T.read(spark, d, version=v - 1).count() == 10
     removed = T.expire_snapshots(d, keep_last=1)
     assert removed and T.read(spark, d).count() == 10
+
+
+def test_schema_evolution_add_drop_columns(spark, tmp_path):
+    """Appending with an added column is legal evolution: old files read
+    with nulls for the new column (mergeSchema), time travel shows the old
+    schema, compact unifies, and a type change is refused."""
+    d = str(tmp_path / "etbl")
+    T.append(_df(spark, [1, 2]), d)                       # k, v
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"k": [3], "v": [30], "w": ["x"]}))  # + w
+    T.append(df2, d)
+    cur = T.read(spark, d)
+    assert set(cur.columns) == {"k", "v", "w"}
+    got = {r["k"]: r["w"] for r in cur.collect()}
+    assert got == {1: None, 2: None, 3: "x"}
+    # time travel: v1 still has the ORIGINAL two-column schema
+    assert set(T.read(spark, d, version=1).columns) == {"k", "v"}
+    # dropping a column on a later append also reads merged
+    df3 = spark.createDataFrame(pd.DataFrame({"k": [4], "v": [40]}))
+    T.append(df3, d)
+    assert T.read(spark, d).where("k = 4").collect()[0]["w"] is None
+    # compact unifies file schemas and clears the evolved flag
+    T.compact(spark, d, target_files=1)
+    assert not T.read_manifest(d).get("schema_evolved")
+    assert T.read(spark, d).count() == 4
+    # type change refused
+    bad = spark.createDataFrame(pd.DataFrame({"k": ["oops"], "v": [1]}))
+    with pytest.raises(ValueError, match="changes type"):
+        T.append(bad, d)
+
+
+def test_schema_evolution_partitioned(spark, tmp_path):
+    d = str(tmp_path / "eptbl")
+    T.append(spark.createDataFrame(
+        pd.DataFrame({"pred": ["A"], "n": [1]})), d, partition_by=["pred"])
+    T.append(spark.createDataFrame(
+        pd.DataFrame({"pred": ["A", "B"], "n": [2, 3], "score": [0.5, 0.7]})),
+        d, partition_by=["pred"])
+    cur = T.read(spark, d)
+    assert set(cur.columns) == {"pred", "n", "score"}
+    rows = {r["n"]: r["score"] for r in cur.collect()}
+    assert rows == {1: None, 2: 0.5, 3: 0.7}
+    # pruning still exact under evolution
+    a = T.read(spark, d, partition_filter={"pred": "A"})
+    assert sorted(r["n"] for r in a.collect()) == [1, 2]
