@@ -149,7 +149,56 @@ def _write_snapshot_files(df: DataFrame, table_dir: str,
                for f in df.schema.fields if f.name in (partition_by or [])}
               if partition_by else {})
     schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
-    return files, rows, sid, fparts, ptypes, schema
+    fstats = {f: _file_column_stats(f) for f in files}
+    return files, rows, sid, fparts, ptypes, schema, fstats
+
+
+# Only orderable primitive parquet types participate in min/max skipping.
+_STATS_TYPES = ("INT32", "INT64", "FLOAT", "DOUBLE", "BYTE_ARRAY")
+
+
+def _file_column_stats(path: str) -> dict:
+    """Per-file column min/max from the parquet footer (pyarrow): the
+    Iceberg manifest's data-skipping stats. Strings are truncated to 64
+    chars — a truncated UPPER bound is rounded up so it stays a valid
+    bound. Columns with missing stats are omitted (never skipped on)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    mins: dict = {}
+    maxs: dict = {}
+    ok: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested: no file-level skipping
+            st = col.statistics
+            if (st is None or not st.has_min_max
+                    or st.physical_type not in _STATS_TYPES):
+                ok[name] = False
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except UnicodeDecodeError:
+                    ok[name] = False
+                    continue
+            if isinstance(lo, str) and len(lo) > 64:
+                lo = lo[:64]
+            if isinstance(hi, str) and len(hi) > 64:
+                hi = hi[:64] + "￿"  # keep it an upper bound
+            ok.setdefault(name, True)
+            if not ok[name]:
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins if ok.get(c)}
 
 
 def _check_partition_compat(parent_manifest: dict | None,
@@ -194,11 +243,11 @@ def overwrite(df: DataFrame, table_dir: str,
     parent = current_version(table_dir)
     pm = read_manifest(table_dir, parent) if parent is not None else None
     _check_partition_compat(pm, partition_by)
-    files, rows, sid, fparts, ptypes, schema = _write_snapshot_files(
+    files, rows, sid, fparts, ptypes, schema, fstats = _write_snapshot_files(
         df, table_dir, partition_by)
     _schema_evolution(pm, schema, keeps_parent_files=False)
     props = dict(properties or {})
-    extra = {"schema": schema}
+    extra = {"schema": schema, "file_stats": fstats}
     if partition_by:
         extra.update({"partition_by": list(partition_by),
                       "file_partitions": fparts,
@@ -222,10 +271,12 @@ def append(df: DataFrame, table_dir: str,
         base_files, base_rows = pm["files"], pm["row_count"]
         base_fparts = pm.get("file_partitions", {})
     _check_partition_compat(pm, partition_by)
-    files, rows, sid, fparts, ptypes, schema = _write_snapshot_files(
+    files, rows, sid, fparts, ptypes, schema, fstats = _write_snapshot_files(
         df, table_dir, partition_by)
     evolved = _schema_evolution(pm, schema, keeps_parent_files=bool(base_files))
-    extra = {"schema": schema, "schema_evolved": evolved}
+    extra = {"schema": schema, "schema_evolved": evolved,
+             "file_stats": {**(pm.get("file_stats", {}) if pm else {}),
+                            **fstats}}
     if partition_by:
         extra.update({"partition_by": list(partition_by),
                       "file_partitions": {**base_fparts, **fparts},
@@ -241,7 +292,7 @@ def rollback(table_dir: str, version: int) -> int:
     m = read_manifest(table_dir, version)
     extra = {k: m[k] for k in
              ("partition_by", "file_partitions", "partition_types",
-              "schema", "schema_evolved")
+              "schema", "schema_evolved", "file_stats")
              if k in m}
     return _commit(table_dir, m["files"], f"rollback[v{version}]",
                    m["row_count"], current_version(table_dir),
@@ -250,7 +301,8 @@ def rollback(table_dir: str, version: int) -> int:
 
 def read(spark: SparkSession, table_dir: str,
          version: int | None = None,
-         partition_filter: dict | None = None) -> DataFrame:
+         partition_filter: dict | None = None,
+         range_filter: dict | None = None) -> DataFrame:
     """Scan the table at a snapshot (default: latest). The manifest only
     selects files; the result is a plain parquet scan with full pushdown.
 
@@ -258,7 +310,13 @@ def read(spark: SparkSession, table_dir: str,
     dirs parsed at commit), so ``partition_filter={"pred": "MAPS_TO"}``
     prunes to the matching files before any I/O — manifest-level partition
     pruning, the Iceberg read path. Partition columns are re-attached as
-    typed literals per file group."""
+    typed literals per file group.
+
+    ``range_filter={"col": (lo, hi)}`` (either bound None for open) skips
+    files whose manifest min/max stats cannot intersect the range — the
+    Iceberg data-skipping move. It PRUNES ONLY; apply the real predicate
+    with .where() on the result (the caller keeps exact semantics, the
+    manifest just shrinks the scan)."""
     from pyspark.sql import functions as F
 
     m = read_manifest(table_dir, version)
@@ -268,10 +326,13 @@ def read(spark: SparkSession, table_dir: str,
     evolved = bool(m.get("schema_evolved"))
     reader = (spark.read.option("mergeSchema", "true") if evolved
               else spark.read)
+    live = _skip_by_stats(m, range_filter)
     if not part_by:
         if partition_filter:
             raise ValueError("partition_filter on an unpartitioned table")
-        return reader.parquet(*m["files"])
+        if not live:
+            return reader.parquet(m["files"][0]).where(F.lit(False))
+        return reader.parquet(*live)
     fparts = m["file_partitions"]
     ptypes = m.get("partition_types", {})
 
@@ -280,7 +341,7 @@ def read(spark: SparkSession, table_dir: str,
                    for c, v in (partition_filter or {}).items())
 
     groups: dict[tuple, list[str]] = {}
-    for f in m["files"]:
+    for f in live:
         vals = fparts.get(f, {})
         if not matches(vals):
             continue
@@ -302,6 +363,29 @@ def read(spark: SparkSession, table_dir: str,
     return out
 
 
+def _skip_by_stats(manifest: dict, range_filter: dict | None) -> list[str]:
+    """Files whose recorded min/max could intersect every requested range;
+    files with no stats for a filtered column are conservatively kept."""
+    files = manifest["files"]
+    if not range_filter:
+        return list(files)
+    fstats = manifest.get("file_stats", {})
+    out = []
+    for f in files:
+        st = fstats.get(f, {})
+        keep = True
+        for col, (lo, hi) in range_filter.items():
+            if col not in st:
+                continue  # no stats: cannot skip
+            fmin, fmax = st[col]
+            if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
 def compact(spark: SparkSession, table_dir: str,
             target_files: int | None = None) -> int:
     """Rewrite the current snapshot's data into fewer, larger files and
@@ -316,10 +400,10 @@ def compact(spark: SparkSession, table_dir: str,
     n = target_files or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part_by = m.get("partition_by")
     df = df.repartition(n, *part_by) if part_by else df.repartition(n)
-    files, rows, sid, fparts, ptypes, schema = _write_snapshot_files(
+    files, rows, sid, fparts, ptypes, schema, fstats = _write_snapshot_files(
         df, table_dir, part_by)
     # a compact rewrite unifies file schemas: evolved flag resets
-    extra = {"schema": schema}
+    extra = {"schema": schema, "file_stats": fstats}
     if part_by:
         extra.update({"partition_by": part_by, "file_partitions": fparts,
                       "partition_types": ptypes})
