@@ -128,3 +128,25 @@ def test_bpe_model_roundtrip(spark, tmp_path):
     a = B.apply_bpe(df, merges).toPandas().set_index("doc_id")["bpe_token_count"]
     b = B.apply_bpe(df, loaded).toPandas().set_index("doc_id")["bpe_token_count"]
     assert (a == b).all()
+
+
+def test_driver_learn_incremental_equals_full_recount_randomized():
+    """The incremental-pair-statistics driver loop must equal the O(V)
+    full-recount reference on randomized corpora — overlapping pairs
+    (aaa), words collapsing to the same key, and single-char words are
+    where incremental updates typically go wrong. Pure Python, no Spark."""
+    import random
+
+    for seed in range(12):
+        rng = random.Random(seed)
+        alphabet = "abc"
+        words = {}
+        for _ in range(rng.randint(5, 40)):
+            w = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 7)))
+            words[w] = words.get(w, 0) + rng.randint(1, 9)
+        texts = [" ".join(w for w, f in words.items() for _ in range(f))]
+        got = B._driver_learn(sorted(words.items()), n_merges=30,
+                              min_pair_freq=2)
+        want = _naive_learn(texts, 30)
+        assert got == want, (seed, got, want)
