@@ -2440,8 +2440,52 @@ HAVING count(*) >= 3
 """
 
 
+def q68_sam_dstats(spark, sf):
+    """SAM moderated-t kernel (operators/analytics._sam_d_stats — the
+    statistic run_samr and samr_delta_table band over): with a FIXED
+    s0 the whole thing is aggregation algebra, so it value-checks against
+    SQL exactly. Two groups from user_id parity over events; d and se
+    rounded to 6 decimals for cross-engine float agreement."""
+    from .operators.analytics import _sam_d_stats
+
+    e = _t(spark, sf, "events")
+    long = e.select(
+        F.concat(F.lit("g"), (F.col("user_id") % 2).cast("string")).alias("group"),
+        F.col("event_type").alias("feature"),
+        F.col("value"),
+    ).where(F.col("value").isNotNull())
+    out = _sam_d_stats(long, "g0", "g1", 0.1)
+    return out.select(
+        "feature", F.round("se", 6).alias("se"), F.round("d", 6).alias("d"))
+
+
+Q68_SQL = """
+WITH long AS (
+  SELECT 'g' || CAST(user_id % 2 AS VARCHAR) AS grp,
+         event_type AS feature, value
+  FROM events WHERE value IS NOT NULL),
+stats AS (
+  SELECT feature,
+         avg(CASE WHEN grp = 'g0' THEN value END) ma,
+         avg(CASE WHEN grp = 'g1' THEN value END) mb,
+         var_samp(CASE WHEN grp = 'g0' THEN value END) va,
+         var_samp(CASE WHEN grp = 'g1' THEN value END) vb,
+         count(CASE WHEN grp = 'g0' THEN 1 END) na,
+         count(CASE WHEN grp = 'g1' THEN 1 END) nb
+  FROM long GROUP BY feature
+  HAVING count(CASE WHEN grp = 'g0' THEN 1 END) >= 2
+     AND count(CASE WHEN grp = 'g1' THEN 1 END) >= 2)
+SELECT feature,
+       round(sqrt(((na-1)*va + (nb-1)*vb) / (na+nb-2) * (1.0/na + 1.0/nb)), 6) AS se,
+       round((ma - mb) / (sqrt(((na-1)*va + (nb-1)*vb) / (na+nb-2)
+             * (1.0/na + 1.0/nb)) + 0.1), 6) AS d
+FROM stats
+"""
+
+
 QUERIES.update({
     "q65_wgcna_modules": (q65_wgcna_modules, Q65_SQL),
     "q66_tom_similarity": (q66_tom_similarity, Q66_SQL),
     "q67_word_frequencies": (q67_word_frequencies, Q67_SQL),
+    "q68_sam_dstats": (q68_sam_dstats, Q68_SQL),
 })

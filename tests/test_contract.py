@@ -29,7 +29,7 @@ EXPECTED_NAMES = {
     "q58_language_id", "q59_curation_pipeline", "q60_knowledge_assembly",
     "q61_contamination_report", "q62_unigram_logprob", "q63_levene_w",
     "q64_effect_sizes", "q65_wgcna_modules", "q66_tom_similarity",
-    "q67_word_frequencies",
+    "q67_word_frequencies", "q68_sam_dstats",
 }
 
 ROWS_ONLY = {"q33_simhash_pairs", "q56_louvain_communities"}
@@ -37,7 +37,7 @@ ROWS_ONLY = {"q33_simhash_pairs", "q56_louvain_communities"}
 
 def test_registry_names_stable():
     assert set(DC.queries_dict()) == EXPECTED_NAMES
-    assert len(DC.queries_dict()) == 67
+    assert len(DC.queries_dict()) == 68
 
 
 def test_oracle_coverage_complete_except_declared_rows_only():
