@@ -378,9 +378,13 @@ def _skip_by_stats(manifest: dict, range_filter: dict | None) -> list[str]:
             if col not in st:
                 continue  # no stats: cannot skip
             fmin, fmax = st[col]
-            if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
-                keep = False
-                break
+            try:
+                if ((hi is not None and fmin > hi)
+                        or (lo is not None and fmax < lo)):
+                    keep = False
+                    break
+            except TypeError:
+                continue  # bound/stat type mismatch: keep conservatively
         if keep:
             out.append(f)
     return out

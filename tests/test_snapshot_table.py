@@ -294,3 +294,14 @@ def test_range_filter_data_skipping(spark, tmp_path):
     zz = T.read(spark, d2, range_filter={"pred": ("Y", None)})
     assert len(zz.inputFiles()) < len(T.read(spark, d2).inputFiles())
     assert sorted(r["n"] for r in zz.collect()) == [3, 4]
+
+
+def test_range_filter_type_mismatch_keeps_files(spark, tmp_path):
+    """A filter bound whose type cannot compare with the recorded stats
+    (int bound vs string column) must keep files, never raise or
+    wrongly skip."""
+    d = str(tmp_path / "mtbl")
+    T.append(spark.createDataFrame(
+        pd.DataFrame({"pred": ["AAA", "BBB"], "n": [1, 2]})), d)
+    out = T.read(spark, d, range_filter={"pred": (5, 10)})
+    assert out.count() == 2
