@@ -158,19 +158,25 @@ def _distributed_merge_rounds(wf: DataFrame, n_merges: int,
     merges: list = []
     for _ in range(n_merges):
         n = F.size("syms")
+        # Tie-break on the STRUCTURED pair (left, right), matching the
+        # driver path's tuple comparison exactly. Ordering on a
+        # concat_ws(" ", ...) string diverges when a symbol contains a
+        # code point below 0x20 (the [^a-zA-Z0-9\s] pre-token class admits
+        # non-whitespace control chars, which sort before the separator).
         pairs = words.where(n >= 2).select(
             "freq",
             F.explode(
                 F.zip_with(
                     F.slice("syms", 1, n - 1),
                     F.slice("syms", 2, n - 1),
-                    lambda a, b: F.concat_ws(" ", a, b))
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")))
             ).alias("pair"))
         top = (pairs.groupBy("pair").agg(F.sum("freq").alias("c"))
-               .orderBy(F.desc("c"), F.asc("pair")).limit(1).collect())
+               .orderBy(F.desc("c"), F.asc("pair.l"), F.asc("pair.r"))
+               .limit(1).collect())
         if not top or top[0]["c"] < min_pair_freq:
             break
-        a, b = top[0]["pair"].split(" ", 1)
+        a, b = top[0]["pair"]["l"], top[0]["pair"]["r"]
         merges.append((a, b))
 
         def subst(batches: Iterator[pd.DataFrame], pa=a, pb=b) -> Iterator[pd.DataFrame]:

@@ -752,9 +752,16 @@ def affinity_propagation(edges: DataFrame, weight_col: str | None = None,
     idx = {n: i for i, n in enumerate(nodes)}
     n = len(nodes)
     S = np.zeros((n, n))
+    # _sym_weighted aggregates DIRECTED (a,b), so (A,B) and (B,A) may both
+    # arrive carrying partial sums of the same undirected relation (louvain
+    # contraction emits exactly that shape). Accumulate — assignment would
+    # let whichever row collects last overwrite the other direction,
+    # making S depend on collect order.
     for r in rows:
         i, j = idx[r["a"]], idx[r["b"]]
-        S[i, j] = S[j, i] = float(r["w"])
+        w = float(r["w"])
+        S[i, j] += w
+        S[j, i] += w
     pref = float(np.median(S)) if preference is None else float(preference)
     np.fill_diagonal(S, pref)
     # deterministic symmetry-breaking noise, as sklearn does (fixed seed)

@@ -101,14 +101,22 @@ def _commit(table_dir: str, files: list[str], operation: str, rows: int,
         "files": files,
     }
     mp = _manifest_path(table_dir, version)
-    if os.path.exists(mp):
-        raise RuntimeError(
-            f"concurrent commit detected: {mp} already exists "
-            "(optimistic concurrency: retry from the new latest)")
     tmp = mp + f".tmp-{snapshot_id}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, mp)
+    # The filesystem enforces exactly-one-winner: link(2) fails with EEXIST
+    # if another writer already committed this version — check-then-act
+    # (os.path.exists + replace) would let the second writer clobber the
+    # first's manifest. This is the local-FS rendition of the catalog's
+    # atomic compare-and-swap.
+    try:
+        os.link(tmp, mp)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit detected: {mp} already exists "
+            "(optimistic concurrency: retry from the new latest)")
+    finally:
+        os.unlink(tmp)
     ptr_tmp = _latest_path(table_dir) + f".tmp-{snapshot_id}"
     with open(ptr_tmp, "w") as f:
         f.write(str(version))
@@ -157,6 +165,22 @@ def _write_snapshot_files(df: DataFrame, table_dir: str,
 _STATS_TYPES = ("INT32", "INT64", "FLOAT", "DOUBLE", "BYTE_ARRAY")
 
 
+def _round_up_truncated(prefix: str) -> str | None:
+    """Smallest-effort string strictly greater than every string starting
+    with ``prefix``: increment the rightmost incrementable code point and
+    drop what follows (Iceberg's truncate-and-increment upper bound).
+    Skips the surrogate block (unencodable in JSON/UTF-8). Returns None
+    when every code point is already U+10FFFF."""
+    chars = list(prefix)
+    for i in range(len(chars) - 1, -1, -1):
+        nxt = ord(chars[i]) + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000
+        if nxt <= 0x10FFFF:
+            return "".join(chars[:i]) + chr(nxt)
+    return None
+
+
 def _file_column_stats(path: str) -> dict:
     """Per-file column min/max from the parquet footer (pyarrow): the
     Iceberg manifest's data-skipping stats. Strings are truncated to 64
@@ -190,9 +214,18 @@ def _file_column_stats(path: str) -> dict:
                     ok[name] = False
                     continue
             if isinstance(lo, str) and len(lo) > 64:
-                lo = lo[:64]
+                lo = lo[:64]  # a prefix is always a valid lower bound
             if isinstance(hi, str) and len(hi) > 64:
-                hi = hi[:64] + "￿"  # keep it an upper bound
+                # Iceberg-style upper-bound truncation: increment the last
+                # incrementable code point of the prefix. Appending U+FFFF
+                # would UNDERESTIMATE the max for strings whose char at the
+                # truncation point is astral (> U+FFFF), silently skipping
+                # matching files. If no code point is incrementable, omit
+                # stats (never skip on them).
+                hi = _round_up_truncated(hi[:64])
+                if hi is None:
+                    ok[name] = False
+                    continue
             ok.setdefault(name, True)
             if not ok[name]:
                 continue
@@ -415,17 +448,35 @@ def compact(spark: SparkSession, table_dir: str,
                    m["version"], sid, None, extra)
 
 
-def snapshots(table_dir: str) -> list[dict]:
-    """Snapshot log, oldest first (version, operation, rows, files, parent)."""
+def _manifest_versions(table_dir: str) -> list[int]:
+    """Every committed manifest version present on disk, ascending.
+    Enumerated by listing meta/v*.json — NOT by walking up from v=1, which
+    would stop at the first gap ``expire_snapshots`` leaves and hide every
+    live snapshot after it (breaking the streaming batch_id replay guard
+    and pipeline source_out_dir dedupe that scan snapshot properties)."""
+    md = _meta_dir(table_dir)
+    if not os.path.isdir(md):
+        return []
     out = []
-    v = 1
-    while os.path.exists(_manifest_path(table_dir, v)):
+    for fn in os.listdir(md):
+        if fn.startswith("v") and fn.endswith(".json"):
+            try:
+                out.append(int(fn[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def snapshots(table_dir: str) -> list[dict]:
+    """Snapshot log, oldest first (version, operation, rows, files, parent).
+    Survives expiry gaps: versions come from the on-disk manifest listing."""
+    out = []
+    for v in _manifest_versions(table_dir):
         m = read_manifest(table_dir, v)
         out.append({k: m.get(k) for k in
                     ("version", "snapshot_id", "operation", "parent_version",
                      "committed_at", "row_count", "file_count",
                      "properties")})
-        v += 1
     return out
 
 
@@ -435,17 +486,17 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
     latest = current_version(table_dir)
     if latest is None:
         return []
-    keep_versions = set(range(max(1, latest - keep_last + 1), latest + 1))
+    present = _manifest_versions(table_dir)
+    keep_versions = set(present[-keep_last:]) if keep_last > 0 else set()
+    keep_versions.add(latest)  # never drop the pointer target
     live: set = set()
     for v in keep_versions:
         live.update(read_manifest(table_dir, v)["files"])
     removed = []
-    v = 1
-    while os.path.exists(_manifest_path(table_dir, v)):
+    for v in present:
         if v not in keep_versions:
             os.remove(_manifest_path(table_dir, v))
             removed.append(_manifest_path(table_dir, v))
-        v += 1
     data_root = os.path.join(table_dir, "data")
     for f in _list_parquet_files(data_root) if os.path.isdir(data_root) else []:
         if f not in live:

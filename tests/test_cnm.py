@@ -203,3 +203,33 @@ def test_refine_communities_ap(spark, two_cliques):
                 edges, "affinity_propagation", preference=0.1).collect()}
     assert len({part[n] for n in na}) == 1
     assert len({part[n] for n in nb}) == 1
+
+
+def test_affinity_propagation_bidirectional_rows_accumulate(spark):
+    """Louvain contraction emits BOTH (A,B) and (B,A) carrying partial
+    sums of the same undirected weight. The densified S must accumulate
+    them — overwriting would make S depend on collect order and lose
+    half the weight (round-4 ADVICE item)."""
+    blocks = []
+    for ns in (["a0", "a1", "a2"], ["b0", "b1", "b2"]):
+        for i in range(3):
+            for j in range(i + 1, 3):
+                blocks.append((ns[i], ns[j], 10.0))
+    blocks.append(("a0", "b0", 0.5))
+    canonical = pd.DataFrame(blocks, columns=["subj", "obj", "weight"])
+    # same graph, every weight split into two directed partial sums
+    split = pd.DataFrame(
+        [(s, o, w * 0.25) for s, o, w in blocks]
+        + [(o, s, w * 0.75) for s, o, w in blocks],
+        columns=["subj", "obj", "weight"])
+    got_c = {r["id"]: r["community"]
+             for r in G.affinity_propagation(
+                 spark.createDataFrame(canonical),
+                 weight_col="weight").collect()}
+    got_s = {r["id"]: r["community"]
+             for r in G.affinity_propagation(
+                 spark.createDataFrame(split),
+                 weight_col="weight").collect()}
+    assert got_c == got_s
+    assert len({got_s[n] for n in ("a0", "a1", "a2")}) == 1
+    assert got_s["a0"] != got_s["b0"]
