@@ -172,18 +172,43 @@ def dedup_minhash_lsh(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def _md5_64(col):
+    """First 64 bits of md5 as a signed long (two 32-bit hex halves; the
+    high half's shiftleft wraps into the sign bit, preserving the exact
+    bit pattern). Exists so the simhash family has a hash both Spark and
+    DuckDB can compute bit-identically (`md5` is in both engines;
+    `xxhash64` is Spark-only) — the q33 value-checked oracle runs on this
+    variant while production defaults to the faster xxhash64."""
+    hx = F.md5(col)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per doc, as a JVM fold over distinct token hashes.
 
     bit_i(sig) = sign of sum over tokens of (+1 if bit_i(hash(token)) else -1).
+
+    ``hash_fn``: 'xxhash64' (default, fastest) or 'md5' (first 64 md5
+    bits — bit-identical in DuckDB, so results are exactly oracle-able).
+    The sketch's near-dup properties are identical: both are uniform
+    64-bit hashes; only the concrete bit patterns differ.
     """
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("tok")
+    elif hash_fn == "md5":
+        h = _md5_64(F.col("tok"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64|md5)")
     toks = (
         normalized_doc(df, id_col, text_col)
         .select("doc_id", F.explode(F.split("norm", " ")).alias("tok"))
         .where(F.col("tok") != "")
         .distinct()
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", h)
     )
     packed = toks.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
     return packed.select(
@@ -202,7 +227,8 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       max_hamming: int = 3, bucket_cap: int = 200,
-                      metrics: dict | None = None) -> DataFrame:
+                      metrics: dict | None = None,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (any pair within
     hamming distance <= 3 shares at least one identical chunk), verify exact
     hamming distance JVM-side.
@@ -217,7 +243,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     actions, per the round-2 verdict). Recall note: a dropped bucket can only
     lose pairs whose OTHER three chunks all differ — i.e. boilerplate floods —
     the exact-hamming verify keeps precision at 1.0 regardless."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn)
     chunks = sigs.select(
         "doc_id", "simhash",
         F.explode(

@@ -202,3 +202,35 @@ def test_contamination_large_benchmark_takes_shuffle_path(spark):
     # shares the shingles not containing its unique number token
     assert gated[0][0] == gated[0][1]
     assert 0 < gated[1][0] < gated[1][1]
+
+
+def test_simhash_md5_variant_matches_xxhash64_pairs(spark):
+    """The md5 hash variant (q33's oracle-able form) and the xxhash64
+    production default must find the same near-dup pair set: the sketch
+    algebra is hash-agnostic, only bit patterns differ. Exact copies are
+    hamming-0 under ANY hash; supersets land within the loose radius for
+    both uniform 64-bit hashes on these fixtures."""
+    df, _ = _corpus(spark, seed=23, n=40)
+    px = {(int(r["doc_a"]), int(r["doc_b"]))
+          for r in D.simhash_near_dups(df, max_hamming=0).collect()}
+    pm = {(int(r["doc_a"]), int(r["doc_b"]))
+          for r in D.simhash_near_dups(df, max_hamming=0,
+                                       hash_fn="md5").collect()}
+    assert px == pm and px  # hamming-0 (identical text) is hash-invariant
+
+
+def test_md5_64_bit_pattern(spark):
+    """_md5_64 packs the first 16 md5 hex chars as bits 63..0 (chars 1-8
+    high, 9-16 low) — pinned against a hand-computed value so the DuckDB
+    oracle's nibble indexing stays in sync."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    word = "transcript"
+    expect = int(hashlib.md5(word.encode()).hexdigest()[:16], 16)
+    if expect >= 1 << 63:
+        expect -= 1 << 64  # signed long wrap
+    got = (spark.range(1).select(
+        D._md5_64(F.lit(word)).alias("h")).collect()[0]["h"])
+    assert got == expect

@@ -389,3 +389,61 @@ def test_round_up_truncated_unit():
     s = "x" * 63 + "\U0001F600"
     up = T._round_up_truncated(s)
     assert up > s and json.dumps(up)
+
+
+def test_concurrent_writers_across_real_processes(tmp_path):
+    """Round-4 verdict item 6: two SEPARATE OS processes race a commit at
+    the same parent version. The filesystem (link EEXIST) must let exactly
+    one win v1; the loser sees the RuntimeError and its retry-from-latest
+    lands v2. Deterministic: both workers target parent=0 explicitly, so
+    even under arbitrary scheduling exactly one conflict occurs. _commit
+    is pure file ops — no Spark session needed in the workers."""
+    import subprocess
+    import sys
+    import time
+
+    d = str(tmp_path / "tbl")
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as f:
+        f.write(
+            "import sys, os, time\n"
+            "sys.path.insert(0, sys.argv[3])\n"
+            "from ckg_spark.plans import table as T\n"
+            "d, tag = sys.argv[1], sys.argv[2]\n"
+            "go = os.path.join(d, '..', 'go')\n"
+            "while not os.path.exists(go):\n"
+            "    time.sleep(0.001)\n"
+            "conflicts = 0\n"
+            "parent = 0\n"
+            "while True:\n"
+            "    try:\n"
+            "        v = T._commit(d, [tag + '.parquet'], 'append', 1,\n"
+            "                      parent if parent else None, tag)\n"
+            "        break\n"
+            "    except RuntimeError:\n"
+            "        conflicts += 1\n"
+            "        parent = T.current_version(d)\n"
+            "print(f'{tag} won v{v} after {conflicts} conflicts')\n")
+    import ckg_spark
+
+    repo = os.path.dirname(os.path.dirname(ckg_spark.__file__))
+    os.makedirs(d, exist_ok=True)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, d, tag, repo],
+        stdout=subprocess.PIPE, text=True) for tag in ("alpha", "beta")]
+    time.sleep(0.3)  # both workers importing/polling
+    with open(os.path.join(str(tmp_path), "go"), "w") as f:
+        f.write("1")
+    outs = [p.communicate(timeout=30)[0].strip() for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    wins = dict(o.split(" won ") for o in outs)
+    versions = {w.split(" after ")[0] for w in wins.values()}
+    assert versions == {"v1", "v2"}, outs
+    # exactly one process paid exactly one conflict
+    assert sorted(int(w.split(" after ")[1].split()[0])
+                  for w in wins.values()) == [0, 1], outs
+    log = T.snapshots(d)
+    assert [s["version"] for s in log] == [1, 2]
+    assert {s["snapshot_id"] for s in log} == {"alpha", "beta"}
+    # the loser's retry chained onto the winner: no lost commit
+    assert T.read_manifest(d, 2)["parent_version"] == 1
