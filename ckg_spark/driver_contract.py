@@ -2563,3 +2563,65 @@ QUERIES.update({
     "q67_word_frequencies": (q67_word_frequencies, Q67_SQL),
     "q68_sam_dstats": (q68_sam_dstats, Q68_SQL),
 })
+
+
+def q69_sampled_frame_features(spark, sf):
+    """frame_sample composed with per-frame random-access decode END TO END
+    (round-4 verdict item 8): a deterministic Y4M corpus is synthesized
+    from the documents table (one 8x8 C420 video per doc, 3 + doc_id%4
+    frames; frame k's luma plane is half (7*doc_id+13*k)%256, half
+    (11*doc_id+17*k)%256), then `sampled_frame_features` expands sampled
+    frame indexes JVM-side and decodes ONLY those frames via
+    `decode_y4m_frame` byte-offset random access. The half/half plane makes
+    mean and population std EXACT doubles ((a+b)/2, |a-b|/2 — sums and
+    squares stay integer-representable, IEEE sqrt of an exact square is
+    exact), so the oracle is closed-form SQL with no rounding."""
+    from .operators import multimodal as MM
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as _pd
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 4
+                buf = bytearray(b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420\n")
+                for k in range(n):
+                    a = (did * 7 + k * 13) % 256
+                    b = (did * 11 + k * 17) % 256
+                    buf += b"FRAME\n"
+                    buf += bytes([a]) * 32 + bytes([b]) * 32   # 8x8 luma
+                    buf += b"\x80" * 32                        # C420 chroma
+                rows.append((did, "video", bytes(buf), {"frames": str(n)}))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = docs.mapInPandas(
+        gen, schema=("media_id long, kind string, payload binary, "
+                     "meta map<string,string>"))
+    out = MM.sampled_frame_features(media, every_n=2)
+    return out.select("media_id", "frame_idx", "luma_mean", "luma_std")
+
+
+Q69_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         unnest(generate_series(0, 3 + doc_id % 4 - 1, 2)) AS frame_idx
+  FROM documents),
+v AS (
+  SELECT doc_id AS media_id, frame_idx,
+         (doc_id * 7 + frame_idx * 13) % 256 AS a,
+         (doc_id * 11 + frame_idx * 17) % 256 AS b
+  FROM f)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       (a + b) / 2.0 AS luma_mean,
+       abs(a - b) / 2.0 AS luma_std
+FROM v
+"""
+
+
+QUERIES.update({
+    "q69_sampled_frame_features": (q69_sampled_frame_features, Q69_SQL),
+})

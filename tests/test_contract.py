@@ -29,7 +29,7 @@ EXPECTED_NAMES = {
     "q58_language_id", "q59_curation_pipeline", "q60_knowledge_assembly",
     "q61_contamination_report", "q62_unigram_logprob", "q63_levene_w",
     "q64_effect_sizes", "q65_wgcna_modules", "q66_tom_similarity",
-    "q67_word_frequencies", "q68_sam_dstats",
+    "q67_word_frequencies", "q68_sam_dstats", "q69_sampled_frame_features",
 }
 
 # Round 5: zero rows-only entries remain — q33 runs the md5 hash variant
@@ -40,7 +40,7 @@ ROWS_ONLY: set = set()
 
 def test_registry_names_stable():
     assert set(DC.queries_dict()) == EXPECTED_NAMES
-    assert len(DC.queries_dict()) == 68
+    assert len(DC.queries_dict()) == 69
 
 
 def test_oracle_coverage_complete_except_declared_rows_only():
