@@ -2625,3 +2625,45 @@ FROM v
 QUERIES.update({
     "q69_sampled_frame_features": (q69_sampled_frame_features, Q69_SQL),
 })
+
+
+def q70_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs through the REAL LSH-bucketed
+    operator (`similarity.embedding_near_dups` — random-hyperplane buckets
+    + exact cosine verify), value-checked exactly: the corpus is the
+    embeddings table unioned with a planted scaled copy (vec_id+100000,
+    2*v). Scaling preserves direction, so sign(2v.p) = sign(v.p) for every
+    hyperplane — each planted pair lands in its own pair's bucket BY
+    CONSTRUCTION (LSH recall provably 1.0 here), and cos(v, 2v) == the
+    engine's cos(v, v) (exact *2 scalings of numerator and denominator).
+    Background pairs top out at cosine 0.52 on this data, so threshold
+    0.99 admits exactly the 500 planted pairs with a ~0.47 margin — no
+    float-boundary membership risk between engines; values rounded 4dp
+    like q29."""
+    from .operators import similarity as S
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    scaled = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
+    corpus = e.unionByName(scaled)
+    out = S.embedding_near_dups(corpus, threshold=0.99, n_planes=12)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+Q70_SQL = """
+WITH c AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, [x * 2.0 FOR x IN embedding] FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+"""
+
+
+QUERIES.update({
+    "q70_embedding_neardup": (q70_embedding_neardup, Q70_SQL),
+})

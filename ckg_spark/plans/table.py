@@ -512,3 +512,28 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(p)
     return removed
+
+
+def incremental_files(table_dir: str, from_version: int | None,
+                      to_version: int | None = None) -> list[str]:
+    """Files ADDED between two snapshots — Iceberg's incremental append
+    scan. ``from_version=None`` means "from the beginning" (all files of
+    ``to_version``). Defined only over append-only history: if any
+    snapshot in (from, to] is not an append (overwrite/compact/rollback
+    rewrite the file set without adding logical rows), the delta is not
+    row-meaningful and this raises — re-baseline the consumer instead.
+    Raises FileNotFoundError when ``from_version``'s manifest has been
+    expired (the diff base is gone; re-baseline or expire less)."""
+    to_m = read_manifest(table_dir, to_version)
+    if from_version is None:
+        return list(to_m["files"])
+    from_m = read_manifest(table_dir, from_version)  # raises if expired
+    for v in _manifest_versions(table_dir):
+        if from_version < v <= to_m["version"]:
+            op = read_manifest(table_dir, v).get("operation", "")
+            if op != "append":
+                raise ValueError(
+                    f"incremental scan undefined across non-append snapshot "
+                    f"v{v} ({op}); re-baseline from v{v}")
+    base = set(from_m["files"])
+    return [f for f in to_m["files"] if f not in base]
