@@ -234,16 +234,31 @@ def _file_column_stats(path: str) -> dict:
     return {c: [mins[c], maxs[c]] for c in mins if ok.get(c)}
 
 
-def _check_partition_compat(parent_manifest: dict | None,
-                            partition_by: list[str] | None) -> None:
-    if parent_manifest is None:
-        return
-    prev = parent_manifest.get("partition_by") or None
-    cur = list(partition_by) if partition_by else None
-    if prev != cur:
-        raise ValueError(
-            f"partition spec mismatch: table is partitioned by {prev}, "
-            f"append/overwrite requested {cur}")
+def _partition_extra(pm: dict | None, partition_by: list[str] | None,
+                     fparts: dict, ptypes: dict,
+                     keeps_parent_files: bool,
+                     all_files: list[str]) -> dict:
+    """Partition metadata for a commit, with SPEC EVOLUTION (Iceberg
+    semantics): the new spec becomes the table's current ``partition_by``,
+    while every parent file keeps ITS OWN spec's partition values in
+    ``file_partitions`` — reads attach partition columns per file, so old
+    and new layouts coexist in one snapshot. ``partition_evolved`` marks a
+    snapshot whose live files carry differing partition-key sets (compact
+    rewrites under the current spec and clears it)."""
+    base_fparts = (pm.get("file_partitions", {})
+                   if pm and keeps_parent_files else {})
+    base_ptypes = pm.get("partition_types", {}) if pm else {}
+    merged_fparts = {**base_fparts, **fparts}
+    merged_ptypes = {**base_ptypes, **ptypes}
+    if not merged_fparts and not partition_by:
+        return {}
+    cur_keys = set(partition_by or [])
+    mixed = any(set(merged_fparts.get(f, {}).keys()) != cur_keys
+                for f in all_files)
+    return {"partition_by": list(partition_by) if partition_by else None,
+            "file_partitions": merged_fparts,
+            "partition_types": merged_ptypes,
+            "partition_evolved": mixed}
 
 
 def _schema_evolution(parent_manifest: dict | None, schema: list,
@@ -275,16 +290,14 @@ def overwrite(df: DataFrame, table_dir: str,
     """Replace the table contents in a new snapshot; returns the version."""
     parent = current_version(table_dir)
     pm = read_manifest(table_dir, parent) if parent is not None else None
-    _check_partition_compat(pm, partition_by)
     files, rows, sid, fparts, ptypes, schema, fstats = _write_snapshot_files(
         df, table_dir, partition_by)
     _schema_evolution(pm, schema, keeps_parent_files=False)
     props = dict(properties or {})
     extra = {"schema": schema, "file_stats": fstats}
-    if partition_by:
-        extra.update({"partition_by": list(partition_by),
-                      "file_partitions": fparts,
-                      "partition_types": ptypes})
+    extra.update(_partition_extra(pm, partition_by, fparts, ptypes,
+                                  keeps_parent_files=False,
+                                  all_files=files))
     return _commit(table_dir, files, "overwrite", rows, parent, sid,
                    props, extra)
 
@@ -297,23 +310,19 @@ def append(df: DataFrame, table_dir: str,
     its micro-batch id there to make replayed batches skippable."""
     parent = current_version(table_dir)
     base_files, base_rows = [], 0
-    base_fparts: dict = {}
     pm = None
     if parent is not None:
         pm = read_manifest(table_dir, parent)
         base_files, base_rows = pm["files"], pm["row_count"]
-        base_fparts = pm.get("file_partitions", {})
-    _check_partition_compat(pm, partition_by)
     files, rows, sid, fparts, ptypes, schema, fstats = _write_snapshot_files(
         df, table_dir, partition_by)
     evolved = _schema_evolution(pm, schema, keeps_parent_files=bool(base_files))
     extra = {"schema": schema, "schema_evolved": evolved,
              "file_stats": {**(pm.get("file_stats", {}) if pm else {}),
                             **fstats}}
-    if partition_by:
-        extra.update({"partition_by": list(partition_by),
-                      "file_partitions": {**base_fparts, **fparts},
-                      "partition_types": ptypes})
+    extra.update(_partition_extra(pm, partition_by, fparts, ptypes,
+                                  keeps_parent_files=bool(base_files),
+                                  all_files=base_files + files))
     return _commit(table_dir, base_files + files, "append",
                    base_rows + rows, parent, sid, properties, extra)
 
@@ -325,7 +334,7 @@ def rollback(table_dir: str, version: int) -> int:
     m = read_manifest(table_dir, version)
     extra = {k: m[k] for k in
              ("partition_by", "file_partitions", "partition_types",
-              "schema", "schema_evolved", "file_stats")
+              "partition_evolved", "schema", "schema_evolved", "file_stats")
              if k in m}
     return _commit(table_dir, m["files"], f"rollback[v{version}]",
                    m["row_count"], current_version(table_dir),
@@ -355,44 +364,70 @@ def read(spark: SparkSession, table_dir: str,
     m = read_manifest(table_dir, version)
     if not m["files"]:
         raise FileNotFoundError(f"snapshot v{m['version']} has no data files")
-    part_by = m.get("partition_by")
     evolved = bool(m.get("schema_evolved"))
     reader = (spark.read.option("mergeSchema", "true") if evolved
               else spark.read)
     live = _skip_by_stats(m, range_filter)
-    if not part_by:
+    fparts = m.get("file_partitions", {})
+    ptypes = m.get("partition_types", {})
+    # Spec evolution: each file carries ITS OWN spec's partition values.
+    # A file's partition columns are attached from the manifest; any other
+    # partition-era column is physically present in that file's data.
+    if not any(fparts.get(f) for f in m["files"]):
         if partition_filter:
             raise ValueError("partition_filter on an unpartitioned table")
         if not live:
             return reader.parquet(m["files"][0]).where(F.lit(False))
         return reader.parquet(*live)
-    fparts = m["file_partitions"]
-    ptypes = m.get("partition_types", {})
 
-    def matches(vals: dict) -> bool:
-        return all(vals.get(c) == (None if v is None else str(v))
-                   for c, v in (partition_filter or {}).items())
+    known = set(m.get("partition_by") or [])
+    for v in fparts.values():
+        known.update(v)
+    for c in (partition_filter or {}):
+        if c not in known:
+            raise ValueError(
+                f"partition_filter column {c!r} was never a partition "
+                f"column of this table (known: {sorted(known)})")
+
+    def file_ok(vals: dict) -> bool:
+        # prune only on columns THIS file's spec recorded; files from a
+        # spec without the column are kept and row-filtered exactly below
+        return all(vals[c] == (None if v is None else str(v))
+                   for c, v in (partition_filter or {}).items()
+                   if c in vals)
 
     groups: dict[tuple, list[str]] = {}
     for f in live:
         vals = fparts.get(f, {})
-        if not matches(vals):
+        if not file_ok(vals):
             continue
-        key = tuple(vals.get(c) for c in part_by)
-        groups.setdefault(key, []).append(f)
+        groups.setdefault(tuple(sorted(vals.items())), []).append(f)
+
+    def attach(df, items):
+        for c, v in items:
+            df = df.withColumn(c, F.lit(v).cast(ptypes.get(c, "string")))
+        return df
+
     if not groups:
-        # empty result with the right columns
-        base = reader.parquet(m["files"][0])
-        for c in part_by:
+        # empty result with the full column set of some live file's era
+        f0 = m["files"][0]
+        base = attach(reader.parquet(f0), sorted(fparts.get(f0, {}).items()))
+        for c in known - set(base.columns):
             base = base.withColumn(c, F.lit(None).cast(ptypes.get(c, "string")))
         return base.where(F.lit(False))
     out = None
     for key, fs in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-        df = reader.parquet(*fs)
-        for c, v in zip(part_by, key):
-            df = df.withColumn(c, F.lit(v).cast(ptypes.get(c, "string")))
+        df = attach(reader.parquet(*fs), key)
         out = df if out is None else out.unionByName(
             df, allowMissingColumns=evolved)
+    if partition_filter:
+        # exact row semantics across mixed specs: kept-but-unpruned files
+        # (column lives in their data) are filtered here; literal-attached
+        # groups pass trivially, so homogeneous tables see pure pruning
+        for c, v in partition_filter.items():
+            out = out.where(
+                F.col(c).isNull() if v is None
+                else F.col(c) == F.lit(str(v)).cast(ptypes.get(c, "string")))
     return out
 
 
@@ -439,11 +474,12 @@ def compact(spark: SparkSession, table_dir: str,
     df = df.repartition(n, *part_by) if part_by else df.repartition(n)
     files, rows, sid, fparts, ptypes, schema, fstats = _write_snapshot_files(
         df, table_dir, part_by)
-    # a compact rewrite unifies file schemas: evolved flag resets
+    # a compact rewrite unifies file schemas AND partition specs: both
+    # evolved flags reset (every rewritten file follows the current spec)
     extra = {"schema": schema, "file_stats": fstats}
-    if part_by:
-        extra.update({"partition_by": part_by, "file_partitions": fparts,
-                      "partition_types": ptypes})
+    extra.update(_partition_extra(None, part_by, fparts, ptypes,
+                                  keeps_parent_files=False,
+                                  all_files=files))
     return _commit(table_dir, files, "compact", rows,
                    m["version"], sid, None, extra)
 

@@ -148,9 +148,11 @@ def test_partitioned_snapshots_and_manifest_pruning(spark, tmp_path):
     assert empty.count() == 0 and "pred" in empty.columns
     assert T.read(spark, d, version=v1).count() == 3
 
-    # partition-spec drift is refused
-    with pytest.raises(ValueError, match="partition spec mismatch"):
-        T.append(df2, d)
+    # partition-spec drift is legal spec EVOLUTION (round-4 verdict
+    # Missing #5): an unpartitioned append coexists with hive-laid files
+    v3 = T.append(df2, d)
+    assert T.read(spark, d).count() == 7
+    assert T.read_manifest(d, v3)["partition_evolved"] is True
     # unpartitioned table refuses partition_filter
     d2 = str(tmp_path / "plain")
     T.append(df1, d2)
@@ -447,3 +449,78 @@ def test_concurrent_writers_across_real_processes(tmp_path):
     assert {s["snapshot_id"] for s in log} == {"alpha", "beta"}
     # the loser's retry chained onto the winner: no lost commit
     assert T.read_manifest(d, 2)["parent_version"] == 1
+
+
+def _pdf(preds, ns):
+    return pd.DataFrame({"pred": preds, "n": ns})
+
+
+def test_partition_spec_evolution_mixed_layouts(spark, tmp_path):
+    """Iceberg-style partition-spec evolution (round-4 verdict Missing #5):
+    each file keeps ITS OWN spec's partition values; reads attach per file,
+    and partition_filter stays EXACT across eras — manifest-pruned for
+    files whose spec recorded the column, row-filtered for the rest."""
+    d = str(tmp_path / "tbl")
+    # era 1: unpartitioned — pred lives in the data files
+    T.append(spark.createDataFrame(_pdf(["A", "B"], [1, 2])), d)
+    # era 2: partitioned by pred — pred lives in the hive path
+    T.append(spark.createDataFrame(_pdf(["A", "B", "B"], [3, 4, 5])), d,
+             partition_by=["pred"])
+    m = T.read_manifest(d)
+    assert m["partition_by"] == ["pred"] and m["partition_evolved"] is True
+
+    full = T.read(spark, d)
+    assert sorted((r["pred"], r["n"]) for r in full.collect()) == [
+        ("A", 1), ("A", 3), ("B", 2), ("B", 4), ("B", 5)]
+
+    b = T.read(spark, d, partition_filter={"pred": "B"})
+    assert sorted(r["n"] for r in b.collect()) == [2, 4, 5]
+    # era-2 A-files are manifest-pruned; era-1 files must be scanned
+    # (their pred is data, not metadata) and row-filtered
+    scanned = {f.replace("file://", "") for f in b.inputFiles()}
+    era2_a = {f for f, p in m["file_partitions"].items()
+              if p.get("pred") == "A"}
+    assert era2_a and not (era2_a & scanned)
+    era1 = {f for f in m["files"] if f not in m["file_partitions"]}
+    assert era1 and era1 <= scanned
+
+    # time travel: era-1 snapshot is still a plain read
+    assert sorted(r["n"] for r in T.read(spark, d, version=1).collect()) == [1, 2]
+
+    # filters on a never-partitioned column are refused loudly
+    with pytest.raises(ValueError, match="never a partition column"):
+        T.read(spark, d, partition_filter={"n": 1})
+
+    # compact rewrites everything under the CURRENT spec: flag clears,
+    # filter becomes pure pruning again
+    T.compact(spark, d)
+    m2 = T.read_manifest(d)
+    assert m2["partition_evolved"] is False
+    b2 = T.read(spark, d, partition_filter={"pred": "B"})
+    assert sorted(r["n"] for r in b2.collect()) == [2, 4, 5]
+    scanned2 = {f.replace("file://", "") for f in b2.inputFiles()}
+    assert all(m2["file_partitions"][f].get("pred") == "B" for f in scanned2)
+
+
+def test_partition_spec_change_between_columns(spark, tmp_path):
+    """Spec change [pred] -> [src]: both eras stay readable and filterable
+    on BOTH columns with exact results."""
+    d = str(tmp_path / "tbl")
+    df1 = pd.DataFrame({"pred": ["A", "B"], "src": ["x", "x"], "n": [1, 2]})
+    df2 = pd.DataFrame({"pred": ["A", "B"], "src": ["y", "y"], "n": [3, 4]})
+    T.append(spark.createDataFrame(df1), d, partition_by=["pred"])
+    T.append(spark.createDataFrame(df2), d, partition_by=["src"])
+    assert T.read_manifest(d)["partition_by"] == ["src"]
+    full = sorted((r["pred"], r["src"], r["n"])
+                  for r in T.read(spark, d).collect())
+    assert full == [("A", "x", 1), ("A", "y", 3), ("B", "x", 2), ("B", "y", 4)]
+    by_pred = T.read(spark, d, partition_filter={"pred": "A"})
+    assert sorted(r["n"] for r in by_pred.collect()) == [1, 3]
+    by_src = T.read(spark, d, partition_filter={"src": "x"})
+    assert sorted(r["n"] for r in by_src.collect()) == [1, 2]
+    # era-1 files are pruned for pred, era-2 for src
+    m = T.read_manifest(d)
+    pred_b = {f for f, p in m["file_partitions"].items()
+              if p.get("pred") == "B"}
+    scanned = {f.replace("file://", "") for f in by_pred.inputFiles()}
+    assert pred_b and not (pred_b & scanned)
