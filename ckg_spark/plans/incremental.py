@@ -14,10 +14,18 @@ Why the delta is EXACT (not approximate): mention edges are per-turn —
 each output row is a function of a single transcript row plus the static
 (vocab-derived) alias/canonical tables — so edges(all rows) is the
 disjoint union of edges(per snapshot delta). No cross-file state exists
-to lose. Operators whose output aggregates ACROSS turns (co-mention doc
-counts, TF-IDF) are additive merges, not row-appends; they go through
-``materialize.merge_edges_snapshot`` recomputes instead — documented
-scope, same as Iceberg's append-scan contract.
+to lose (a turn is one transcript row; it is never split across files).
+
+Co-mention edges aggregate ACROSS turns (score = number of co-mentioning
+turns), but the aggregation is a SUM of per-turn indicators — additive
+over turn-disjoint deltas. ``comention=True`` therefore appends PARTIAL
+counts per sync, and ``read_merged_edges`` is the merge-on-read view
+(groupBy edge identity, sum score) — Iceberg's merge-on-read move: the
+write path stays append-only and cheap at any scale, the periodic
+``compact_merged`` folds partials into one row per edge (a single
+overwrite commit that preserves the sync high-water mark). Per-turn
+MENTIONED_IN_TURN rows pass through the same view unchanged (each
+(subj, turn) key lives in exactly one delta, so its sum is itself).
 
 Exactly-once: each sync commit stamps ``transcripts_version`` in the edge
 table's snapshot properties. A crash AFTER the edge commit but BEFORE the
@@ -37,9 +45,12 @@ from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 
+from pyspark.sql import functions as F
+
 from ..operators import extract as X
 from ..operators import link as L
-from ..streaming.ingest import _batch_edges
+from ..operators import materialize as M
+from ..streaming.ingest import _batch_linked
 from . import table as T
 
 
@@ -70,6 +81,7 @@ def sync_mention_edges(
     edges_table_dir: str,
     canonical=None,
     to_version: int | None = None,
+    comention: bool = False,
 ) -> SyncReport:
     """Bring the mention-edge snapshot table up to date with the
     transcript snapshot table: read ONLY the files appended since the last
@@ -100,8 +112,13 @@ def sync_mention_edges(
     alias_grams = X.prepare_alias_grams(vocab_tables["aliases"])
     alias_table = L.prepare_alias_table(vocab_tables["aliases"])
     delta = spark.read.parquet(*new_files)
-    edges = _batch_edges(delta, alias_grams, alias_table,
-                         vocab_tables.get("stoplist"), canonical)
+    linked = _batch_linked(delta, alias_grams, alias_table,
+                           vocab_tables.get("stoplist"), canonical)
+    edges = M.mention_edges(linked)
+    if comention:
+        # PARTIAL co-mention counts for this delta; exact totals come
+        # from read_merged_edges (merge-on-read sum over syncs)
+        edges = edges.unionByName(M.comention_edges(linked))
     ev = T.append(edges, edges_table_dir,
                   properties={"transcripts_version": cur},
                   partition_by=None)
@@ -115,3 +132,29 @@ def _manifest_exists(table_dir: str, version: int) -> bool:
     import os
 
     return os.path.exists(T._manifest_path(table_dir, version))
+
+
+EDGE_KEY = ["subj", "pred", "obj", "source", "evidence_type"]
+
+
+def read_merged_edges(spark: SparkSession, edges_table_dir: str,
+                      version: int | None = None):
+    """Merge-on-read view of an incrementally-synced edge table: one row
+    per edge identity with the summed score. Exact for both edge families
+    (per-turn rows sum to themselves; co-mention partials sum to the
+    full-corpus count). One map-side-combined groupBy over the table."""
+    e = T.read(spark, edges_table_dir, version=version)
+    return e.groupBy(*EDGE_KEY).agg(F.sum("score").alias("score")).select(
+        "subj", "pred", "obj", "source", "score", "evidence_type")
+
+
+def compact_merged(spark: SparkSession, edges_table_dir: str) -> int:
+    """Fold accumulated partials into one row per edge in a single
+    overwrite commit. Preserves the sync high-water mark by re-stamping
+    ``transcripts_version`` on the compacted snapshot (plain
+    ``table.compact`` would drop the properties and reset the mark after
+    expiry). History stays time-travelable until expire_snapshots."""
+    mark = last_synced_version(edges_table_dir)
+    merged = read_merged_edges(spark, edges_table_dir)
+    props = {} if mark is None else {"transcripts_version": mark}
+    return T.overwrite(merged, edges_table_dir, properties=props)

@@ -56,10 +56,11 @@ def stream_mention_edges(
     )
 
 
-def _batch_edges(batch_df: DataFrame, alias_grams, alias_table, stoplist,
-                 canonical: DataFrame | None) -> DataFrame:
+def _batch_linked(batch_df: DataFrame, alias_grams, alias_table, stoplist,
+                  canonical: DataFrame | None) -> DataFrame:
     """One micro-batch through the identical batch operators:
-    extract -> link -> canonicalize -> mention edges."""
+    extract -> link -> canonicalize; returns the canonicalized mention
+    stream both edge families derive from."""
     from pyspark.sql import functions as F
 
     mentions = X.extract_mentions(batch_df, alias_grams)
@@ -70,7 +71,13 @@ def _batch_edges(batch_df: DataFrame, alias_grams, alias_table, stoplist,
         else linked.select("ident").distinct()
         .select("ident", F.col("ident").alias("canonical_id"))
     )
-    return M.mention_edges(M.canonicalize_linked(linked, cmap))
+    return M.canonicalize_linked(linked, cmap)
+
+
+def _batch_edges(batch_df: DataFrame, alias_grams, alias_table, stoplist,
+                 canonical: DataFrame | None) -> DataFrame:
+    return M.mention_edges(
+        _batch_linked(batch_df, alias_grams, alias_table, stoplist, canonical))
 
 
 def stream_mention_edges_snapshot(

@@ -114,3 +114,46 @@ def test_empty_append_advances_mark(spark, tmp_path, vocab_tables):
     r = I.sync_mention_edges(spark, tdir, vocab_tables, edir)
     assert r.n_edges == 0
     assert I.last_synced_version(edir) == 2
+
+
+def test_comention_partials_merge_to_exact_totals(spark, tmp_path,
+                                                  vocab_tables):
+    """Co-mention scores are sums of per-turn indicators — additive over
+    deltas. Appending PARTIAL counts per sync and summing on read must
+    equal a single full-batch run; compact_merged folds partials without
+    changing the view or losing the sync high-water mark."""
+    from ckg_spark.operators import materialize as MZ
+    from ckg_spark.streaming.ingest import _batch_linked
+
+    tdir = str(tmp_path / "transcripts")
+    edir = str(tmp_path / "edges")
+    for seed in (31, 32, 33):
+        T.append(_chunk(spark, 100, seed), tdir)
+        I.sync_mention_edges(spark, tdir, vocab_tables, edir,
+                             comention=True)
+
+    alias_grams = X.prepare_alias_grams(vocab_tables["aliases"])
+    alias_table = L.prepare_alias_table(vocab_tables["aliases"])
+    linked = _batch_linked(T.read(spark, tdir), alias_grams, alias_table,
+                           vocab_tables["stoplist"], None)
+    full = MZ.mention_edges(linked).unionByName(MZ.comention_edges(linked))
+
+    merged = I.read_merged_edges(spark, edir)
+    assert _edge_set(merged) == _edge_set(full)
+    # partials really exist pre-compaction (co-mention rows duplicated
+    # across syncs), and compaction folds them without changing the view
+    raw_n = T.read(spark, edir).count()
+    assert raw_n > merged.count()
+    I.compact_merged(spark, edir)
+    assert T.read(spark, edir).count() == merged.count()
+    assert _edge_set(I.read_merged_edges(spark, edir)) == _edge_set(full)
+    assert I.last_synced_version(edir) == 3
+    # sync continues normally after compaction
+    T.append(_chunk(spark, 100, seed=34), tdir)
+    r = I.sync_mention_edges(spark, tdir, vocab_tables, edir,
+                             comention=True)
+    assert r.from_version == 3 and r.n_edges > 0
+    linked4 = _batch_linked(T.read(spark, tdir), alias_grams, alias_table,
+                            vocab_tables["stoplist"], None)
+    full4 = MZ.mention_edges(linked4).unionByName(MZ.comention_edges(linked4))
+    assert _edge_set(I.read_merged_edges(spark, edir)) == _edge_set(full4)
