@@ -2667,3 +2667,70 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
 QUERIES.update({
     "q70_embedding_neardup": (q70_embedding_neardup, Q70_SQL),
 })
+
+
+def q71_incremental_sync_edges(spark, sf):
+    """Incremental KG sync == full batch, driver-attested end-to-end: the
+    transcript corpus is committed to a snapshot table in TWO append deltas
+    (docs split by parity), `plans.incremental.sync_mention_edges` runs
+    after each commit with comention=True (per-delta PARTIAL co-mention
+    counts), partials are folded by `compact_merged`, and the merge-on-read
+    view must equal the one-shot batch result — Q32's mention edges plus
+    exact full-corpus co-mention counts. Co-mention pairs genuinely span
+    both deltas (score = delta1 partial + delta2 partial), so a hash match
+    attests the manifest-diff incremental scan, the high-water-mark
+    bookkeeping, the additive merge-on-read algebra, AND the
+    property-preserving compaction — not just the per-delta extract."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .plans import incremental as I
+    from .plans import table as T
+    from .sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf)
+    did = F.regexp_extract("conv_id", r"^doc-(\d+)$", 1).cast("long")
+    tag = hashlib.md5(("incsync" + sf).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"ckg_incsync_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # always fresh (no stale state)
+    tdir = os.path.join(root, "transcripts")
+    edir = os.path.join(root, "edges")
+    aliases = spark.createDataFrame(
+        [(a, i, r, "Entity", "NAME") for a, i, r in ALIAS_ROWS],
+        "alias_lc string, ident string, rank int, entity_type string, "
+        "source string")
+    vt = {"aliases": aliases}
+    T.append(t.where(did % 2 == 0), tdir)
+    I.sync_mention_edges(spark, tdir, vt, edir, comention=True)
+    T.append(t.where(did % 2 == 1), tdir)
+    I.sync_mention_edges(spark, tdir, vt, edir, comention=True)
+    I.compact_merged(spark, edir)
+    return I.read_merged_edges(spark, edir)
+
+
+# Oracle: the full-batch result the two-delta sync must reproduce. Mention
+# edges are exactly Q32's pipeline (wrapped as a subquery CTE); co-mention
+# counts derive from the same rows — the distinct entities of a turn are
+# exactly the mention-edge subjects of that turn, so pairs (a < b) counted
+# over turns give the full-corpus CO_MENTIONED_WITH scores that the
+# per-delta partial sums must add up to.
+Q71_SQL = f"""
+WITH mention AS (SELECT * FROM ({Q32_SQL})),
+ment_turn AS (SELECT DISTINCT subj AS e, obj AS turn FROM mention),
+co AS (
+  SELECT a.e AS subj, 'CO_MENTIONED_WITH' AS pred, b.e AS obj,
+         'tagger' AS source, CAST(count(*) AS DOUBLE) AS score,
+         'co_occurrence' AS evidence_type
+  FROM ment_turn a JOIN ment_turn b ON a.turn = b.turn AND a.e < b.e
+  GROUP BY a.e, b.e)
+SELECT subj, pred, obj, source, score, evidence_type FROM mention
+UNION ALL
+SELECT subj, pred, obj, source, score, evidence_type FROM co
+"""
+
+
+QUERIES.update({
+    "q71_incremental_sync_edges": (q71_incremental_sync_edges, Q71_SQL),
+})
