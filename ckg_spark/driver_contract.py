@@ -2734,3 +2734,97 @@ SELECT subj, pred, obj, source, score, evidence_type FROM co
 QUERIES.update({
     "q71_incremental_sync_edges": (q71_incremental_sync_edges, Q71_SQL),
 })
+
+
+# Token count shared by q72/q73: whitespace tokens of the trimmed text,
+# 0 for null/blank — defined identically in both engines.
+def _tok_count_col():
+    t = F.trim(F.col("text"))
+    return F.when(F.length(t) > 0,
+                  F.size(F.split(t, r"\s+"))).otherwise(0).alias("toks")
+
+
+_TOK_COUNT_SQL = ("CASE WHEN length(trim(text)) > 0 THEN "
+                  "len(string_split_regex(trim(text), '\\s+')) "
+                  "ELSE 0 END")
+
+_Q72_TARGETS = {"src0": 0.30, "src1": 0.25, "src2": 0.20,
+                "src3": 0.15, "src4": 0.10}
+
+
+def q72_mixture_sample(spark, sf):
+    """Deterministic training-mixture sampling (`operators/sampling.py`):
+    per-source keep rates solved from token totals to realize a target mix
+    (src0..src4 at 30/25/20/15/10%; the other 15 sources dropped), applied
+    as a seeded md5-hash filter. The oracle re-derives the ENTIRE path in
+    SQL — token totals, the min(T/f) achievable-budget solve, the exact
+    f*B/T rate arithmetic, and the per-doc first-32-md5-bits/2^32 draw —
+    so a hash match attests both the solver and the reproducible-selection
+    contract (selection depends only on (seed, doc_id), never on
+    partitioning or an RNG)."""
+    from .operators import sampling as SA
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source",
+                                             _tok_count_col())
+    out = SA.mixture_sample(docs, _Q72_TARGETS, weight_col="toks",
+                            seed="mix")
+    return out.select("doc_id", "source")
+
+
+def _q72_targets_sql() -> str:
+    return ", ".join(f"('{s}', {f})" for s, f in sorted(_Q72_TARGETS.items()))
+
+
+Q72_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOK_COUNT_SQL} AS toks FROM documents),
+tgt(source, f) AS (VALUES {_q72_targets_sql()}),
+tot AS (
+  SELECT d.source, CAST(sum(toks) AS DOUBLE) AS tw
+  FROM d JOIN tgt USING (source) GROUP BY d.source),
+b AS (SELECT min(tw / f) AS bud FROM tot JOIN tgt USING (source)),
+rates AS (
+  SELECT t.source, tg.f * b.bud / t.tw AS r
+  FROM tot t JOIN tgt tg USING (source) CROSS JOIN b)
+SELECT d.doc_id, d.source
+FROM d JOIN rates USING (source)
+WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) / 4294967296.0 < r
+"""
+
+
+def q73_pack_sequences(spark, sf):
+    """Fixed-length training-sequence packing (`operators/packing.py`):
+    concat-and-split segment map at seq_len=128 over the documents corpus
+    in doc_id order. The oracle recomputes the exclusive global token
+    prefix sum and span arithmetic in SQL, so a hash match attests the
+    two-pass distributed cumsum (range repartition + broadcast offsets —
+    no single-task window) produces the exact sequential semantics."""
+    from .operators import packing as PK
+
+    docs = _t(spark, sf, "documents").select("doc_id", _tok_count_col())
+    return PK.pack_sequences(docs, 128, token_col="toks")
+
+
+Q73_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOK_COUNT_SQL} AS t FROM documents),
+nz AS (SELECT doc_id, t FROM d WHERE t > 0),
+cs AS (SELECT doc_id, t,
+              CAST(sum(t) OVER (ORDER BY doc_id) AS BIGINT) AS e FROM nz),
+spans AS (SELECT doc_id, t, e - t AS s, e FROM cs),
+seg AS (
+  SELECT doc_id, s, e,
+         unnest(generate_series(s // 128, (e - 1) // 128)) AS seq_id
+  FROM spans)
+SELECT seq_id, doc_id,
+       greatest(s, seq_id * 128) - s AS doc_offset,
+       greatest(s, seq_id * 128) - seq_id * 128 AS seq_offset,
+       least(e, (seq_id + 1) * 128) - greatest(s, seq_id * 128) AS n_tokens
+FROM seg
+"""
+
+
+QUERIES.update({
+    "q72_mixture_sample": (q72_mixture_sample, Q72_SQL),
+    "q73_pack_sequences": (q73_pack_sequences, Q73_SQL),
+})

@@ -1,0 +1,106 @@
+"""Fixed-length training-sequence packing (concat-and-split).
+
+Packs a tokenized corpus into back-to-back sequences of exactly
+``seq_len`` tokens — the standard LM pretraining layout: documents are
+concatenated in a deterministic global order and the stream is cut every
+``seq_len`` tokens, so a document may span sequence boundaries and a
+sequence may hold many documents. The output is the SEGMENT map
+(seq_id, doc_id, doc_offset, seq_offset, n_tokens): everything a reader
+needs to assemble sequence ``seq_id`` by slicing token ranges out of
+documents — without materializing the token stream itself.
+
+Beyond the reference's surface (CKG has no training-data path); the op a
+100 TB pretraining pipeline runs after curation + mixture sampling.
+
+Scale shape: the only corpus-wide structure is the exclusive prefix sum
+of token counts in document order, computed with the house two-pass
+pattern (range repartition -> per-partition window -> broadcast offsets;
+see analytics.with_global_rank) — a bare Window.orderBy would drag the
+corpus into one task. Offsets are LONG-typed end to end (10^12-token
+corpora overflow nothing; doubles would lose exactness past 2^53). The
+segment fan-out is a narrow per-row explode (a doc of t tokens yields
+ceil(t / seq_len) + 1 segments at most).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["pack_sequences", "sequence_stats"]
+
+
+def _global_cumsum_long(df: DataFrame, sort_cols: list, value_col: str,
+                        out_name: str) -> DataFrame:
+    """Exact (long) global running sum of ``value_col`` in ``sort_cols``
+    order — the two-pass shape of analytics.with_global_cumsum, kept
+    integer because token offsets must be exact."""
+    rp = (df.repartitionByRange(*sort_cols)
+          .withColumn("_pid", F.spark_partition_id()))
+    w = (Window.partitionBy("_pid").orderBy(*sort_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = rp.withColumn("_lsum", F.sum(value_col).over(w).cast("long"))
+    totals = sorted(
+        (r["_pid"], r["t"]) for r in
+        local.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect())
+    offs, acc = [], 0
+    for pid, t in totals:
+        offs.append((pid, acc))
+        acc += int(t or 0)
+    off_df = df.sparkSession.createDataFrame(
+        offs or [(0, 0)], "_pid int, _off long")
+    return (local.join(F.broadcast(off_df), on="_pid", how="inner")
+            .withColumn(out_name, F.col("_lsum") + F.col("_off"))
+            .drop("_pid", "_lsum", "_off"))
+
+
+def pack_sequences(docs: DataFrame, seq_len: int,
+                   token_col: str = "n_tokens",
+                   doc_col: str = "doc_id") -> DataFrame:
+    """Segment map of the concat-and-split packing.
+
+    Documents are ordered by ``doc_col`` (a deterministic total order —
+    pack AFTER mixture_sample/shuffling-by-hash if you want source
+    interleaving); each doc owns the token span [start, end) of the
+    concatenated stream and overlaps sequences floor(start/L) ..
+    floor((end-1)/L). Zero-token docs are dropped (they own no span).
+
+    Output columns:
+      seq_id     -- training sequence index (0-based; all but the last
+                    hold exactly ``seq_len`` tokens)
+      doc_id     -- contributing document
+      doc_offset -- first token of the segment within the document
+      seq_offset -- its position within the sequence
+      n_tokens   -- segment length
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    L = F.lit(int(seq_len))
+    d = (docs.where(F.col(token_col) > 0)
+         .select(doc_col, F.col(token_col).cast("long").alias("_t")))
+    d = _global_cumsum_long(d, [F.col(doc_col).asc()], "_t", "_end")
+    d = d.withColumn("_start", F.col("_end") - F.col("_t"))
+    segs = d.select(
+        doc_col, "_start", "_end",
+        F.explode(F.sequence(
+            # integer `div`, not float `/`-then-cast: token offsets are
+            # longs and the boundary must be exact at any corpus size
+            F.expr(f"_start div {int(seq_len)}"),
+            F.expr(f"(_end - 1) div {int(seq_len)}"))).alias("seq_id"))
+    seg_start = F.greatest("_start", F.col("seq_id") * L)
+    seg_end = F.least("_end", (F.col("seq_id") + 1) * L)
+    return segs.select(
+        "seq_id",
+        doc_col,
+        (seg_start - F.col("_start")).alias("doc_offset"),
+        (seg_start - F.col("seq_id") * L).alias("seq_offset"),
+        (seg_end - seg_start).alias("n_tokens"),
+    )
+
+
+def sequence_stats(segments: DataFrame) -> DataFrame:
+    """Per-sequence fill check over a segment map: token fill and the
+    number of distinct documents packed into each sequence (every
+    sequence except the final one must show fill == seq_len)."""
+    return (segments.groupBy("seq_id")
+            .agg(F.sum("n_tokens").alias("fill"),
+                 F.countDistinct(segments.columns[1]).alias("n_docs")))
