@@ -88,6 +88,7 @@ def stream_mention_edges_snapshot(
     table_dir: str,
     checkpoint_dir: str,
     canonical: DataFrame | None = None,
+    comention: bool = False,
 ):
     """Same per-micro-batch extract->link as ``stream_mention_edges``, but
     the sink is a SNAPSHOT-TABLE append (``plans.table``): each micro-batch
@@ -97,7 +98,15 @@ def stream_mention_edges_snapshot(
     is already in the snapshot log and the batch is SKIPPED, giving the
     table exactly-once batch semantics (Iceberg sinks make the same move
     with snapshot summary properties). Every ingest tick stays
-    time-travelable, and a poisoned batch is a ``table.rollback``."""
+    time-travelable, and a poisoned batch is a ``table.rollback``.
+
+    ``comention=True`` additionally appends this micro-batch's PARTIAL
+    co-mention counts (turns live in exactly one file, so micro-batches
+    are turn-disjoint and the counts are additive — the same merge-on-read
+    contract as ``plans.incremental``: exact totals come from
+    ``plans.incremental.read_merged_edges`` and partials are folded by
+    ``compact_merged``). The stream write path stays append-only either
+    way — no read-modify-write per tick at any table size."""
     from ..plans import table as T
 
     alias_grams = X.prepare_alias_grams(vocab_tables["aliases"])
@@ -118,8 +127,11 @@ def stream_mention_edges_snapshot(
         }
         if batch_id in seen:
             return  # replayed batch: already committed, skip
-        edges = _batch_edges(batch_df, alias_grams, alias_table, stoplist,
-                             canonical)
+        linked = _batch_linked(batch_df, alias_grams, alias_table, stoplist,
+                               canonical)
+        edges = M.mention_edges(linked)
+        if comention:
+            edges = edges.unionByName(M.comention_edges(linked))
         T.append(edges, table_dir, properties={"batch_id": batch_id})
 
     return (

@@ -256,3 +256,56 @@ def test_streaming_snapshot_sink_exactly_once(spark, vocab_tables,
     # no duplicate turn-keyed edges across snapshots
     assert (T.read(spark, tbl).groupBy("subj", "obj").count()
             .where("count > 1").count() == 0)
+
+
+def test_streaming_snapshot_comention_partials_merge_exact(
+        spark, vocab_tables, transcripts_pdf, tmp_path):
+    """comention=True streams PARTIAL co-mention counts per micro-batch
+    (micro-batches are turn-disjoint, so counts are additive); the
+    merge-on-read view over the streamed table must equal the one-shot
+    batch result for BOTH edge families — the same contract q71 attests
+    for the batch incremental path."""
+    from ckg_spark.operators import materialize as M
+    from ckg_spark.plans import table as T
+    from ckg_spark.plans.incremental import compact_merged, read_merged_edges
+    from ckg_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from ckg_spark.streaming.ingest import (_batch_linked,
+                                            stream_mention_edges_snapshot)
+    from ckg_spark.operators import extract as X
+    from ckg_spark.operators import link as L
+
+    in_dir, tbl, cp = (str(tmp_path / d) for d in ("in", "tbl", "cp"))
+    os.makedirs(in_dir, exist_ok=True)
+    half = len(transcripts_pdf) // 2
+    # two separate ticks (run, add a file, run again) so partial counts
+    # genuinely accumulate ACROSS batch commits, not within one
+    transcripts_pdf.iloc[:half].to_parquet(f"{in_dir}/f1.parquet", index=False)
+    q = stream_mention_edges_snapshot(spark, in_dir, TRANSCRIPT_SCHEMA,
+                                      vocab_tables, tbl, cp, comention=True)
+    q.awaitTermination(120)
+    transcripts_pdf.iloc[half:].to_parquet(f"{in_dir}/f2.parquet", index=False)
+    q = stream_mention_edges_snapshot(spark, in_dir, TRANSCRIPT_SCHEMA,
+                                      vocab_tables, tbl, cp, comention=True)
+    q.awaitTermination(120)
+    from ckg_spark.plans.incremental import EDGE_KEY
+    # at least one co-mention identity spans both commits (a real merge)
+    raw = T.read(spark, tbl)
+    assert (raw.where("pred = 'CO_MENTIONED_WITH'")
+            .groupBy(*EDGE_KEY).count().where("count > 1").count()) > 0
+
+    linked = _batch_linked(
+        spark.createDataFrame(transcripts_pdf),
+        X.prepare_alias_grams(vocab_tables["aliases"]),
+        L.prepare_alias_table(vocab_tables["aliases"]),
+        vocab_tables["stoplist"], None)
+    want = sorted(map(tuple, M.mention_edges(linked).unionByName(
+        M.comention_edges(linked)).collect()))
+    got = sorted(map(tuple, read_merged_edges(spark, tbl).collect()))
+    assert got == want
+    assert [t for t in want if t[1] == "CO_MENTIONED_WITH"]
+
+    # compaction folds partials and the view is unchanged
+    compact_merged(spark, tbl)
+    assert sorted(map(tuple, read_merged_edges(spark, tbl).collect())) == want
+    # raw table has one row per edge identity after compaction
+    assert T.read(spark, tbl).count() == len(want)
