@@ -55,7 +55,8 @@ def _global_cumsum_long(df: DataFrame, sort_cols: list, value_col: str,
 
 def pack_sequences(docs: DataFrame, seq_len: int,
                    token_col: str = "n_tokens",
-                   doc_col: str = "doc_id") -> DataFrame:
+                   doc_col: str = "doc_id",
+                   base_offset: int = 0) -> DataFrame:
     """Segment map of the concat-and-split packing.
 
     Documents are ordered by ``doc_col`` (a deterministic total order —
@@ -71,6 +72,10 @@ def pack_sequences(docs: DataFrame, seq_len: int,
       doc_offset -- first token of the segment within the document
       seq_offset -- its position within the sequence
       n_tokens   -- segment length
+
+    ``base_offset`` shifts the whole stream: the docs are treated as
+    starting at that token of the concatenated corpus (the incremental
+    hook — see ``pack_sequences_incremental``).
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
@@ -78,6 +83,8 @@ def pack_sequences(docs: DataFrame, seq_len: int,
     d = (docs.where(F.col(token_col) > 0)
          .select(doc_col, F.col(token_col).cast("long").alias("_t")))
     d = _global_cumsum_long(d, [F.col(doc_col).asc()], "_t", "_end")
+    if base_offset:
+        d = d.withColumn("_end", F.col("_end") + F.lit(int(base_offset)))
     d = d.withColumn("_start", F.col("_end") - F.col("_t"))
     segs = d.select(
         doc_col, "_start", "_end",
@@ -95,6 +102,58 @@ def pack_sequences(docs: DataFrame, seq_len: int,
         (seg_start - F.col("seq_id") * L).alias("seq_offset"),
         (seg_end - seg_start).alias("n_tokens"),
     )
+
+
+def pack_sequences_incremental(spark, docs_delta: DataFrame,
+                               seq_len: int, segments_table_dir: str,
+                               token_col: str = "n_tokens",
+                               doc_col: str = "doc_id") -> int | None:
+    """Append-only packing over a GROWING corpus: new documents extend the
+    concatenated token stream, so their segments depend only on the stored
+    stream length — pack just the delta and append it to a segment map
+    snapshot table (``plans.table``), never re-packing history.
+
+    Correctness needs append ORDER: packing is defined over doc order, so
+    every delta doc id must exceed all previously packed ids (the natural
+    shape for monotonically assigned ids). Violations raise — re-pack from
+    scratch (or into a fresh table) when ids interleave. The commit stamps
+    ``total_tokens`` / ``max_doc_id`` / ``seq_len`` in snapshot properties
+    (crash-safe high-water marks, the ``plans.incremental`` pattern —
+    a replayed delta fails the max_doc_id check instead of double-packing).
+    The final sequence of one delta and the first of the next share a
+    seq_id when the boundary lands mid-sequence — exactly the full-pack
+    layout, as the delta==full test pins. Returns the committed version,
+    or None for an empty delta."""
+    from ..plans import table as T
+
+    d = docs_delta.where(F.col(token_col) > 0)
+    agg = d.agg(F.min(doc_col).alias("lo"), F.max(doc_col).alias("hi"),
+                F.sum(F.col(token_col).cast("long")).alias("tok")).collect()[0]
+    if agg["tok"] is None:
+        return None
+    base, prev_hi = 0, None
+    if T.current_version(segments_table_dir) is not None:
+        props = {}
+        for s in T.snapshots(segments_table_dir):
+            props.update(s.get("properties") or {})
+        base = int(props.get("total_tokens", 0))
+        prev_hi = props.get("max_doc_id")
+        stored_l = props.get("seq_len")
+        if stored_l is not None and int(stored_l) != int(seq_len):
+            raise ValueError(
+                f"seq_len {seq_len} != table's packed seq_len {stored_l}")
+        if prev_hi is not None and agg["lo"] <= type(agg["lo"])(prev_hi):
+            raise ValueError(
+                f"delta doc ids must exceed the packed high-water mark "
+                f"({agg['lo']} <= {prev_hi}); re-pack into a fresh table "
+                f"when ids interleave")
+    segs = pack_sequences(d, seq_len, token_col=token_col, doc_col=doc_col,
+                          base_offset=base)
+    return T.append(segs, segments_table_dir, properties={
+        "total_tokens": base + int(agg["tok"]),
+        "max_doc_id": agg["hi"],
+        "seq_len": int(seq_len),
+    })
 
 
 def sequence_stats(segments: DataFrame) -> DataFrame:

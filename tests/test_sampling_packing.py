@@ -159,3 +159,42 @@ def test_pack_sequences_parallelism_invariant_and_edge_cases(spark):
                     (2, 2, 200, 0, 100), (3, 3, 0, 0, 5)]
     with pytest.raises(ValueError):
         P.pack_sequences(df, 0)
+
+
+def test_pack_incremental_two_deltas_equal_full(spark, tmp_path):
+    from ckg_spark.plans import table as T
+
+    df = _docs(spark, 300)
+    d1, d2 = df.where("doc_id < 180"), df.where("doc_id >= 180")
+    tdir = str(tmp_path / "segs")
+    v1 = P.pack_sequences_incremental(spark, d1, 128, tdir)
+    v2 = P.pack_sequences_incremental(spark, d2, 128, tdir)
+    assert (v1, v2) == (1, 2)
+    got = sorted(map(tuple, T.read(spark, tdir).collect()))
+    full = sorted(map(tuple, P.pack_sequences(df, 128).collect()))
+    assert got == full
+    # the boundary sequence is shared across the two commits (real splice)
+    s1 = {r["seq_id"] for r in T.read(spark, tdir, version=1).collect()}
+    s2 = {r["seq_id"] for r in
+          T.read(spark, tdir, version=2).collect()} - s1
+    assert max(s1) in {r["seq_id"] for r in T.read(spark, tdir, version=2)
+                       .collect()} or not s2
+
+
+def test_pack_incremental_guards(spark, tmp_path):
+    from ckg_spark.plans import table as T
+
+    df = _docs(spark, 100)
+    tdir = str(tmp_path / "segs")
+    P.pack_sequences_incremental(spark, df.where("doc_id < 60"), 64, tdir)
+    # replayed / interleaving delta refused (no double-pack)
+    with pytest.raises(ValueError, match="high-water"):
+        P.pack_sequences_incremental(spark, df.where("doc_id < 60"), 64, tdir)
+    # seq_len drift refused
+    with pytest.raises(ValueError, match="seq_len"):
+        P.pack_sequences_incremental(spark, df.where("doc_id >= 60"), 128,
+                                     tdir)
+    # empty delta is a clean no-op
+    assert P.pack_sequences_incremental(
+        spark, df.where("doc_id > 1000"), 64, tdir) is None
+    assert T.current_version(tdir) == 1
