@@ -136,7 +136,15 @@ def pack_sequences_incremental(spark, docs_delta: DataFrame,
         props = {}
         for s in T.snapshots(segments_table_dir):
             props.update(s.get("properties") or {})
-        base = int(props.get("total_tokens", 0))
+        if "total_tokens" not in props:
+            # every commit this function makes stamps total_tokens, so a
+            # non-empty table without one means the marks were destroyed
+            # (all stamped snapshots expired / a property-dropping rewrite).
+            # Assuming base=0 would silently double-assign offsets — refuse.
+            raise ValueError(
+                f"{segments_table_dir} has no total_tokens high-water mark "
+                "in its live snapshot log; re-pack into a fresh table")
+        base = int(props["total_tokens"])
         prev_hi = props.get("max_doc_id")
         stored_l = props.get("seq_len")
         if stored_l is not None and int(stored_l) != int(seq_len):

@@ -198,3 +198,19 @@ def test_pack_incremental_guards(spark, tmp_path):
     assert P.pack_sequences_incremental(
         spark, df.where("doc_id > 1000"), 64, tdir) is None
     assert T.current_version(tdir) == 1
+
+
+def test_pack_incremental_refuses_lost_high_water_mark(spark, tmp_path):
+    """If every stamped snapshot is destroyed (e.g. a property-dropping
+    rewrite), base=0 would silently double-assign token offsets — the
+    function must refuse instead."""
+    from ckg_spark.plans import table as T
+
+    df = _docs(spark, 100)
+    tdir = str(tmp_path / "segs")
+    P.pack_sequences_incremental(spark, df.where("doc_id < 60"), 64, tdir)
+    T.overwrite(T.read(spark, tdir), tdir)  # drops the properties
+    T.expire_snapshots(tdir, keep_last=1)
+    with pytest.raises(ValueError, match="total_tokens"):
+        P.pack_sequences_incremental(spark, df.where("doc_id >= 60"), 64,
+                                     tdir)
