@@ -147,6 +147,22 @@ def run_bench() -> dict:
     n_curated = cur.corpus.count()
     queries["curation_pipeline"] = round(time.time() - t0, 3)
 
+    # training-data export: pack the 600k-turn bench corpus into 2048-token
+    # sequences (round-5 op; measures the two-pass global cumsum + segment
+    # explode at corpus scale — only (doc_id, count) ever shuffles)
+    from pyspark.sql import functions as F
+
+    from ckg_spark.operators.packing import pack_sequences
+
+    t0 = time.time()
+    turns = spark.read.parquet(tpath).select(
+        F.concat_ws(":", "conv_id", F.format_string("%06d", "turn_idx"))
+        .alias("doc_id"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"))
+    segs = pack_sequences(turns, 2048)
+    n_seqs = segs.select("seq_id").distinct().count()
+    queries["training_pack"] = round(time.time() - t0, 3)
+
     total = round(sum(queries.values()), 3)
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
     result = {
@@ -165,6 +181,9 @@ def run_bench() -> dict:
             "curation_docs_out": n_curated,
             "curation_docs_per_sec": round(
                 n_docs / queries["curation_pipeline"], 1),
+            "pack_sequences_out": n_seqs,
+            "pack_turns_per_sec": round(kg["turns"]
+                                        / queries["training_pack"], 1),
         },
     }
     spark.stop()
