@@ -80,8 +80,14 @@ def mixture_sample(docs: DataFrame, targets: dict[str, float],
              for r in docs.groupBy(F.col(source_col).alias("s"))
              .agg(F.sum(w).alias("w")).collect()
              if r["s"] in targets and r["w"]}
-    rates = mixture_rates(avail, {s: f for s, f in targets.items()
-                                  if s in avail}, budget)
+    missing = [s for s, f in targets.items() if f > 0 and s not in avail]
+    if missing:
+        # silently dropping an absent source would ship a corpus whose
+        # realized mix bears no relation to the requested one (the other
+        # sources fill its share) — make the infeasibility loud
+        raise ValueError(
+            f"target sources have no weight in the corpus: {sorted(missing)}")
+    rates = mixture_rates(avail, targets, budget)
     spark = docs.sparkSession
     rate_df = spark.createDataFrame(
         sorted(rates.items()) or [("", 0.0)],

@@ -98,6 +98,17 @@ def test_mixture_sample_rates_exact_vs_solver(spark):
     assert got == exp
 
 
+def test_mixture_sample_refuses_absent_target_source(spark):
+    """A positive target for a source with no corpus weight must raise —
+    silently dropping it would let the other sources fill its share."""
+    df = _docs(spark, 100, sources=2)  # only s0, s1 exist
+    with pytest.raises(ValueError, match="nope"):
+        S.mixture_sample(df, {"s0": 0.5, "nope": 0.5})
+    # a zero-fraction entry for an absent source is harmless
+    out = S.mixture_sample(df, {"s0": 1.0, "nope": 0.0}).collect()
+    assert out and all(r["source"] == "s0" for r in out)
+
+
 # -- pack_sequences ----------------------------------------------------------
 
 def _segments_ref(rows, L):
