@@ -2824,7 +2824,68 @@ FROM seg
 """
 
 
+def q74_training_export(spark, sf):
+    """Composed training-export plan (plans/export.py): curation in its
+    SQL-expressible mode (q59's exact stage stack) -> mixture sampling at
+    the q72 targets over the CURATED token totals -> seq_len=128 packing
+    of the sampled corpus. q59/q72/q73 each lock one stage; this oracle
+    locks their COMPOSITION — the rate solve runs on post-curation totals
+    and the packing prefix sum runs on the post-sampling doc set, so a
+    hash match attests the stage hand-offs, not just the operators."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .plans.export import run_training_export
+
+    docs = _t(spark, sf, "documents")
+    tag = hashlib.md5(("export" + sf).encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"ckg_export_{tag}")
+    shutil.rmtree(out, ignore_errors=True)  # always fresh (no stale resume)
+    res = run_training_export(
+        spark, docs, out, targets=_Q72_TARGETS, seq_len=128,
+        minhash_threshold=None, languages=("en",),
+        gopher_kwargs={"min_words": 50, "min_stopword_hits": 1})
+    return res.segments
+
+
+Q74_SQL = f"""
+WITH curated AS ({Q59_SQL}),
+d AS (
+  SELECT doc_id, source, {_TOK_COUNT_SQL} AS toks
+  FROM documents JOIN curated USING (doc_id)),
+tgt(source, f) AS (VALUES {_q72_targets_sql()}),
+tot AS (
+  SELECT d.source, CAST(sum(toks) AS DOUBLE) AS tw
+  FROM d JOIN tgt USING (source) GROUP BY d.source),
+b AS (SELECT min(tw / f) AS bud FROM tot JOIN tgt USING (source)),
+rates AS (
+  SELECT t.source, tg.f * b.bud / t.tw AS r
+  FROM tot t JOIN tgt tg USING (source) CROSS JOIN b),
+nz AS (
+  SELECT d.doc_id, d.toks AS t
+  FROM d JOIN rates USING (source)
+  WHERE d.toks > 0
+    AND CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 < r),
+cs AS (SELECT doc_id, t,
+              CAST(sum(t) OVER (ORDER BY doc_id) AS BIGINT) AS e FROM nz),
+spans AS (SELECT doc_id, t, e - t AS s, e FROM cs),
+seg AS (
+  SELECT doc_id, s, e,
+         unnest(generate_series(s // 128, (e - 1) // 128)) AS seq_id
+  FROM spans)
+SELECT seq_id, doc_id,
+       greatest(s, seq_id * 128) - s AS doc_offset,
+       greatest(s, seq_id * 128) - seq_id * 128 AS seq_offset,
+       least(e, (seq_id + 1) * 128) - greatest(s, seq_id * 128) AS n_tokens
+FROM seg
+"""
+
+
 QUERIES.update({
     "q72_mixture_sample": (q72_mixture_sample, Q72_SQL),
     "q73_pack_sequences": (q73_pack_sequences, Q73_SQL),
+    "q74_training_export": (q74_training_export, Q74_SQL),
 })

@@ -31,7 +31,7 @@ EXPECTED_NAMES = {
     "q64_effect_sizes", "q65_wgcna_modules", "q66_tom_similarity",
     "q67_word_frequencies", "q68_sam_dstats", "q69_sampled_frame_features",
     "q70_embedding_neardup", "q71_incremental_sync_edges",
-    "q72_mixture_sample", "q73_pack_sequences",
+    "q72_mixture_sample", "q73_pack_sequences", "q74_training_export",
 }
 
 # Round 5: zero rows-only entries remain — q33 runs the md5 hash variant
@@ -42,7 +42,7 @@ ROWS_ONLY: set = set()
 
 def test_registry_names_stable():
     assert set(DC.queries_dict()) == EXPECTED_NAMES
-    assert len(DC.queries_dict()) == 73
+    assert len(DC.queries_dict()) == 74
 
 
 def test_oracle_coverage_complete_except_declared_rows_only():
