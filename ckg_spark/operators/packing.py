@@ -107,7 +107,8 @@ def pack_sequences(docs: DataFrame, seq_len: int,
 def pack_sequences_incremental(spark, docs_delta: DataFrame,
                                seq_len: int, segments_table_dir: str,
                                token_col: str = "n_tokens",
-                               doc_col: str = "doc_id") -> int | None:
+                               doc_col: str = "doc_id",
+                               properties: dict | None = None) -> int | None:
     """Append-only packing over a GROWING corpus: new documents extend the
     concatenated token stream, so their segments depend only on the stored
     stream length — pack just the delta and append it to a segment map
@@ -157,7 +158,9 @@ def pack_sequences_incremental(spark, docs_delta: DataFrame,
                 f"when ids interleave")
     segs = pack_sequences(d, seq_len, token_col=token_col, doc_col=doc_col,
                           base_offset=base)
+    # caller extras first: the packing high-water marks are authoritative
     return T.append(segs, segments_table_dir, properties={
+        **(properties or {}),
         "total_tokens": base + int(agg["tok"]),
         "max_doc_id": agg["hi"],
         "seq_len": int(seq_len),

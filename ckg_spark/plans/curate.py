@@ -43,6 +43,30 @@ class CurationResult:
     stage_counts: dict
 
 
+def quality_filter(docs: DataFrame, gopher_kwargs: dict | None = None,
+                   line_filter: bool = False,
+                   min_line_words: int = 5) -> DataFrame:
+    """Per-document quality stage (the 10_quality semantics, factored so
+    the incremental export applies the IDENTICAL predicate to deltas):
+    optional C4 line cleaning, then Gopher document rules AND repetition
+    rules. Input and output: (doc_id, text)."""
+    base = docs
+    if line_filter:
+        cleaned = T.c4_line_filter(
+            base, text_col="text", id_col="doc_id",
+            min_line_words=min_line_words)
+        base = cleaned.select("doc_id", F.col("clean_text").alias("text"))
+    g = T.gopher_quality_flags(base, **(gopher_kwargs or {}))
+    r = D.repetition_flags(base)
+    return (
+        base
+        .join(g.select("doc_id", F.col("keep").alias("_kq")), on="doc_id")
+        .join(r.select("doc_id", F.col("keep").alias("_kr")), on="doc_id")
+        .where(F.col("_kq") & F.col("_kr"))
+        .select("doc_id", "text")
+    )
+
+
 def run_curation_pipeline(
     spark: SparkSession,
     documents: DataFrame,
@@ -74,22 +98,9 @@ def run_curation_pipeline(
         quality = LIN.read_stage(spark, out_dir, "10_quality")
         resumed.append("10_quality")
     else:
-        base = docs
-        if line_filter:
-            cleaned = T.c4_line_filter(
-                base, text_col="text", id_col="doc_id",
-                min_line_words=min_line_words)
-            base = cleaned.select(
-                "doc_id", F.col("clean_text").alias("text"))
-        g = T.gopher_quality_flags(base, **(gopher_kwargs or {}))
-        r = D.repetition_flags(base)
-        kept = (
-            base
-            .join(g.select("doc_id", F.col("keep").alias("_kq")), on="doc_id")
-            .join(r.select("doc_id", F.col("keep").alias("_kr")), on="doc_id")
-            .where(F.col("_kq") & F.col("_kr"))
-            .select("doc_id", "text")
-        )
+        kept = quality_filter(docs, gopher_kwargs=gopher_kwargs,
+                              line_filter=line_filter,
+                              min_line_words=min_line_words)
         quality = LIN.write_stage(kept, out_dir, "10_quality", run_id)
 
     # ---- stage 20: exact dedup --------------------------------------------

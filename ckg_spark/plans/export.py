@@ -41,13 +41,17 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from ..operators import dedup as D
 from ..operators import packing as PK
 from ..operators import sampling as SA
 from ..operators import textstats as T
 from . import lineage as LIN
-from .curate import run_curation_pipeline
+from . import table as TBL
+from .curate import quality_filter, run_curation_pipeline
 
-__all__ = ["TrainingExportResult", "run_training_export"]
+__all__ = ["TrainingExportResult", "run_training_export",
+           "ExportSyncReport", "sync_training_export",
+           "read_export_segments"]
 
 
 @dataclass
@@ -182,3 +186,227 @@ def run_training_export(
     return TrainingExportResult(
         run_id=run_id, corpus=sampled, segments=segments,
         resumed_stages=resumed, stage_counts=counts, realized_mix=realized)
+
+
+# ---------------------------------------------------------------------------
+# Continuous export: sync the packed dataset with a GROWING documents table
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ExportSyncReport:
+    from_version: int | None
+    to_version: int
+    n_files: int
+    n_packed_docs: int
+    segments_version: int | None  # None when nothing to do
+    healed: bool = False
+
+
+def _rates_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_export_rates.json")
+
+
+def _mark(table_dir: str, key: str) -> int | None:
+    """Largest int property ``key`` across the LIVE snapshot log."""
+    if TBL.current_version(table_dir) is None:
+        return None
+    seen = [int(s["properties"][key]) for s in TBL.snapshots(table_dir)
+            if (s.get("properties") or {}).get(key) is not None]
+    return max(seen) if seen else None
+
+
+def _props(table_dir: str) -> dict:
+    """Latest-wins merge of all live snapshot properties (oldest first)."""
+    out: dict = {}
+    if TBL.current_version(table_dir) is not None:
+        for s in TBL.snapshots(table_dir):
+            out.update(s.get("properties") or {})
+    return out
+
+
+def _delta_quality_digests(delta: DataFrame, gopher_kwargs, line_filter):
+    """Distinct normalized-text digests of the delta's quality survivors
+    (the batch plan's dedup universe: exact dedup runs on post-quality
+    docs, BEFORE language filtering — so these are the digests future
+    deltas must be checked against)."""
+    q = quality_filter(delta, gopher_kwargs=gopher_kwargs,
+                       line_filter=line_filter)
+    return q, D.dedup_exact(q).select("norm_hash")
+
+
+def read_export_segments(spark: SparkSession, out_dir: str,
+                         version: int | None = None) -> DataFrame:
+    """The packed segment map an incremental export has accumulated."""
+    return TBL.read(spark, os.path.join(out_dir, "segments"),
+                    version=version)
+
+
+def sync_training_export(
+    spark: SparkSession,
+    documents_table_dir: str,
+    out_dir: str,
+    *,
+    targets: dict[str, float] | None = None,
+    fixed_rates: dict[str, float] | None = None,
+    seq_len: int = 2048,
+    seed: str = "mix",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    token_counter: Callable[[Column], Column] = T.token_count,
+    languages: tuple = ("en",),
+    gopher_kwargs: dict | None = None,
+    line_filter: bool = False,
+    to_version: int | None = None,
+) -> ExportSyncReport:
+    """Bring a packed training dataset up to date with a snapshot
+    DOCUMENTS table (``plans.table``), processing only the files appended
+    since the last sync — the release-cadence form of
+    ``run_training_export`` for a corpus that grows between releases.
+
+    Semantics vs the batch plan: per-document stages (quality, language,
+    token counting) apply to the delta unchanged; exact dedup keeps the
+    first-seen doc per digest via an anti-join against an accumulated
+    digest table (== batch min-id dedup because append deltas must be
+    doc-id-ordered — enforced against a ``max_seen_doc_id`` mark);
+    near-dup LSH is corpus-wide and NOT applied (batch parity holds for
+    ``minhash_threshold=None`` exports); mixture rates are FROZEN — from
+    ``fixed_rates``, or solved once from the first synced delta's totals
+    and persisted — because re-solving per delta would re-weight history
+    it can no longer touch (realized mix then drifts with the incoming
+    source distribution; monitor via the per-sync token shares). Packing
+    appends via ``pack_sequences_incremental`` (documents only ever
+    EXTEND the token stream — committed sequences are immutable).
+
+    Crash-safe: the segments commit stamps ``source_version`` (the
+    exactly-once high-water mark) and the digest commit follows; a crash
+    between them leaves digests behind segments, and the next sync HEALS
+    by recomputing the gap's digests (pure recomputation) before
+    processing new files. Rerunning after any crash is always safe.
+    """
+    seg_dir = os.path.join(out_dir, "segments")
+    dig_dir = os.path.join(out_dir, "digests")
+    recipe = {
+        "mode": "incremental",
+        "targets": ({k: targets[k] for k in sorted(targets)}
+                    if targets else None),
+        "fixed_rates": ({k: fixed_rates[k] for k in sorted(fixed_rates)}
+                        if fixed_rates else None),
+        "seq_len": int(seq_len), "seed": seed,
+        "languages": list(languages), "gopher_kwargs": gopher_kwargs,
+        "line_filter": line_filter,
+    }
+    _check_recipe(out_dir, recipe)
+    if targets is not None and fixed_rates is not None:
+        raise ValueError("pass targets OR fixed_rates, not both")
+
+    cur = TBL.read_manifest(documents_table_dir, to_version)["version"]
+    seg_mark = _mark(seg_dir, "source_version")
+    healed = False
+
+    def _norm(df):
+        return df.select(F.col(id_col).alias("doc_id"),
+                         F.col(text_col).alias("text"),
+                         F.col(source_col).alias("source"))
+
+    # ---- heal: digests behind segments (crash between the two commits) ----
+    dig_mark = _mark(dig_dir, "source_version")
+    if seg_mark is not None and (dig_mark is None or dig_mark < seg_mark):
+        gap = TBL.incremental_files(documents_table_dir, dig_mark, seg_mark)
+        if gap:
+            _, digs = _delta_quality_digests(
+                _norm(spark.read.parquet(*gap)), gopher_kwargs, line_filter)
+            if TBL.current_version(dig_dir) is not None:
+                digs = digs.join(TBL.read(spark, dig_dir),
+                                 on="norm_hash", how="left_anti")
+            TBL.append(digs, dig_dir, properties={"source_version": seg_mark})
+            healed = True
+        elif TBL.current_version(dig_dir) is not None:
+            TBL.append(TBL.read(spark, dig_dir).limit(0), dig_dir,
+                       properties={"source_version": seg_mark})
+            healed = True
+
+    if seg_mark is not None and seg_mark >= cur:
+        return ExportSyncReport(seg_mark, cur, 0, 0, None, healed)
+
+    new_files = TBL.incremental_files(documents_table_dir, seg_mark, cur)
+    props = _props(seg_dir)
+    if not new_files:
+        if TBL.current_version(seg_dir) is None:
+            return ExportSyncReport(seg_mark, cur, 0, 0, None, healed)
+        ev = TBL.append(TBL.read(spark, seg_dir).limit(0), seg_dir,
+                        properties={**props, "source_version": cur})
+        return ExportSyncReport(seg_mark, cur, 0, 0, ev, healed)
+
+    delta = _norm(spark.read.parquet(*new_files))
+
+    # append-order guard: packing is defined over doc order, so every
+    # delta id must exceed everything previously SEEN (not just packed)
+    span = delta.agg(F.min("doc_id").alias("lo"),
+                     F.max("doc_id").alias("hi")).collect()[0]
+    max_seen = props.get("max_seen_doc_id")
+    if (max_seen is not None and span["lo"] is not None
+            and span["lo"] <= type(span["lo"])(max_seen)):
+        raise ValueError(
+            f"delta doc ids must exceed the synced high-water mark "
+            f"({span['lo']} <= {max_seen}); re-export into a fresh out_dir "
+            f"when ids interleave")
+
+    # per-doc curation + first-seen exact dedup against accumulated digests
+    q, digs = _delta_quality_digests(delta, gopher_kwargs, line_filter)
+    kept = q.join(D.dedup_exact(q).select("doc_id"), on="doc_id",
+                  how="left_semi")
+    if TBL.current_version(dig_dir) is not None:
+        seen = TBL.read(spark, dig_dir)
+        kept = (kept.withColumn("_dg", F.md5(D.normalize_text(F.col("text"))))
+                .join(seen.withColumnRenamed("norm_hash", "_dg"),
+                      on="_dg", how="left_anti").drop("_dg"))
+        digs = digs.join(seen, on="norm_hash", how="left_anti")
+    kept = kept.where(T.lang_best(F.col("text")).isin(list(languages)))
+
+    # frozen mixture rates (solved once, on the first synced delta)
+    toks = (kept.select("doc_id",
+                        token_counter(F.col("text")).alias("n_tokens"))
+            .join(delta.select("doc_id", "source"), on="doc_id"))
+    rates = fixed_rates
+    if rates is None and targets is not None:
+        if os.path.exists(_rates_path(out_dir)):
+            with open(_rates_path(out_dir)) as f:
+                rates = json.load(f)
+        else:
+            avail = {r["source"]: float(r["w"]) for r in
+                     toks.groupBy("source")
+                     .agg(F.sum("n_tokens").alias("w")).collect()
+                     if r["source"] in targets and r["w"]}
+            missing = [s for s, fr in targets.items()
+                       if fr > 0 and s not in avail]
+            if missing:
+                raise ValueError(
+                    f"target sources absent from the first synced delta: "
+                    f"{sorted(missing)} — pass fixed_rates instead")
+            rates = SA.mixture_rates(avail, targets)
+            tmp = _rates_path(out_dir) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(rates, f, sort_keys=True)
+            os.replace(tmp, _rates_path(out_dir))
+    if rates is not None:
+        rate_df = spark.createDataFrame(
+            sorted(rates.items()) or [("", 0.0)], "source string, _rate double")
+        toks = (toks.join(F.broadcast(rate_df), on="source", how="inner")
+                .where(SA.hash_uniform("doc_id", seed) < F.col("_rate"))
+                .drop("_rate"))
+
+    marks = {"source_version": cur, "max_seen_doc_id": span["hi"]}
+    ev = PK.pack_sequences_incremental(
+        spark, toks, seq_len, seg_dir, token_col="n_tokens",
+        properties=marks)
+    n_packed = toks.count()
+    if ev is None:  # nothing packable in this delta — still advance marks
+        if TBL.current_version(seg_dir) is None:
+            return ExportSyncReport(seg_mark, cur, len(new_files), 0,
+                                    None, healed)
+        ev = TBL.append(TBL.read(spark, seg_dir).limit(0), seg_dir,
+                        properties={**props, **marks})
+    TBL.append(digs, dig_dir, properties={"source_version": cur})
+    return ExportSyncReport(seg_mark, cur, len(new_files), n_packed,
+                            ev, healed)
