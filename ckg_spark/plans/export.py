@@ -197,7 +197,7 @@ class ExportSyncReport:
     from_version: int | None
     to_version: int
     n_files: int
-    n_packed_docs: int
+    n_segments: int  # segment rows this sync appended (manifest diff)
     segments_version: int | None  # None when nothing to do
     healed: bool = False
 
@@ -397,16 +397,18 @@ def sync_training_export(
                 .drop("_rate"))
 
     marks = {"source_version": cur, "max_seen_doc_id": span["hi"]}
+    prev_rows = (TBL.read_manifest(seg_dir)["row_count"]
+                 if TBL.current_version(seg_dir) is not None else 0)
     ev = PK.pack_sequences_incremental(
         spark, toks, seq_len, seg_dir, token_col="n_tokens",
         properties=marks)
-    n_packed = toks.count()
     if ev is None:  # nothing packable in this delta — still advance marks
         if TBL.current_version(seg_dir) is None:
             return ExportSyncReport(seg_mark, cur, len(new_files), 0,
                                     None, healed)
         ev = TBL.append(TBL.read(spark, seg_dir).limit(0), seg_dir,
                         properties={**props, **marks})
+    n_seg = TBL.read_manifest(seg_dir, ev)["row_count"] - prev_rows
     TBL.append(digs, dig_dir, properties={"source_version": cur})
-    return ExportSyncReport(seg_mark, cur, len(new_files), n_packed,
+    return ExportSyncReport(seg_mark, cur, len(new_files), n_seg,
                             ev, healed)

@@ -167,11 +167,11 @@ def test_sync_export_two_deltas_equal_batch(spark, tmp_path):
     TBL.append(d1, tdir)
     r1 = sync_training_export(spark, tdir, out, fixed_rates=RATES,
                               seq_len=64, gopher_kwargs=GOPHER)
-    assert r1.segments_version is not None and r1.n_packed_docs > 0
+    assert r1.segments_version is not None and r1.n_segments > 0
     TBL.append(d2, tdir)
     r2 = sync_training_export(spark, tdir, out, fixed_rates=RATES,
                               seq_len=64, gopher_kwargs=GOPHER)
-    assert r2.from_version == r1.to_version and r2.n_packed_docs > 0
+    assert r2.from_version == r1.to_version and r2.n_segments > 0
     got = sorted(map(tuple,
                      read_export_segments(spark, out).collect()))
     exp = _expected_segments(d1.unionByName(d2), 64)
