@@ -17,6 +17,15 @@ Sandbox form over local parquet:
 
 Resume: rerunning with the same --out skips committed stages; changing
 the recipe (targets/seq_len/...) against an existing --out is refused.
+
+Incremental form (release cadence — documents live in a plans.table
+snapshot table; each run packs only the files appended since the last):
+
+    python tools/submit_export.py \
+        --documents-table /data/docs_table --out /data/export \
+        --targets src0=0.5,src1=0.5 --seq-len 2048 --minhash-threshold 0
+
+Idle rerun prints up_to_date=true and commits nothing.
 """
 
 from __future__ import annotations
@@ -41,7 +50,12 @@ def _parse_targets(s: str | None) -> dict[str, float] | None:
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--documents", required=True, help="documents parquet path")
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--documents", help="documents parquet path (batch export)")
+    g.add_argument("--documents-table",
+                   help="snapshot documents table dir (plans.table) — "
+                        "incremental sync: process only files appended "
+                        "since the last sync of this --out")
     ap.add_argument("--out", required=True,
                     help="output dir for export stages + lineage")
     ap.add_argument("--targets", default=None,
@@ -63,10 +77,40 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from ckg_spark.operators import textstats as T
-    from ckg_spark.plans.export import run_training_export
+    from ckg_spark.plans.export import (run_training_export,
+                                        sync_training_export)
     from ckg_spark.session import get_spark
 
     spark = get_spark("training_export", cpus=args.cpus)
+    if args.documents_table:
+        if args.budget is not None:
+            ap.error("--budget applies to batch exports only (an "
+                     "incremental sync cannot cap a growing corpus)")
+        if not (args.minhash_threshold or 0) == 0:
+            ap.error("--minhash-threshold must be 0 for incremental sync "
+                     "(near-dup LSH is corpus-wide; batch-only)")
+        rep = sync_training_export(
+            spark, args.documents_table, args.out,
+            targets=_parse_targets(args.targets),
+            seq_len=args.seq_len, seed=args.seed,
+            token_counter=(T.token_count if args.tokenizer == "ws"
+                           else T.bpe_ish_token_count),
+            languages=tuple(args.languages.split(",")),
+            gopher_kwargs={"min_words": args.min_words,
+                           "min_stopword_hits": args.min_stopword_hits},
+            line_filter=args.line_filter,
+        )
+        print(json.dumps({
+            "synced_from_version": rep.from_version,
+            "synced_to_version": rep.to_version,
+            "n_files": rep.n_files,
+            "n_segments": rep.n_segments,
+            "segments_version": rep.segments_version,
+            "healed": rep.healed,
+            "up_to_date": rep.segments_version is None and rep.n_files == 0,
+            "out": args.out,
+        }))
+        return 0
     docs = spark.read.parquet(args.documents)
     res = run_training_export(
         spark, docs, args.out,
