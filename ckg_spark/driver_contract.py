@@ -2884,8 +2884,47 @@ FROM seg
 """
 
 
+def q75_pack_shuffled(spark, sf):
+    """Epoch-shuffled sequence packing (`operators/packing.py`
+    shuffle_seed): the standard pretraining layout — documents packed in
+    a seeded md5-draw order instead of id order, so sources interleave
+    and corpus ordering breaks while the layout stays reproducible on any
+    cluster size. The oracle re-derives the shuffled order (ORDER BY the
+    same first-32-md5-bits draw, doc_id tie-break) plus the prefix-sum
+    span arithmetic, so a hash match attests the distributed two-pass
+    cumsum follows the exact seeded permutation."""
+    from .operators import packing as PK
+
+    docs = _t(spark, sf, "documents").select("doc_id", _tok_count_col())
+    return PK.pack_sequences(docs, 128, token_col="toks",
+                             shuffle_seed="ep0")
+
+
+Q75_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOK_COUNT_SQL} AS t FROM documents),
+nz AS (
+  SELECT doc_id, t,
+         CAST(('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM d WHERE t > 0),
+cs AS (SELECT doc_id, t,
+              CAST(sum(t) OVER (ORDER BY u, doc_id) AS BIGINT) AS e FROM nz),
+spans AS (SELECT doc_id, t, e - t AS s, e FROM cs),
+seg AS (
+  SELECT doc_id, s, e,
+         unnest(generate_series(s // 128, (e - 1) // 128)) AS seq_id
+  FROM spans)
+SELECT seq_id, doc_id,
+       greatest(s, seq_id * 128) - s AS doc_offset,
+       greatest(s, seq_id * 128) - seq_id * 128 AS seq_offset,
+       least(e, (seq_id + 1) * 128) - greatest(s, seq_id * 128) AS n_tokens
+FROM seg
+"""
+
+
 QUERIES.update({
     "q72_mixture_sample": (q72_mixture_sample, Q72_SQL),
     "q73_pack_sequences": (q73_pack_sequences, Q73_SQL),
     "q74_training_export": (q74_training_export, Q74_SQL),
+    "q75_pack_shuffled": (q75_pack_shuffled, Q75_SQL),
 })

@@ -56,14 +56,22 @@ def _global_cumsum_long(df: DataFrame, sort_cols: list, value_col: str,
 def pack_sequences(docs: DataFrame, seq_len: int,
                    token_col: str = "n_tokens",
                    doc_col: str = "doc_id",
-                   base_offset: int = 0) -> DataFrame:
+                   base_offset: int = 0,
+                   shuffle_seed: str | None = None) -> DataFrame:
     """Segment map of the concat-and-split packing.
 
-    Documents are ordered by ``doc_col`` (a deterministic total order —
-    pack AFTER mixture_sample/shuffling-by-hash if you want source
-    interleaving); each doc owns the token span [start, end) of the
-    concatenated stream and overlaps sequences floor(start/L) ..
-    floor((end-1)/L). Zero-token docs are dropped (they own no span).
+    Documents are ordered by ``doc_col`` (a deterministic total order);
+    with ``shuffle_seed`` they are ordered by the seeded md5 uniform draw
+    instead (doc_col breaks ties) — a DETERMINISTIC global shuffle, the
+    standard pretraining layout that interleaves sources and breaks
+    corpus ordering while staying reproducible on any cluster size (and
+    re-derivable by an external engine: ORDER BY the same md5 draw).
+    Each doc owns the token span [start, end) of the concatenated stream
+    and overlaps sequences floor(start/L) .. floor((end-1)/L). Zero-token
+    docs are dropped (they own no span). Shuffled order is NOT available
+    through ``pack_sequences_incremental`` (new docs would interleave
+    into committed history; incremental packing is defined over
+    id-ordered appends only).
 
     Output columns:
       seq_id     -- training sequence index (0-based; all but the last
@@ -82,7 +90,15 @@ def pack_sequences(docs: DataFrame, seq_len: int,
     L = F.lit(int(seq_len))
     d = (docs.where(F.col(token_col) > 0)
          .select(doc_col, F.col(token_col).cast("long").alias("_t")))
-    d = _global_cumsum_long(d, [F.col(doc_col).asc()], "_t", "_end")
+    if shuffle_seed is None:
+        d = _global_cumsum_long(d, [F.col(doc_col).asc()], "_t", "_end")
+    else:
+        from .sampling import hash_uniform
+
+        d = d.withColumn("_u", hash_uniform(doc_col, seed=shuffle_seed))
+        d = _global_cumsum_long(
+            d, [F.col("_u").asc(), F.col(doc_col).asc()], "_t", "_end"
+        ).drop("_u")
     if base_offset:
         d = d.withColumn("_end", F.col("_end") + F.lit(int(base_offset)))
     d = d.withColumn("_start", F.col("_end") - F.col("_t"))

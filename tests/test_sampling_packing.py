@@ -225,3 +225,42 @@ def test_pack_incremental_refuses_lost_high_water_mark(spark, tmp_path):
     with pytest.raises(ValueError, match="total_tokens"):
         P.pack_sequences_incremental(spark, df.where("doc_id >= 60"), 64,
                                      tdir)
+
+
+def test_pack_sequences_shuffled_deterministic(spark):
+    """shuffle_seed packs in seeded-hash order: reproducible under any
+    parallelism, genuinely different from id order, same totals."""
+    import hashlib
+
+    df = _docs(spark, 300)
+    a = sorted(map(tuple, P.pack_sequences(
+        df, 64, shuffle_seed="ep0").collect()))
+    b = sorted(map(tuple, P.pack_sequences(
+        df.repartition(17), 64, shuffle_seed="ep0").collect()))
+    assert a == b
+    plain = sorted(map(tuple, P.pack_sequences(df, 64).collect()))
+    assert a != plain
+    # identical token mass and fill invariant either way
+    assert sum(t[4] for t in a) == sum(t[4] for t in plain)
+    fills = {r["seq_id"]: r["fill"] for r in P.sequence_stats(
+        P.pack_sequences(df, 64, shuffle_seed="ep0")).collect()}
+    last = max(fills)
+    assert all(f == 64 for s, f in fills.items() if s != last)
+    # matches the driver reference run in hash order
+    rows = [(r["doc_id"], r["n_tokens"]) for r in df.collect()]
+    u = {d: int(hashlib.md5(f"ep0:{d}".encode()).hexdigest()[:8], 16)
+         for d, _ in rows}
+    out, start = [], 0
+    for did, t in sorted(rows, key=lambda x: (u[x[0]], x[0])):
+        if t <= 0:
+            continue
+        end = start + t
+        for seq in range(start // 64, (end - 1) // 64 + 1):
+            s0, s1 = max(start, seq * 64), min(end, (seq + 1) * 64)
+            out.append((seq, did, s0 - start, s0 - seq * 64, s1 - s0))
+        start = end
+    assert a == sorted(out)
+    # different epoch seed -> different layout
+    c = sorted(map(tuple, P.pack_sequences(
+        df, 64, shuffle_seed="ep1").collect()))
+    assert c != a
