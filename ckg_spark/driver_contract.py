@@ -2928,3 +2928,114 @@ QUERIES.update({
     "q74_training_export": (q74_training_export, Q74_SQL),
     "q75_pack_shuffled": (q75_pack_shuffled, Q75_SQL),
 })
+
+
+def q76_dup_ngram_coverage(spark, sf):
+    """Duplicate n-gram coverage (Lee et al. 2022 duplicate-text
+    diagnostic): per document, the fraction of token positions inside a
+    word 8-gram that also occurs in >= 2 distinct documents. Runs the
+    REAL operator (`dedup.duplicate_ngram_coverage`) with the md5 hash
+    variant (house `_md5_64`, q33 precedent) so DuckDB reproduces the
+    exact gram grouping — grams shuffle only as 64-bit hashes on both
+    engines' algebra; xxhash64 stays the production default."""
+    from .operators import dedup as DD
+
+    docs = _t(spark, sf, "documents")
+    return DD.duplicate_ngram_coverage(docs, n=8, hash_fn=DD._md5_64)
+
+
+Q76_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
+g AS (
+  SELECT doc_id, pos,
+         substr(md5(array_to_string(toks[pos + 1 : pos + 8], ' ')), 1, 16) AS h
+  FROM d, unnest(generate_series(0, n_tok - 8)) AS s(pos)
+  WHERE n_tok >= 8),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+dg AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+st AS (SELECT doc_id, count(*) AS dup_gram_starts FROM dg GROUP BY doc_id),
+cov AS (
+  SELECT doc_id, count(DISTINCT p) AS covered_tokens
+  FROM dg, unnest(generate_series(pos, pos + 7)) AS u(p)
+  GROUP BY doc_id)
+SELECT d.doc_id, CAST(d.n_tok AS BIGINT) AS n_tok,
+       CAST(COALESCE(st.dup_gram_starts, 0) AS BIGINT) AS dup_gram_starts,
+       CAST(COALESCE(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CASE WHEN d.n_tok > 0
+            THEN round(COALESCE(cov.covered_tokens, 0) / d.n_tok, 6)
+            ELSE 0.0 END AS dup_coverage
+FROM d LEFT JOIN st USING (doc_id) LEFT JOIN cov USING (doc_id)
+"""
+
+
+def q77_semantic_dedup_pairs(spark, sf):
+    """SemDeDup (Abbas et al. 2023) through the REAL cluster-blocked
+    operator (`similarity.semantic_dedup_pairs`): assign every embedding
+    to its nearest of k=8 deterministically drawn seed embeddings (house
+    md5 uniform draw — the oracle re-derives the same seeds), then exact
+    cosine pairs WITHIN a cluster only. Corpus = embeddings + planted
+    x2 and x4 scaled copies (q70 precedent): power-of-2 scaling is exact
+    in floating point, so each copy's cosine against every seed is
+    BIT-IDENTICAL to its original's in both engines — the triple
+    provably co-clusters and contributes exactly 3 pairs at cosine 1.0,
+    while background pairs top out at 0.52 (threshold 0.99 ⇒ no
+    float-boundary membership risk). A hash match attests the seed
+    draw, the argmax-with-tie-break assignment, the cluster-blocked
+    pair search, and the exact verify."""
+    from .operators import similarity as S
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+
+    def scaled(off, scale):
+        return e.select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            F.transform("embedding",
+                        lambda x: x * F.lit(scale)).alias("embedding"))
+
+    corpus = e.unionByName(scaled(100000, 2.0)).unionByName(scaled(200000, 4.0))
+    out = S.semantic_dedup_pairs(corpus, k=8, threshold=0.99, seed="sem0")
+    return out.select(
+        "id_a", "id_b", F.col("cluster").cast("long").alias("cluster"),
+        F.round("cosine", 4).alias("cosine"))
+
+
+Q77_SQL = """
+WITH c AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, [x * 2.0 FOR x IN embedding] FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000, [x * 4.0 FOR x IN embedding] FROM embeddings),
+u AS (
+  SELECT vec_id, embedding,
+         CAST(('0x' || substr(md5('sem0:' || CAST(vec_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM c),
+seeds AS (
+  SELECT embedding AS sv, row_number() OVER (ORDER BY u, vec_id) - 1 AS si
+  FROM u ORDER BY u, vec_id LIMIT 8),
+ranked AS (
+  SELECT c.vec_id, c.embedding, s.si,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY list_cosine_similarity(c.embedding, s.sv) DESC, s.si
+         ) AS rn
+  FROM c CROSS JOIN seeds s),
+asg AS (SELECT vec_id, embedding, si AS cluster FROM ranked WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(a.cluster AS BIGINT) AS cluster,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+"""
+
+
+QUERIES.update({
+    "q76_dup_ngram_coverage": (q76_dup_ngram_coverage, Q76_SQL),
+    "q77_semantic_dedup_pairs": (q77_semantic_dedup_pairs, Q77_SQL),
+})

@@ -451,3 +451,71 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
         F.col("n_contaminated") >= min_hits).select("doc_id")
     return docs.join(bad.withColumnRenamed("doc_id", id_col),
                      on=id_col, how="left_anti")
+
+
+def duplicate_ngram_coverage(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 8,
+                             min_docs: int = 2, hash_fn=None) -> DataFrame:
+    """Per-document duplicate-text diagnostic at word n-gram granularity
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": the fraction of a document covered by text that also occurs
+    elsewhere in the corpus — here, token positions inside any word
+    n-gram that appears in >= ``min_docs`` DISTINCT documents). The
+    reference has no corpus-dedup stage (it rebuilds from curated
+    ontology sources); this is a training-data-pipeline extension.
+
+    Output: (doc_id, n_tok, dup_gram_starts, covered_tokens,
+    dup_coverage) — one row per input document; docs shorter than n
+    tokens have coverage 0.0.
+
+    Scale: grams never shuffle as strings — each window is hashed to 64
+    bits executor-side (``hash_fn`` column builder, default xxhash64;
+    the contract oracle runs the md5 variant ``_md5_64`` so DuckDB
+    reproduces the exact grouping) and the ONE corpus-scale shuffle is
+    the groupBy on the 8-byte hash with map-side partial aggregation.
+    The rejoin is a left-semi on the same key (AQE plans it as a
+    broadcast when the duplicated-gram set is small, the healthy-corpus
+    case), and the n-rows-per-gram position explode happens only for
+    duplicated windows.
+    """
+    hash_fn = hash_fn or F.xxhash64
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  tokens_of(F.col(text_col)).alias("toks"))
+    d = d.withColumn("n_tok", F.size("toks"))
+    grams = (
+        d.where(F.col("n_tok") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(
+                f"transform(sequence(0, n_tok - {int(n)}), "
+                f"i -> concat_ws(' ', slice(toks, i + 1, {int(n)})))"
+            )).alias("pos", "gram"))
+        .select("doc_id", "pos", hash_fn(F.col("gram")).alias("h"))
+    )
+    dup_hashes = (grams.groupBy("h")
+                  .agg(F.countDistinct("doc_id").alias("nd"))
+                  .where(F.col("nd") >= int(min_docs))
+                  .select("h"))
+    dupg = grams.join(dup_hashes, on="h", how="left_semi")
+    starts = dupg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_gram_starts"))
+    covered = (
+        dupg.select("doc_id", F.explode(
+            F.expr(f"sequence(pos, pos + {int(n) - 1})")).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("covered_tokens")))
+    return (
+        d.select("doc_id", F.col("n_tok").cast("long").alias("n_tok"))
+        .join(starts, on="doc_id", how="left")
+        .join(covered, on="doc_id", how="left")
+        .select(
+            "doc_id", "n_tok",
+            F.coalesce("dup_gram_starts", F.lit(0)).cast("long")
+            .alias("dup_gram_starts"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long")
+            .alias("covered_tokens"),
+            F.when(F.col("n_tok") > 0,
+                   F.round(F.coalesce("covered_tokens", F.lit(0))
+                           / F.col("n_tok"), 6))
+            .otherwise(F.lit(0.0)).alias("dup_coverage"))
+    )

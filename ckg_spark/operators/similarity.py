@@ -432,3 +432,107 @@ def ivf_topk_batch(spark, index_dir: str, queries: DataFrame, k: int = 10,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# -- semantic dedup (SemDeDup) -------------------------------------------------
+
+def semantic_seeds(df: DataFrame, k: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   seed: str = "sem0") -> list[tuple]:
+    """The k rows with the lowest seeded md5 uniform draw (ties by id):
+    a deterministic, partitioning-independent centroid pick that any
+    external engine reproduces bit-for-bit (same draw as
+    `sampling.hash_uniform`). Returns [(id, vector), ...] ordered by
+    draw — k is a user-chosen dictionary-scale constant (the collect is
+    k rows, never corpus-scale)."""
+    from .sampling import hash_uniform
+
+    rows = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      hash_uniform(id_col, seed=seed).alias("u"))
+            .orderBy(F.asc("u"), F.asc("id")).limit(int(k)).collect())
+    return [(r["id"], [float(x) for x in r["v"]]) for r in rows]
+
+
+def assign_to_seeds(df: DataFrame, seeds: list[tuple],
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Nearest-seed cluster assignment by cosine (one narrow JVM pass —
+    the seed vectors are literals folded into the plan, so nothing
+    shuffles and nothing is a UDF). Ties prefer the earliest seed in
+    ``seeds`` order, so the assignment is deterministic."""
+    norm = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    scored = []
+    for i, (_, v) in enumerate(seeds):
+        q = _vec_lit(v)
+        qn = math.sqrt(sum(x * x for x in v)) or 1.0
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), q, lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        cos = dot / (norm * F.lit(qn))
+        # array_max on (cos, -i) structs: max cosine, ties -> max(-i) =
+        # LOWEST seed index, matching the oracle's rank tie-break
+        scored.append(F.struct(cos.alias("c"), F.lit(-i).alias("ni")))
+    best = F.array_max(F.array(*scored))
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     (-best["ni"]).cast("int").alias("cluster"))
+
+
+def semantic_dedup_pairs(df: DataFrame, k: int = 8, threshold: float = 0.99,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         seed: str = "sem0") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
+    by clustering embeddings and comparing only WITHIN a cluster —
+    bounding the quadratic pair search to cluster-local blocks, same
+    posture as the LSH/IVF family. This sandbox rendition assigns to k
+    deterministically drawn seed embeddings in one pass (no k-means
+    iterations: the pick and the assignment stay reproducible under any
+    parallelism AND re-derivable by the SQL oracle; swap
+    `ivf_train` centroids in when exact oracle parity is not required).
+
+    Output: (id_a, id_b, cluster, cosine) for intra-cluster pairs with
+    cosine >= threshold, id_a < id_b.
+
+    Scale: the only corpus shuffle is the self-join on ``cluster``
+    (clusters bound pair work; choose k so corpus/k fits a join block,
+    SemDeDup's own design). Seed vectors are driver literals (k rows)."""
+    seeds = semantic_seeds(df, k, id_col, vec_col, seed)
+    if not seeds:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cluster int, cosine double")
+    assigned = assign_to_seeds(df, seeds, id_col, vec_col)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+    def _n(side):
+        return F.sqrt(F.aggregate(
+            F.col(side + ".v"), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+    return (a.join(b, on=[F.col("a.cluster") == F.col("b.cluster"),
+                          F.col("a.id") < F.col("b.id")])
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.cluster").alias("cluster"),
+                    (dot / (_n("a") * _n("b"))).alias("cosine"))
+            .where(F.col("cosine") >= F.lit(float(threshold))))
+
+
+def semantic_dedup(df: DataFrame, k: int = 8, threshold: float = 0.99,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed: str = "sem0") -> DataFrame:
+    """(id, canonical_id) for rows in a semantic near-dup group:
+    connected components over the verified intra-cluster pairs, canonical
+    = the CC representative (min string ident, the house CC ordering) —
+    keep one representative per group, same contract as
+    `dedup.dedup_minhash_lsh` / `dedup.dedup_simhash`."""
+    from .canonicalize import connected_components
+
+    pairs = semantic_dedup_pairs(df, k, threshold, id_col, vec_col, seed)
+    edges = pairs.select(F.col("id_a").cast("string").alias("ident_a"),
+                         F.col("id_b").cast("string").alias("ident_b"))
+    return connected_components(edges).select(
+        F.col("ident").alias(id_col), F.col("component").alias("canonical_id"))

@@ -234,3 +234,57 @@ def test_md5_64_bit_pattern(spark):
     got = (spark.range(1).select(
         D._md5_64(F.lit(word)).alias("h")).collect()[0]["h"])
     assert got == expect
+
+
+def test_duplicate_ngram_coverage_hand_computed(spark):
+    """Known corpus: the 4-gram 'a b c d' appears in docs 1 and 2 -> both
+    covered on those positions; doc 3 shares nothing; doc 4 is shorter
+    than n. Overlapping dup windows must not double-count positions."""
+    rows = [
+        (1, "a b c d e a b c d"),   # dup windows at pos 0 and 5
+        (2, "x a b c d y"),         # dup window at pos 1
+        (3, "p q r s t u v w"),     # unique
+        (4, "a b c"),               # shorter than n
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           D.duplicate_ngram_coverage(df, n=4).collect()}
+    assert len(out) == 4
+    r1 = out[1]
+    assert (r1["n_tok"], r1["dup_gram_starts"], r1["covered_tokens"]) == (9, 2, 8)
+    assert abs(r1["dup_coverage"] - round(8 / 9, 6)) < 1e-12
+    r2 = out[2]
+    assert (r2["n_tok"], r2["dup_gram_starts"], r2["covered_tokens"]) == (6, 1, 4)
+    assert out[3]["covered_tokens"] == 0 and out[3]["dup_coverage"] == 0.0
+    assert out[4]["covered_tokens"] == 0 and out[4]["n_tok"] == 3
+
+
+def test_duplicate_ngram_coverage_hash_and_partition_invariant(spark):
+    """xxhash64 (production) and _md5_64 (oracle variant) group grams
+    identically, and the result is partitioning-independent."""
+    random.seed(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(random.choice(vocab) for _ in range(30)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(map(tuple, D.duplicate_ngram_coverage(df, n=5).collect()))
+    md5v = sorted(map(tuple, D.duplicate_ngram_coverage(
+        df, n=5, hash_fn=D._md5_64).collect()))
+    repart = sorted(map(tuple, D.duplicate_ngram_coverage(
+        df.repartition(13), n=5).collect()))
+    assert base == md5v == repart
+    assert any(t[3] > 0 for t in base)  # non-vacuous: some dup coverage
+
+
+def test_duplicate_ngram_coverage_within_doc_repeat_not_cross_doc(spark):
+    """min_docs counts DISTINCT docs: a gram repeated only inside one doc
+    is not 'duplicated' at min_docs=2, but min_docs=1 flags every window."""
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c d"), (2, "z z z y y y x x")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           D.duplicate_ngram_coverage(df, n=4, min_docs=2).collect()}
+    assert out[1]["covered_tokens"] == 0 and out[2]["covered_tokens"] == 0
+    all1 = {r["doc_id"]: r for r in
+            D.duplicate_ngram_coverage(df, n=4, min_docs=1).collect()}
+    assert all1[1]["covered_tokens"] == 8 and all1[1]["dup_gram_starts"] == 5

@@ -881,3 +881,59 @@ def test_jpeg_decoder_property_roundtrip(w, h, sampling, dri, seed):
     assert got is not None and got.shape == (h, w, 3)
     diff = np.abs(got.astype(np.int32) - arr.astype(np.int32))
     assert diff.max() <= 10, (w, h, sampling, dri, diff.max())
+
+
+def test_semantic_seeds_deterministic_and_partition_invariant(spark):
+    df, _ = _vectors(spark, n=120)
+    a = S.semantic_seeds(df, 6)
+    b = S.semantic_seeds(df.repartition(11), 6)
+    assert [i for i, _ in a] == [i for i, _ in b]
+    assert len(a) == 6
+    # different seed string -> a different (independent) pick
+    c = S.semantic_seeds(df, 6, seed="sem1")
+    assert [i for i, _ in a] != [i for i, _ in c]
+
+
+def test_assign_to_seeds_matches_numpy_argmax(spark):
+    df, rows = _vectors(spark, n=120)
+    seeds = S.semantic_seeds(df, 5)
+    got = {r["id"]: r["cluster"] for r in S.assign_to_seeds(df, seeds).collect()}
+    sv = [np.array(v) for _, v in seeds]
+    for vid, vec in rows:
+        v = np.array(vec, dtype=np.float32).astype(np.float64)
+        cos = [float(v @ s / (np.linalg.norm(v) * np.linalg.norm(s)))
+               for s in sv]
+        best = max(range(len(cos)), key=lambda i: (cos[i], -i))
+        assert got[vid] == best, vid
+
+
+def test_semantic_dedup_planted_copies_co_cluster(spark):
+    """x2/x4 scaled copies are bit-identical in cosine space: each triple
+    lands in one cluster, yields exactly 3 pairs at ~1.0, and the CC
+    canonical is the min id of the triple."""
+    df, _ = _vectors(spark, n=60)
+    scaled2 = df.select((F.col("vec_id") + 1000).alias("vec_id"),
+                        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
+    scaled4 = df.select((F.col("vec_id") + 2000).alias("vec_id"),
+                        F.transform("embedding", lambda x: x * F.lit(4.0)).alias("embedding"))
+    corpus = df.unionByName(scaled2).unionByName(scaled4)
+    pairs = S.semantic_dedup_pairs(corpus, k=4, threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    expect = set()
+    for i in range(60):
+        expect |= {(i, i + 1000), (i, i + 2000), (i + 1000, i + 2000)}
+    assert got == expect
+    assert all(r["cosine"] > 0.9999 for r in pairs)
+    assert len({r["cluster"] for r in pairs}) <= 4
+    canon = {int(r["vec_id"]): r["canonical_id"]
+             for r in S.semantic_dedup(corpus, k=4, threshold=0.99).collect()}
+    for i in range(60):
+        # one representative per triple, drawn from the triple itself
+        # (CC representative = min string ident, the house CC ordering)
+        assert canon[i] == canon[i + 1000] == canon[i + 2000]
+        assert int(canon[i]) in (i, i + 1000, i + 2000)
+
+
+def test_semantic_dedup_pairs_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert S.semantic_dedup_pairs(df, k=3).count() == 0
