@@ -455,7 +455,8 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
 def duplicate_ngram_coverage(df: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text", n: int = 8,
-                             min_docs: int = 2, hash_fn=None) -> DataFrame:
+                             min_docs: int = 2, hash_fn=None,
+                             cache_grams: bool = True) -> DataFrame:
     """Per-document duplicate-text diagnostic at word n-gram granularity
     (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     Better": the fraction of a document covered by text that also occurs
@@ -473,11 +474,18 @@ def duplicate_ngram_coverage(df: DataFrame, id_col: str = "doc_id",
     the contract oracle runs the md5 variant ``_md5_64`` so DuckDB
     reproduces the exact grouping) and the ONE corpus-scale shuffle is
     the groupBy on the 8-byte hash with map-side partial aggregation.
-    The rejoin is a left-semi on the same key (AQE plans it as a
-    broadcast when the duplicated-gram set is small, the healthy-corpus
-    case), and the n-rows-per-gram position explode happens only for
-    duplicated windows.
+    The gram table has two consumers (the groupBy and the rejoin), so it
+    is localCheckpoint'ed once (``cache_grams``; the house minhash
+    shingle pattern — recomputing the tokenize+explode per consumer costs
+    a second full corpus pass). The rejoin is a left-semi on the same
+    8-byte key (AQE broadcasts when the duplicated-gram set is small,
+    the healthy-corpus case), the n-rows-per-gram position explode
+    happens only for duplicated windows, and both per-doc measures come
+    from ONE aggregation over the exploded frame (dup_gram_starts ==
+    countDistinct(pos): (doc, pos) is unique pre-explode).
     """
+    from .ckpt import checkpoint_reset_stats
+
     hash_fn = hash_fn or F.xxhash64
     d = df.select(F.col(id_col).alias("doc_id"),
                   tokens_of(F.col(text_col)).alias("toks"))
@@ -492,22 +500,22 @@ def duplicate_ngram_coverage(df: DataFrame, id_col: str = "doc_id",
             )).alias("pos", "gram"))
         .select("doc_id", "pos", hash_fn(F.col("gram")).alias("h"))
     )
+    if cache_grams:
+        grams = checkpoint_reset_stats(grams)
     dup_hashes = (grams.groupBy("h")
                   .agg(F.countDistinct("doc_id").alias("nd"))
                   .where(F.col("nd") >= int(min_docs))
                   .select("h"))
-    dupg = grams.join(dup_hashes, on="h", how="left_semi")
-    starts = dupg.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dup_gram_starts"))
-    covered = (
-        dupg.select("doc_id", F.explode(
+    per_doc = (
+        grams.join(dup_hashes, on="h", how="left_semi")
+        .select("doc_id", "pos", F.explode(
             F.expr(f"sequence(pos, pos + {int(n) - 1})")).alias("p"))
         .groupBy("doc_id")
-        .agg(F.countDistinct("p").alias("covered_tokens")))
+        .agg(F.countDistinct("pos").alias("dup_gram_starts"),
+             F.countDistinct("p").alias("covered_tokens")))
     return (
         d.select("doc_id", F.col("n_tok").cast("long").alias("n_tok"))
-        .join(starts, on="doc_id", how="left")
-        .join(covered, on="doc_id", how="left")
+        .join(per_doc, on="doc_id", how="left")
         .select(
             "doc_id", "n_tok",
             F.coalesce("dup_gram_starts", F.lit(0)).cast("long")
