@@ -3039,3 +3039,118 @@ QUERIES.update({
     "q76_dup_ngram_coverage": (q76_dup_ngram_coverage, Q76_SQL),
     "q77_semantic_dedup_pairs": (q77_semantic_dedup_pairs, Q77_SQL),
 })
+
+
+def q78_remove_duplicate_ngrams(spark, sf):
+    """Duplicate-span REMOVAL (the actionable form of q76, Lee et al.
+    2022 'keep one occurrence'): every token position inside a word
+    8-gram whose corpus-wide first occurrence (min doc_id) is a
+    different document is dropped, and the text is rebuilt from the
+    kept positions. Runs the REAL operator with the md5 hash variant;
+    the oracle re-derives ownership, the foreign-window position union,
+    and the rebuilt token stream."""
+    from .operators import dedup as DD
+
+    docs = _t(spark, sf, "documents")
+    return DD.remove_duplicate_ngrams(docs, n=8, hash_fn=DD._md5_64)
+
+
+Q78_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
+g AS (
+  SELECT doc_id, pos,
+         substr(md5(array_to_string(toks[pos + 1 : pos + 8], ' ')), 1, 16) AS h
+  FROM d, unnest(generate_series(0, n_tok - 8)) AS s(pos)
+  WHERE n_tok >= 8),
+own AS (
+  SELECT h, min(doc_id) AS owner
+  FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+dp AS (
+  SELECT DISTINCT g.doc_id, u.p
+  FROM g JOIN own USING (h), unnest(generate_series(pos, pos + 7)) AS u(p)
+  WHERE g.doc_id <> own.owner),
+tokpos AS (
+  SELECT doc_id, s.p, toks[s.p + 1] AS tok
+  FROM d, unnest(generate_series(0, n_tok - 1)) AS s(p)
+  WHERE n_tok > 0),
+kept AS (
+  SELECT tokpos.doc_id, count(*) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY p) AS text
+  FROM tokpos ANTI JOIN dp USING (doc_id, p)
+  GROUP BY tokpos.doc_id)
+SELECT d.doc_id, CAST(d.n_tok AS BIGINT) AS n_tok,
+       CAST(COALESCE(kept.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       COALESCE(kept.text, '') AS text
+FROM d LEFT JOIN kept USING (doc_id)
+"""
+
+
+QUERIES.update({
+    "q78_remove_duplicate_ngrams": (q78_remove_duplicate_ngrams, Q78_SQL),
+})
+
+
+def q79_pii_scrub(spark, sf):
+    """PII scrub through the REAL operator (`textstats.pii_scrub`) over
+    the documents table with deterministic PLANTED PII (the synthetic
+    corpus has none): every 7th doc gains an email, every 11th a
+    phone-shaped number, every 13th an IPv4 — all derived from doc_id so
+    both engines synthesize the identical corpus. The patterns are
+    restricted to Java/RE2-common syntax; a hash match attests the count
+    and the redacted text byte-for-byte (multi-class docs exercise the
+    fixed email->ip->phone redaction order)."""
+    from .operators import textstats as TS
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0, F.concat(
+            F.lit(" mail user"), did.cast("string"),
+            F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(
+            F.lit(" call 202-555-0"),
+            F.lpad((did % 1000).cast("string"), 3, "0"))).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.concat(
+            F.lit(" host 10.0."), (did % 256).cast("string"),
+            F.lit(".17"))).otherwise(F.lit("")),
+    )
+    return TS.pii_scrub(docs.select("doc_id", aug.alias("text")))
+
+
+Q79_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 202-555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+                 ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS text
+FROM aug
+"""
+
+
+QUERIES.update({
+    "q79_pii_scrub": (q79_pii_scrub, Q79_SQL),
+})

@@ -527,3 +527,76 @@ def duplicate_ngram_coverage(df: DataFrame, id_col: str = "doc_id",
                            / F.col("n_tok"), 6))
             .otherwise(F.lit(0.0)).alias("dup_coverage"))
     )
+
+
+def remove_duplicate_ngrams(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 8,
+                            hash_fn=None,
+                            cache_grams: bool = True) -> DataFrame:
+    """The actionable form of `duplicate_ngram_coverage` (Lee et al. 2022
+    keep ONE occurrence of duplicated text): rewrite each document with
+    the token positions removed that fall inside a word n-gram whose
+    corpus-wide FIRST occurrence (min doc id) is some other document.
+    The owning document keeps its text unchanged, so exactly one copy of
+    every duplicated n-gram survives; within-doc repeats are the owner's
+    own and survive too.
+
+    Output: (doc_id, n_tok, kept_tokens, text) — text rebuilt from the
+    kept positions in order (normalized token stream, the same
+    normalization every dedup operator here applies).
+
+    Scale: identical shape to `duplicate_ngram_coverage` — the gram
+    table (8-byte hash + doc + pos) is checkpointed once, the ONE
+    corpus-scale shuffle is the groupBy on the gram hash (partial
+    min/count map-side), foreign-owned windows rejoin on the same key,
+    and the keep-filter is an anti-semantics left join on (doc, pos)
+    followed by a per-doc sort-within-group rebuild (no window over the
+    whole corpus; grouping key is the doc).
+    """
+    from .ckpt import checkpoint_reset_stats
+
+    hash_fn = hash_fn or F.xxhash64
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  tokens_of(F.col(text_col)).alias("toks"))
+    d = d.withColumn("n_tok", F.size("toks"))
+    grams = (
+        d.where(F.col("n_tok") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(
+                f"transform(sequence(0, n_tok - {int(n)}), "
+                f"i -> concat_ws(' ', slice(toks, i + 1, {int(n)})))"
+            )).alias("pos", "gram"))
+        .select("doc_id", "pos", hash_fn(F.col("gram")).alias("h"))
+    )
+    if cache_grams:
+        grams = checkpoint_reset_stats(grams)
+    owners = (grams.groupBy("h")
+              .agg(F.min("doc_id").alias("owner"),
+                   F.countDistinct("doc_id").alias("nd"))
+              .where(F.col("nd") >= 2)
+              .select("h", "owner"))
+    drop_pos = (
+        grams.join(owners, on="h")
+        .where(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", F.explode(
+            F.expr(f"sequence(pos, pos + {int(n) - 1})")).alias("p"))
+        .distinct())
+    kept = (
+        d.select("doc_id", "n_tok",
+                 F.posexplode("toks").alias("p", "tok"))
+        .join(drop_pos, on=["doc_id", "p"], how="left_anti")
+        .groupBy("doc_id", "n_tok")
+        .agg(F.concat_ws(
+            " ", F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"])).alias("text"),
+             F.count(F.lit(1)).alias("kept_tokens")))
+    return (
+        d.select("doc_id", F.col("n_tok").cast("long").alias("n_tok"))
+        .join(kept.select("doc_id", "kept_tokens", "text"),
+              on="doc_id", how="left")
+        .select("doc_id", "n_tok",
+                F.coalesce("kept_tokens", F.lit(0)).cast("long")
+                .alias("kept_tokens"),
+                F.coalesce("text", F.lit("")).alias("text")))

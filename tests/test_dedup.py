@@ -288,3 +288,58 @@ def test_duplicate_ngram_coverage_within_doc_repeat_not_cross_doc(spark):
     all1 = {r["doc_id"]: r for r in
             D.duplicate_ngram_coverage(df, n=4, min_docs=1).collect()}
     assert all1[1]["covered_tokens"] == 8 and all1[1]["dup_gram_starts"] == 5
+
+
+def test_remove_duplicate_ngrams_hand_computed(spark):
+    """Owner (min doc_id) keeps its text — including its own within-doc
+    repeat; the non-owner loses exactly the foreign window's positions."""
+    rows = [
+        (1, "a b c d e a b c d"),
+        (2, "x a b c d y"),
+        (3, "p q r s t u v w"),
+        (4, "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.remove_duplicate_ngrams(df, n=4).collect()}
+    assert out[1]["text"] == "a b c d e a b c d" and out[1]["kept_tokens"] == 9
+    assert out[2]["text"] == "x y" and out[2]["kept_tokens"] == 2
+    assert out[3]["text"] == "p q r s t u v w"
+    assert out[4]["text"] == "a b c"  # shorter than n: untouched
+
+
+def test_remove_duplicate_ngrams_overlapping_foreign_windows(spark):
+    """Overlapping foreign windows from DIFFERENT owners drop the union
+    of their positions; the two owners keep their own text."""
+    rows = [
+        (1, "a b c d zzz"),
+        (2, "e f g h yyy"),
+        (3, "a b c d e f g h"),  # [0,4) owned by 1, [4,8) owned by 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.remove_duplicate_ngrams(df, n=4).collect()}
+    assert out[3]["kept_tokens"] == 0 and out[3]["text"] == ""
+    assert out[1]["text"] == "a b c d zzz"
+    assert out[2]["text"] == "e f g h yyy"
+
+
+def test_remove_duplicate_ngrams_invariance_and_conservation(spark):
+    """Hash-variant and partitioning invariant; kept_tokens == n_tok -
+    covered_tokens of the foreign-window coverage (conservation against
+    an independently computed union)."""
+    random.seed(11)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = [(i, " ".join(random.choice(vocab) for _ in range(25)))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, D.remove_duplicate_ngrams(df, n=5).collect()))
+    b = sorted(map(tuple, D.remove_duplicate_ngrams(
+        df.repartition(7), n=5, hash_fn=D._md5_64).collect()))
+    assert a == b
+    assert any(t[2] < t[1] for t in a)  # non-vacuous: something removed
+    # every kept text is a subsequence of the original token stream
+    orig = {i: t.split() for i, t in rows}
+    for doc_id, n_tok, kept, text in a:
+        toks = text.split() if text else []
+        assert len(toks) == kept
+        it = iter(orig[doc_id])
+        assert all(any(t == o for o in it) for t in toks)

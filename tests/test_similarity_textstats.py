@@ -937,3 +937,30 @@ def test_semantic_dedup_planted_copies_co_cluster(spark):
 def test_semantic_dedup_pairs_empty_input(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert S.semantic_dedup_pairs(df, k=3).count() == 0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = [
+        (1, "reach me at a.b-c_1@my-host.org or 192.168.0.1 thanks"),
+        (2, "call 555-123-4567 and 111-222-3333 twice"),
+        (3, "no pii here at all"),
+        (4, "x@y.io mail 10.0.0.255 ip 999-999-9999 phone"),  # one of each
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TS.pii_scrub(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 0)
+    assert out[1]["text"] == "reach me at <EMAIL> or <IP> thanks"
+    assert out[2]["n_phone"] == 2
+    assert out[2]["text"] == "call <PHONE> and <PHONE> twice"
+    assert out[3]["text"] == "no pii here at all"
+    assert out[4]["text"] == "<EMAIL> mail <IP> ip <PHONE> phone"
+
+
+def test_pii_scrub_order_email_wins_over_digits(spark):
+    """An email whose local part is phone-shaped is redacted as EMAIL
+    (order: email first), not chopped by the phone pattern."""
+    df = spark.createDataFrame(
+        [(1, "contact 555-123-4567@relay.example.net ok")],
+        "doc_id long, text string")
+    r = TS.pii_scrub(df).collect()[0]
+    assert r["n_email"] == 1 and r["text"] == "contact <EMAIL> ok"
