@@ -3154,3 +3154,144 @@ FROM aug
 QUERIES.update({
     "q79_pii_scrub": (q79_pii_scrub, Q79_SQL),
 })
+
+
+def q80_session_stats(spark, sf):
+    """Gap sessionization (`temporal.session_stats`): each user's event
+    stream splits into sessions at >1-day silences; per-session row
+    (n_events, start/end/duration in integer microseconds, value sum).
+    All gap arithmetic is integer `unix_micros`, so the oracle's
+    lag+cumsum re-derivation is exact — a hash match attests the strict
+    gap predicate, the 0-based running session index, the tie-break
+    ordering, and the one-shuffle window+groupBy composition."""
+    from .operators import temporal as T
+
+    ev = _t(spark, sf, "events")
+    out = T.session_stats(ev, "user_id", "ts", 86400.0,
+                          value_col="value", tiebreak="event_id")
+    return out.select(
+        "user_id", "session_idx", "n_events", "start_us", "end_us",
+        "duration_us", F.round("sum_value", 6).alias("sum_value"))
+
+
+Q80_SQL = """
+WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS t FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                      IS NULL
+                 OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                      > 86400000000
+            THEN 1 ELSE 0 END AS ns
+  FROM e),
+s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM m)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(t) AS start_us, max(t) AS end_us,
+       max(t) - min(t) AS duration_us,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q81_asof_join(spark, sf):
+    """Distributed as-of join (`temporal.asof_join`, union-sort-window
+    technique — Spark has no ASOF operator): every event attaches the
+    most recent purchase by the same user at-or-before its timestamp,
+    within a 7-day tolerance, ties on the purchase timestamp broken by
+    greatest event_id. The oracle is DuckDB's LATERAL nearest-row
+    subquery — semantically the textbook as-of definition — so a hash
+    match attests inclusive boundary handling, the tolerance null-out,
+    tie-breaking, and left-outer semantics (events with no qualifying
+    purchase keep null)."""
+    from .operators import temporal as T
+
+    ev = _t(spark, sf, "events")
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid"))
+    out = T.asof_join(ev, right, "user_id", "ts", "pts",
+                      tolerance_s=604800.0, tiebreak="pid")
+    return out.select(
+        "event_id", "user_id",
+        F.col("r_pid").alias("purchase_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("r_pts").cast("timestamp"))).alias("age_us"))
+
+
+Q81_SQL = """
+SELECT e.event_id, e.user_id, p.pid AS purchase_id,
+       epoch_us(e.ts) - epoch_us(p.pts) AS age_us
+FROM events e LEFT JOIN LATERAL (
+  SELECT x.event_id AS pid, x.ts AS pts
+  FROM events x
+  WHERE x.user_id = e.user_id AND x.event_type = 'purchase'
+    AND epoch_us(x.ts) <= epoch_us(e.ts)
+    AND epoch_us(e.ts) - epoch_us(x.ts) <= 604800000000
+  ORDER BY x.ts DESC, x.event_id DESC LIMIT 1) p ON true
+"""
+
+
+QUERIES.update({
+    "q80_session_stats": (q80_session_stats, Q80_SQL),
+    "q81_asof_join": (q81_asof_join, Q81_SQL),
+})
+
+
+def q82_bigram_backoff(spark, sf):
+    """Stupid-backoff bigram LM scoring (`textstats.bigram_backoff_score`,
+    Brants et al. 2007) with the model trained on the even-doc_id half
+    and scored over ALL documents — odd docs contain unseen bigrams and
+    OOV tokens, so both the ML leg ln(c12/c1) and the backoff leg
+    ln(alpha) + add-one unigram are exercised. Spark shuffles 64-bit
+    xxhash64 gram keys; the oracle groups the raw gram STRINGS, so a
+    hash match additionally attests hash-grouping == string-grouping on
+    this corpus (q76 precedent)."""
+    from .operators import textstats as TS
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    model = docs.where(F.col("doc_id") % 2 == 0)
+    out = TS.bigram_backoff_score(docs, model_df=model)
+    return out.select("doc_id", "n_bigrams",
+                      F.round("mean_score", 6).alias("mean_score"))
+
+
+Q82_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+big AS (
+  SELECT doc_id, toks[p + 1] AS w1, toks[p + 2] AS w2
+  FROM d, unnest(generate_series(0, n - 2)) AS s(p)
+  WHERE n >= 2),
+model_uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(toks) AS w FROM d WHERE doc_id % 2 = 0)
+  GROUP BY w),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM model_uni),
+model_big AS (
+  SELECT w1, w2, count(*) AS c12 FROM big WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+sc AS (
+  SELECT b.doc_id,
+         CASE WHEN mb.c12 IS NOT NULL THEN ln(mb.c12 / mu1.c)
+              ELSE ln(0.4) + ln((COALESCE(mu2.c, 0) + 1) / (tot.n + tot.v + 1))
+         END AS s
+  FROM big b
+  LEFT JOIN model_big mb USING (w1, w2)
+  LEFT JOIN model_uni mu1 ON b.w1 = mu1.w
+  LEFT JOIN model_uni mu2 ON b.w2 = mu2.w
+  CROSS JOIN tot),
+per AS (SELECT doc_id, count(*) AS nb, avg(s) AS ms FROM sc GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(per.nb, 0) AS BIGINT) AS n_bigrams,
+       round(per.ms, 6) AS mean_score
+FROM d LEFT JOIN per USING (doc_id)
+"""
+
+
+QUERIES.update({
+    "q82_bigram_backoff": (q82_bigram_backoff, Q82_SQL),
+})

@@ -476,3 +476,79 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id",
         red = F.regexp_replace(red, PII_PATTERNS[k], f"<{k.upper()}>")
     return out.select("doc_id", "n_email", "n_ip", "n_phone",
                       red.alias("text"))
+
+
+def bigram_backoff_score(df: DataFrame, model_df: DataFrame | None = None,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         alpha: float = 0.4) -> DataFrame:
+    """Stupid-backoff bigram LM score (Brants et al. 2007, "Large
+    Language Models in Machine Translation") — the next step up from the
+    unigram perplexity proxy (`unigram_logprob_score`): mean per-bigram
+    log score of each document under counts taken from ``model_df`` (the
+    LM corpus; defaults to ``df`` itself).
+
+        s(w1 w2) = ln( c(w1 w2) / c(w1) )            if c(w1 w2) > 0
+                 = ln(alpha) + ln( (c(w2)+1)/(N+V+1) ) otherwise
+
+    The backoff leg uses the house add-one unigram (q62's formula) so
+    out-of-vocabulary tokens score finitely instead of -inf. Scoring a
+    held-out corpus against a disjoint model exercises both legs; scoring
+    the model corpus against itself never backs off (every bigram has
+    count >= 1) — pass a distinct ``model_df`` for a discriminating
+    signal.
+
+    Scale shape: token/bigram streams shuffle on 64-bit xxhash64 keys,
+    never on gram strings (q76 precedent; 8/16-byte shuffle rows). Model
+    counts are two algebraic aggregations (map-side combined). Scoring is
+    three hash-key equi-joins (bigram, left word, right word) — AQE
+    broadcasts whichever count tables fit — then one per-doc mean. Docs
+    with < 2 tokens surface as (doc_id, 0, null) via the id left-join.
+
+    Output: (doc_id, n_bigrams, mean_score)."""
+    model_df = model_df if model_df is not None else df
+
+    def _bigrams(frame: DataFrame) -> DataFrame:
+        tk = frame.select(F.col(id_col).alias("doc_id"),
+                          tokens(F.col(text_col)).alias("tks"))
+        pair = F.expr(
+            "arrays_zip(slice(tks, 1, greatest(size(tks) - 1, 0)), "
+            "slice(tks, 2, greatest(size(tks) - 1, 0)))")
+        return (tk.select("doc_id", F.explode(pair).alias("bg"))
+                  .select("doc_id",
+                          F.xxhash64(F.col("bg.0")).alias("h1"),
+                          F.xxhash64(F.col("bg.1")).alias("h2")))
+
+    model_uni = (model_df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+                 .groupBy(F.xxhash64("w").alias("h"))
+                 .agg(F.count(F.lit(1)).alias("c")))
+    tot = model_uni.agg(F.sum("c").alias("n"),
+                        F.count(F.lit(1)).alias("v")).collect()[0]
+    n_total, v = int(tot["n"] or 0), int(tot["v"] or 0)
+    denom = float(n_total + v + 1)
+
+    model_bi = (_bigrams(model_df).groupBy("h1", "h2")
+                .agg(F.count(F.lit(1)).alias("c12")))
+
+    big = _bigrams(df)
+    scored = (
+        big.join(model_bi, on=["h1", "h2"], how="left")
+        .join(model_uni.select(F.col("h").alias("h1"), F.col("c").alias("c1")),
+              on="h1", how="left")
+        .join(model_uni.select(F.col("h").alias("h2"), F.col("c").alias("c2")),
+              on="h2", how="left")
+        .select(
+            "doc_id",
+            F.when(F.col("c12").isNotNull(),
+                   F.log(F.col("c12") / F.col("c1")))
+             .otherwise(F.log(F.lit(alpha))
+                        + F.log((F.coalesce("c2", F.lit(0)) + 1)
+                                / F.lit(denom))).alias("s"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("s").alias("mean_score"))
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(per_doc, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "mean_score")

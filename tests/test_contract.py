@@ -33,7 +33,8 @@ EXPECTED_NAMES = {
     "q70_embedding_neardup", "q71_incremental_sync_edges",
     "q72_mixture_sample", "q73_pack_sequences", "q74_training_export",
     "q75_pack_shuffled", "q76_dup_ngram_coverage", "q77_semantic_dedup_pairs",
-    "q78_remove_duplicate_ngrams", "q79_pii_scrub",
+    "q78_remove_duplicate_ngrams", "q79_pii_scrub", "q80_session_stats",
+    "q81_asof_join", "q82_bigram_backoff",
 }
 
 # Round 5: zero rows-only entries remain — q33 runs the md5 hash variant
@@ -44,7 +45,7 @@ ROWS_ONLY: set = set()
 
 def test_registry_names_stable():
     assert set(DC.queries_dict()) == EXPECTED_NAMES
-    assert len(DC.queries_dict()) == 79
+    assert len(DC.queries_dict()) == 82
 
 
 def test_oracle_coverage_complete_except_declared_rows_only():
