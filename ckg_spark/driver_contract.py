@@ -3295,3 +3295,100 @@ FROM d LEFT JOIN per USING (doc_id)
 QUERIES.update({
     "q82_bigram_backoff": (q82_bigram_backoff, Q82_SQL),
 })
+
+
+def q83_nb_quality_classifier(spark, sf):
+    """Multinomial Naive Bayes (`textstats.nb_train_score`) as a REAL
+    language/quality detector: train on the even-doc_id half labeled
+    lang=='en' (the seed-set pattern CCNet-style pipelines use), score
+    ALL documents — odd docs carry unseen tokens so the OOV mass and the
+    add-one algebra both matter. The oracle re-derives class counts,
+    the doc-count prior, and every per-token log-likelihood ratio; Spark
+    shuffles xxhash64 token keys while the oracle groups raw strings
+    (q82 precedent)."""
+    from .operators import textstats as TS
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("lab"))
+    model = docs.where(F.col("doc_id") % 2 == 0)
+    out = TS.nb_train_score(docs, "lab", model_df=model)
+    return out.select("doc_id", "n_tokens",
+                      F.round("log_odds", 6).alias("log_odds"), "pred")
+
+
+Q83_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+m AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, unnest(toks) AS w
+  FROM t WHERE doc_id % 2 = 0),
+counts AS (SELECT w, sum(y) AS c1, sum(1 - y) AS c0 FROM m GROUP BY w),
+tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM counts),
+pri AS (
+  SELECT ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+            / (sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) + 1)) AS prior
+  FROM t WHERE doc_id % 2 = 0),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+sc AS (
+  SELECT tok.doc_id,
+         ln((COALESCE(c.c1, 0) + 1) / (tot.n1 + tot.v + 1))
+         - ln((COALESCE(c.c0, 0) + 1) / (tot.n0 + tot.v + 1)) AS s
+  FROM tok LEFT JOIN counts c USING (w) CROSS JOIN tot),
+per AS (SELECT doc_id, count(*) AS nt, sum(s) AS ss FROM sc GROUP BY doc_id)
+SELECT t.doc_id, CAST(COALESCE(per.nt, 0) AS BIGINT) AS n_tokens,
+       round(COALESCE(per.ss, 0) + pri.prior, 6) AS log_odds,
+       (COALESCE(per.ss, 0) + pri.prior) > 0 AS pred
+FROM t LEFT JOIN per USING (doc_id) CROSS JOIN pri
+"""
+
+
+def q84_token_divergence(spark, sf):
+    """Per-source token-distribution drift (`textstats.token_divergence`):
+    KL(P_source || P_corpus) and Jensen-Shannon under add-one-smoothed
+    unigrams over the FULL corpus vocabulary (absent tokens carry
+    smoothed mass — the oracle's groups x vocab grid re-derivation
+    catches any implementation that drops them)."""
+    from .operators import textstats as TS
+
+    docs = _t(spark, sf, "documents").select("source", "text")
+    out = TS.token_divergence(docs, group_col="source")
+    return out.select("source", "n_tokens",
+                      F.round("kl", 6).alias("kl"),
+                      F.round("js", 6).alias("js"))
+
+
+Q84_SQL = """
+WITH t AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT source AS grp, unnest(toks) AS w FROM t),
+gc AS (SELECT grp, w, count(*) AS cg FROM tok GROUP BY grp, w),
+voc AS (SELECT w, sum(cg) AS c FROM gc GROUP BY w),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM voc),
+gt AS (SELECT grp, sum(cg) AS ng FROM gc GROUP BY grp),
+grid AS (SELECT gt.grp, gt.ng, voc.w, voc.c FROM gt CROSS JOIN voc),
+j AS (
+  SELECT grid.grp, grid.ng, grid.c, COALESCE(gc.cg, 0) AS cg
+  FROM grid LEFT JOIN gc ON grid.grp = gc.grp AND grid.w = gc.w),
+x AS (
+  SELECT grp, ng,
+         (cg + 1) / (ng + tot.v) AS pg,
+         (c + 1) / (tot.n + tot.v) AS p
+  FROM j CROSS JOIN tot)
+SELECT grp AS source, CAST(ng AS BIGINT) AS n_tokens,
+       round(sum(pg * ln(pg / p)), 6) AS kl,
+       round((sum(pg * ln(pg / ((pg + p) / 2)))
+              + sum(p * ln(p / ((pg + p) / 2)))) / 2, 6) AS js
+FROM x GROUP BY grp, ng
+"""
+
+
+QUERIES.update({
+    "q83_nb_quality_classifier": (q83_nb_quality_classifier, Q83_SQL),
+    "q84_token_divergence": (q84_token_divergence, Q84_SQL),
+})

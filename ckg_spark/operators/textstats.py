@@ -552,3 +552,107 @@ def bigram_backoff_score(df: DataFrame, model_df: DataFrame | None = None,
         "doc_id",
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "mean_score")
+
+
+def nb_train_score(df: DataFrame, label_col: str, model_df: DataFrame | None = None,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained and applied in one
+    plan — the classic seed-set quality/language filter (the fasttext-style
+    classifier a curation pipeline trains on "known good" vs "rest" labels;
+    CCNet/LLaMA used exactly this shape for quality).
+
+        log_odds(d) = ln(P1/P0) + sum_w ln( p(w|1) / p(w|0) ),
+        p(w|y) = (c_y(w) + 1) / (N_y + V + 1)   (add-one; +1 leaves OOV mass)
+
+    ``model_df`` is the labeled training corpus (defaults to ``df``); the
+    label column must be boolean-like (cast to int 0/1). P(y) is the doc-
+    count prior. OOV tokens contribute the constant ln((N0+V+1)/(N1+V+1)).
+
+    Scale shape: training is one token-hash aggregation pivoted by class
+    (map-side combined; the count table is vocabulary-scale); scoring joins
+    the scored corpus's token stream to it on the 64-bit hash (AQE
+    broadcasts when it fits) and takes one per-doc sum. Zero-token docs
+    surface with the prior alone.
+
+    Output: (doc_id, n_tokens, log_odds, pred)."""
+    model_df = model_df if model_df is not None else df
+    y = F.col(label_col).cast("int")
+
+    mtoks = model_df.select(y.alias("y"),
+                            F.explode(tokens(F.col(text_col))).alias("w"))
+    counts = (mtoks.groupBy(F.xxhash64("w").alias("h"))
+              .agg(F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("c1"),
+                   F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("c0")))
+    tot = counts.agg(F.sum("c1").alias("n1"), F.sum("c0").alias("n0"),
+                     F.count(F.lit(1)).alias("v")).collect()[0]
+    n1, n0, v = int(tot["n1"] or 0), int(tot["n0"] or 0), int(tot["v"] or 0)
+    d1, d0 = float(n1 + v + 1), float(n0 + v + 1)
+    docs = model_df.agg(
+        F.sum(y).alias("p"), F.sum(1 - y).alias("q")).collect()[0]
+    import math as _m
+    prior = _m.log((int(docs["p"] or 0) + 1) / (int(docs["q"] or 0) + 1))
+
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens(F.col(text_col))).alias("w"))
+    contrib = (toks.join(counts, on=F.xxhash64("w") == counts["h"], how="left")
+               .select("doc_id",
+                       (F.log((F.coalesce("c1", F.lit(0)) + 1) / F.lit(d1))
+                        - F.log((F.coalesce("c0", F.lit(0)) + 1) / F.lit(d0))
+                        ).alias("s")))
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("s").alias("ssum"))
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(per_doc, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        (F.coalesce("ssum", F.lit(0.0)) + F.lit(prior)).alias("log_odds"),
+        ((F.coalesce("ssum", F.lit(0.0)) + F.lit(prior)) > 0).alias("pred"))
+
+
+def token_divergence(df: DataFrame, group_col: str = "source",
+                     text_col: str = "text",
+                     vocab_size: int | None = None) -> DataFrame:
+    """Per-group token-distribution drift vs the whole corpus: KL(P_g ||
+    P_corpus) and Jensen-Shannon divergence under add-one-smoothed unigram
+    distributions over the corpus vocabulary — the monitor a continuous-
+    ingestion pipeline runs per shard/source/delta to catch a feed whose
+    content shifted (KL spikes) before it pollutes the training mixture.
+
+        P_g(w) = (c_g(w)+1) / (N_g+V),   P(w) = (c(w)+1) / (N+V),
+        KL = sum_w P_g ln(P_g/P),  JS = (KL(P_g||M) + KL(P||M)) / 2
+
+    summed over the FULL vocabulary (absent tokens carry smoothed mass —
+    dropping them biases KL low), which costs a groups x vocab grid of
+    8-byte-hash rows. ``vocab_size`` caps the grid for web-scale vocabs:
+    top-V corpus tokens keep their identity and the tail folds into one
+    residual pseudo-token per side (the truncated model stays a proper
+    distribution). Output: (group, n_tokens, kl, js)."""
+    toks = df.select(F.col(group_col).alias("grp"),
+                     F.explode(tokens(F.col(text_col))).alias("w"))
+    gcounts = (toks.groupBy("grp", F.xxhash64("w").alias("h"))
+               .agg(F.count(F.lit(1)).alias("cg")))
+    vocab = gcounts.groupBy("h").agg(F.sum("cg").alias("c"))
+    if vocab_size is not None:
+        keep = vocab.orderBy(F.col("c").desc(), F.col("h").asc()) \
+                    .limit(vocab_size).select("h")
+        tailed = gcounts.join(F.broadcast(keep.withColumn("k", F.lit(1))),
+                              on="h", how="left")
+        gcounts = (tailed.select(
+            "grp", F.when(F.col("k").isNotNull(), F.col("h"))
+                    .otherwise(F.lit(-(2 ** 63))).alias("h"), "cg")
+            .groupBy("grp", "h").agg(F.sum("cg").alias("cg")))
+        vocab = gcounts.groupBy("h").agg(F.sum("cg").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
+    n_all, v = int(tot["n"] or 0), int(tot["v"] or 0)
+    gtot = gcounts.groupBy("grp").agg(F.sum("cg").alias("ng"))
+
+    grid = gtot.crossJoin(vocab)
+    j = grid.join(gcounts, on=["grp", "h"], how="left")
+    pg = (F.coalesce("cg", F.lit(0)) + 1) / (F.col("ng") + F.lit(v))
+    p = (F.col("c") + 1) / F.lit(float(n_all + v))
+    m = (pg + p) / 2
+    out = j.groupBy("grp", "ng").agg(
+        F.sum(pg * F.log(pg / p)).alias("kl"),
+        ((F.sum(pg * F.log(pg / m)) + F.sum(p * F.log(p / m))) / 2).alias("js"))
+    return out.select(F.col("grp").alias(group_col),
+                      F.col("ng").alias("n_tokens"), "kl", "js")
