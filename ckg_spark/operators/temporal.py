@@ -105,9 +105,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = _as_list(on)
-    ts_right = ts_right or ts_left
-    backward = direction == "backward"
+    l2, r2, pay_cols = _asof_prepare(left, right, keys, ts_left,
+                                     ts_right or ts_left, tiebreak,
+                                     direction == "backward")
+    matched = _asof_core(l2, r2, keys, tolerance_s,
+                         direction == "backward")
+    return _asof_project(matched, left.columns, pay_cols, prefix)
 
+
+def _asof_prepare(left, right, keys, ts_left, ts_right, tiebreak, backward):
+    """Pack both sides into the union shape: (keys..., __t, __isr, __tb,
+    __p, __l). Forward direction negates the time/tiebreak axes so the
+    core only ever solves the backward problem."""
+    sign = 1 if backward else -1
     pay_cols = [c for c in right.columns if c not in keys]
     tb = (F.col(tiebreak) if tiebreak is not None else F.lit(0)).cast("long")
     rpack = F.struct(
@@ -116,9 +126,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     )
     r2 = right.select(
         *[F.col(k) for k in keys],
-        _micros(F.col(ts_right)).alias("__t"),
+        (sign * _micros(F.col(ts_right))).alias("__t"),
         F.lit(1).alias("__isr"),
-        tb.alias("__tb"),
+        (sign * tb).alias("__tb"),
         rpack.alias("__p"),
     )
     # Left rows carry their full row packed in a struct so the union stays
@@ -126,31 +136,117 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     lpack = F.struct(*[F.col(c).alias(c) for c in left.columns])
     l2 = left.select(
         *[F.col(k) for k in keys],
-        _micros(F.col(ts_left)).alias("__t"),
+        (sign * _micros(F.col(ts_left))).alias("__t"),
         F.lit(0).alias("__isr"),
         F.lit(0).cast("long").alias("__tb"),
         F.lit(None).cast(r2.schema["__p"].dataType).alias("__p"),
         lpack.alias("__l"),
     )
     r2 = r2.withColumn("__l", F.lit(None).cast(l2.schema["__l"].dataType))
+    return l2, r2, pay_cols
 
+
+def _asof_core(l2: DataFrame, r2: DataFrame, part_keys: list[str],
+               tolerance_s: float | None, backward: bool) -> DataFrame:
+    """Backward as-of over prepared frames: union, ONE shuffle on
+    ``part_keys``, per-partition sort, running `last(ignorenulls)`.
+    Returns the left rows with the matched payload as ``__m``."""
     u = l2.unionByName(r2.select(*l2.columns))
-    if backward:
-        order = [F.col("__t").asc(), F.col("__isr").desc(), F.col("__tb").asc()]
-    else:
-        order = [F.col("__t").desc(), F.col("__isr").desc(), F.col("__tb").desc()]
-    w = (Window.partitionBy(*keys).orderBy(*order)
+    order = [F.col("__t").asc(), F.col("__isr").desc(), F.col("__tb").asc()]
+    w = (Window.partitionBy(*part_keys).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w)) \
                .where(F.col("__isr") == 0)
-
     if tolerance_s is not None:
         tol_us = int(round(tolerance_s * 1_000_000))
-        age = (F.col("__t") - F.col("__m.__mt")) if backward \
-            else (F.col("__m.__mt") - F.col("__t"))
+        # __mt is the TRUE (unsigned) right timestamp; recover the left
+        # one from the possibly-negated axis.
+        lt = F.col("__t") if backward else -F.col("__t")
+        age = (lt - F.col("__m.__mt")) if backward \
+            else (F.col("__m.__mt") - lt)
         matched = matched.withColumn(
             "__m", F.when(age <= F.lit(tol_us), F.col("__m")))
+    return matched
 
-    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+
+def _asof_project(matched: DataFrame, left_cols, pay_cols, prefix):
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left_cols]
     out_cols += [F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in pay_cols]
     return matched.select(*out_cols)
+
+
+_LONG_MIN = -(2 ** 63)
+
+
+def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str | list[str],
+                       ts_left: str, ts_right: str | None = None, *,
+                       bucket_s: float, direction: str = "backward",
+                       tolerance_s: float | None = None,
+                       tiebreak: str | None = None,
+                       prefix: str = "r_") -> DataFrame:
+    """Skew-hardened as-of join: identical semantics to ``asof_join`` (the
+    property tests assert row-for-row equality), but the final window is
+    partitioned by (key, time-bucket), so parallelism scales with the
+    TIME RANGE even when one key holds most of the stream — the plain
+    per-key window would serialize a hot key into a single task.
+
+    Three phases, none of which sees a per-key unbounded partition:
+    1. per-(key, bucket) right WINNER: the as-of-latest right payload in
+       the bucket (one `max_by` aggregation, map-side combined);
+    2. per-left-bucket CARRY: the latest winner from any strictly earlier
+       bucket — itself a tiny as-of join on bucket-level rows (one row
+       per non-empty (key, bucket); thousands per key, not billions);
+    3. the intra-bucket as-of: union of left rows, right rows, and the
+       carry injected as a synthetic right row at bucket start (ordered
+       before every real in-bucket row), windowed by (key, bucket).
+
+    ``bucket_s`` trades shuffle width for carry-table size: pick roughly
+    (time span / desired parallelism). Forward direction is handled by
+    the same negated-axis trick as ``asof_join``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = _as_list(on)
+    backward = direction == "backward"
+    bucket_us = int(round(bucket_s * 1_000_000))
+    if bucket_us <= 0:
+        raise ValueError("bucket_s must be positive")
+
+    l2, r2, pay_cols = _asof_prepare(left, right, keys, ts_left,
+                                     ts_right or ts_left, tiebreak, backward)
+    # floor division keeps ordering on the (possibly negated) axis
+    bcol = F.floor(F.col("__t") / F.lit(bucket_us)).cast("long")
+    l2b = l2.withColumn("__b", bcol)
+    r2b = r2.withColumn("__b", bcol)
+
+    # 1. winner payload per (key, bucket): as-of-latest == max by (t, tb)
+    winners = r2b.groupBy(*keys, "__b").agg(
+        F.max_by("__p", F.struct("__t", "__tb")).alias("__wp"))
+
+    # 2. carry per LEFT bucket: latest winner from a strictly earlier
+    # bucket. Reuse the core on bucket-level rows (left "time" = bucket,
+    # right "time" = bucket+1 -> inclusive match means wb < lb).
+    lbuckets = l2b.select(*keys, "__b").distinct()
+    cl = lbuckets.select(
+        *keys, F.col("__b").alias("__t"), F.lit(0).alias("__isr"),
+        F.lit(0).cast("long").alias("__tb"),
+        F.lit(None).cast(winners.schema["__wp"].dataType).alias("__p"),
+        F.struct(F.col("__b").alias("__b")).alias("__l"))
+    cr = winners.select(
+        *keys, (F.col("__b") + 1).alias("__t"), F.lit(1).alias("__isr"),
+        F.col("__b").alias("__tb"), F.col("__wp").alias("__p"),
+        F.lit(None).cast(cl.schema["__l"].dataType).alias("__l"))
+    carry = (_asof_core(cl, cr, keys, None, True)
+             .where(F.col("__m").isNotNull())
+             .select(*keys, F.col("__l.__b").alias("__b"),
+                     F.col("__m").alias("__cp")))
+
+    # 3. intra-bucket as-of with the carry as a synthetic right row at
+    # bucket start (ordered before every real row in the bucket).
+    synth = carry.select(
+        *keys, (F.col("__b") * bucket_us).alias("__t"),
+        F.lit(1).alias("__isr"), F.lit(_LONG_MIN).alias("__tb"),
+        F.col("__cp").alias("__p"),
+        F.lit(None).cast(l2b.schema["__l"].dataType).alias("__l"), "__b")
+    matched = _asof_core(l2b, r2b.unionByName(synth.select(*r2b.columns)),
+                         keys + ["__b"], tolerance_s, backward)
+    return _asof_project(matched, left.columns, pay_cols, prefix)

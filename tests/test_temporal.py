@@ -174,3 +174,68 @@ def test_bigram_backoff_self_model_never_backs_off(spark):
     out = TS.bigram_backoff_score(docs).collect()
     assert all(r["mean_score"] is not None for r in out)
     assert all(r["mean_score"] <= 0.0 for r in out)
+
+
+def _random_streams(spark, seed, n_left=120, n_right=40, n_keys=3):
+    """Hot-key layout: most rows land on key 0."""
+    import random
+    rng = random.Random(seed)
+    lrows, rrows = [], []
+    for i in range(n_left):
+        k = 0 if rng.random() < 0.7 else rng.randrange(n_keys)
+        lrows.append((k, _ts(rng.randrange(0, 50_000)), i))
+    for j in range(n_right):
+        k = 0 if rng.random() < 0.7 else rng.randrange(n_keys)
+        rrows.append((k, _ts(rng.randrange(0, 50_000)), 1000 + j))
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(rrows, "k long, rts timestamp, rid long")
+    return left, right
+
+
+@pytest.mark.parametrize("direction,tol,bucket_s", [
+    ("backward", None, 3600.0),
+    ("backward", 7200.0, 900.0),
+    ("forward", None, 600.0),
+    ("forward", 5000.0, 10_000.0),
+])
+def test_asof_bucketed_equals_plain(spark, direction, tol, bucket_s):
+    left, right = _random_streams(spark, seed=hash((direction, bucket_s)) % 997)
+    kw = dict(direction=direction, tolerance_s=tol, tiebreak="rid")
+    plain = {r["lid"]: r["r_rid"] for r in T.asof_join(
+        left, right, "k", "ts", "rts", **kw).collect()}
+    bucketed = {r["lid"]: r["r_rid"] for r in T.asof_join_bucketed(
+        left, right, "k", "ts", "rts", bucket_s=bucket_s, **kw).collect()}
+    assert plain == bucketed
+
+
+def test_asof_bucketed_duplicate_ts_tiebreak(spark):
+    left = spark.createDataFrame([(1, _ts(10), 100)],
+                                 "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 7), (1, _ts(5), 9)], "k long, rts timestamp, rid long")
+    out = T.asof_join_bucketed(left, right, "k", "ts", "rts",
+                               bucket_s=2.0, tiebreak="rid")
+    assert out.collect()[0]["r_rid"] == 9
+
+
+def test_asof_bucketed_cross_bucket_carry(spark):
+    """Right row many buckets earlier must still reach the left row."""
+    left = spark.createDataFrame([(1, _ts(100_000), 1)],
+                                 "k long, ts timestamp, lid long")
+    right = spark.createDataFrame([(1, _ts(3), 42)],
+                                  "k long, rts timestamp, rid long")
+    out = T.asof_join_bucketed(left, right, "k", "ts", "rts", bucket_s=10.0,
+                               tiebreak="rid")
+    assert out.collect()[0]["r_rid"] == 42
+
+
+def test_asof_bucketed_window_partitioned_by_bucket(spark):
+    """The final window must partition on (key, bucket), not key alone —
+    that is the whole point of the variant."""
+    left, right = _random_streams(spark, seed=4)
+    out = T.asof_join_bucketed(left, right, "k", "ts", "rts",
+                               bucket_s=60.0, tiebreak="rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    wins = re.findall(r"windowspecdefinition\(k#\d+L, __b#\d+L", plan)
+    assert wins, plan
