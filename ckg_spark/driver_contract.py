@@ -3392,3 +3392,55 @@ QUERIES.update({
     "q83_nb_quality_classifier": (q83_nb_quality_classifier, Q83_SQL),
     "q84_token_divergence": (q84_token_divergence, Q84_SQL),
 })
+
+
+def q85_turn_tool_attribution(spark, sf):
+    """As-of join over the TRANSCRIPT payload shape: every turn attaches
+    the most recent tool turn (turn_idx % 3 == 2, per the deterministic
+    corpus) at-or-before its timestamp in the same conversation — the
+    tool-call attribution an agent-transcript KG needs. Runs the real
+    `temporal.asof_join`; the oracle re-derives the turn grid from
+    documents and resolves the match with a running window max, so a
+    hash match attests the operator on the exact input_hint schema
+    (turns before the first tool turn stay null)."""
+    from .operators import temporal as T
+    from .sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf)
+    tools = t.where(F.col("turn_idx") % 3 == 2).select(
+        "conv_id", F.col("ts").alias("tts"),
+        F.col("turn_idx").alias("tool_turn_idx"))
+    out = T.asof_join(t, tools, "conv_id", "ts", "tts",
+                      tiebreak="tool_turn_idx")
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("r_tool_turn_idx").alias("tool_turn_idx"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("r_tts").cast("timestamp"))).alias("age_us"))
+
+
+Q85_SQL = """
+WITH tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS dtoks
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         unnest(generate_series(
+           0, greatest(CAST(ceil(len(dtoks) / 12.0) AS INT) - 1, 0))) AS turn_idx
+  FROM tokd),
+m AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS conv_id, turn_idx,
+         max(CASE WHEN turn_idx % 3 = 2 THEN turn_idx END)
+           OVER (PARTITION BY doc_id ORDER BY turn_idx
+                 ROWS UNBOUNDED PRECEDING) AS tool_turn_idx
+  FROM t)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(tool_turn_idx AS INT) AS tool_turn_idx,
+       (turn_idx - tool_turn_idx) * 60000000 AS age_us
+FROM m
+"""
+
+
+QUERIES.update({
+    "q85_turn_tool_attribution": (q85_turn_tool_attribution, Q85_SQL),
+})

@@ -35,7 +35,7 @@ EXPECTED_NAMES = {
     "q75_pack_shuffled", "q76_dup_ngram_coverage", "q77_semantic_dedup_pairs",
     "q78_remove_duplicate_ngrams", "q79_pii_scrub", "q80_session_stats",
     "q81_asof_join", "q82_bigram_backoff", "q83_nb_quality_classifier",
-    "q84_token_divergence",
+    "q84_token_divergence", "q85_turn_tool_attribution",
 }
 
 # Round 5: zero rows-only entries remain — q33 runs the md5 hash variant
@@ -46,7 +46,7 @@ ROWS_ONLY: set = set()
 
 def test_registry_names_stable():
     assert set(DC.queries_dict()) == EXPECTED_NAMES
-    assert len(DC.queries_dict()) == 84
+    assert len(DC.queries_dict()) == 85
 
 
 def test_oracle_coverage_complete_except_declared_rows_only():
