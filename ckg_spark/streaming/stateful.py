@@ -218,3 +218,44 @@ def streaming_curate(
     return streaming_exact_dedup(
         filtered, text_col=text_col, id_col=id_col, ts_col=ts_col,
         watermark_delay=watermark_delay)
+
+
+def streaming_session_stats(
+    stream_events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming gap sessionization — the Structured-Streaming-native
+    counterpart of `operators.temporal.session_stats`, built on Spark's
+    ``session_window`` (dynamic-gap merging state, watermark-bounded):
+    events within ``gap`` of a session's end extend it; the watermark
+    closes sessions, so ``outputMode('append')`` emits each finished
+    session exactly once.
+
+    Boundary semantics differ from the batch operator by one instant:
+    the batch `sessionize` keeps a gap EXACTLY equal to the threshold in
+    one session (strict >), while `session_window`'s half-open
+    [start, last+gap) window starts a new session at exactly-gap spacing.
+    Equality with the batch composition holds for any stream without
+    exact-boundary gaps (asserted in the tests).
+
+    Output: (key, session_start, session_end, n_events[, sum_value]) —
+    session bounds are the window struct's bounds (end = last event +
+    gap, Spark's session extent convention)."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        stream_events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"),
+                 F.col(key_col))
+        .agg(*aggs)
+        .select(F.col(key_col),
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                *([F.col("n_events")] +
+                  ([F.col("sum_value")] if value_col is not None else [])))
+    )

@@ -1,4 +1,4 @@
-"""Driver-contract stability (round-3 verdict item 9): the 66-query
+"""Driver-contract stability (round-3 verdict item 9): the 85-query
 registry's NAME SET must stay stable round-over-round, the attestation
 ordering must keep the least-attested entries inside a 50-entry driver
 window, and every reference dispatch string must resolve (folded here from

@@ -217,3 +217,55 @@ def test_streaming_curate(spark, tmp_path):
     got = sorted(
         r["doc_id"] for r in spark.sql("SELECT doc_id FROM curatestream").collect())
     assert got == [1, 4]
+
+
+def test_streaming_session_stats_matches_batch(spark, tmp_path):
+    """Native session_window streaming sessions == the batch
+    temporal.session_stats composition (no exact-boundary gaps in the
+    fixture; streaming session_end = last event + gap by convention)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ckg_spark.operators import temporal as T
+    from ckg_spark.streaming.stateful import streaming_session_stats
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: sessions {0,100}, {5000, 5050}; user 2: one session
+        (1, ts(0), 2.0, 1), (1, ts(100), 3.0, 2),
+        (1, ts(5000), 5.0, 3), (1, ts(5050), 7.0, 4),
+        (2, ts(10), 1.0, 5), (2, ts(200), 1.5, 6),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    in_dir = str(tmp_path / "sess_in")
+    _write_ordered(in_dir, [pdf.iloc[:3], pdf.iloc[3:]])
+
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, value double, event_id long")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out = streaming_session_stats(stream, "user_id", gap="16 minutes",
+                                  value_col="value")
+    q = (out.writeStream.format("memory").queryName("sessout")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["session_start"]): r
+           for r in spark.sql("select * from sessout").collect()}
+
+    batch = spark.createDataFrame(pdf)
+    exp = {(r["user_id"], r["session_idx"]): r
+           for r in T.session_stats(batch, "user_id", "ts", 960.0,
+                                    value_col="value",
+                                    tiebreak="event_id").collect()}
+    assert len(got) == len(exp) == 3
+    for (u, sidx), e in exp.items():
+        start = dt.datetime.utcfromtimestamp(e["start_us"] / 1e6)
+        g = got[(u, start)]
+        assert g["n_events"] == e["n_events"]
+        assert g["sum_value"] == e["sum_value"]
+        # streaming session extent = last event + gap
+        end = dt.datetime.utcfromtimestamp(e["end_us"] / 1e6)
+        assert g["session_end"] == end + dt.timedelta(seconds=960)
