@@ -3444,3 +3444,176 @@ FROM m
 QUERIES.update({
     "q85_turn_tool_attribution": (q85_turn_tool_attribution, Q85_SQL),
 })
+
+
+def q86_nb_calibration(spark, sf):
+    """Reliability/calibration table (`textstats.calibration_table`) of
+    the q83 NB English detector evaluated on the HELD-OUT odd-doc_id
+    half against true labels: equal-width bins over the observed
+    log-odds range, per-bin count / positive fraction / mean score. The
+    bin formula is pure arithmetic on engine-identical doubles, so the
+    oracle reproduces the exact binning; a hash match attests the
+    whole train -> score -> calibrate composition."""
+    from .operators import textstats as TS
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("lab"))
+    model = docs.where(F.col("doc_id") % 2 == 0)
+    held = docs.where(F.col("doc_id") % 2 == 1)
+    scored = TS.nb_train_score(held, "lab", model_df=model) \
+        .join(held.select("doc_id", "lab"), on="doc_id")
+    out = TS.calibration_table(scored, "log_odds", "lab", n_bins=10)
+    return out.select(
+        "bin", "n", F.col("n_pos").cast("long").alias("n_pos"),
+        F.round("frac_pos", 6).alias("frac_pos"),
+        F.round("mean_score", 6).alias("mean_score"))
+
+
+Q86_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+m AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, unnest(toks) AS w
+  FROM t WHERE doc_id % 2 = 0),
+counts AS (SELECT w, sum(y) AS c1, sum(1 - y) AS c0 FROM m GROUP BY w),
+tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM counts),
+pri AS (
+  SELECT ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+            / (sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) + 1)) AS prior
+  FROM t WHERE doc_id % 2 = 0),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM t WHERE doc_id % 2 = 1),
+sc AS (
+  SELECT tok.doc_id,
+         ln((COALESCE(c.c1, 0) + 1) / (tot.n1 + tot.v + 1))
+         - ln((COALESCE(c.c0, 0) + 1) / (tot.n0 + tot.v + 1)) AS s
+  FROM tok LEFT JOIN counts c USING (w) CROSS JOIN tot),
+per AS (SELECT doc_id, sum(s) AS ss FROM sc GROUP BY doc_id),
+sd AS (
+  SELECT t.doc_id, (t.lang = 'en') AS lab,
+         COALESCE(per.ss, 0) + pri.prior AS lo_odds
+  FROM t LEFT JOIN per USING (doc_id) CROSS JOIN pri
+  WHERE t.doc_id % 2 = 1),
+mm AS (SELECT min(lo_odds) AS lo, max(lo_odds) AS hi FROM sd),
+binned AS (
+  SELECT least(CAST(floor((lo_odds - mm.lo) / (mm.hi - mm.lo) * 10)
+               AS BIGINT), 9) AS bin,
+         lab, lo_odds
+  FROM sd CROSS JOIN mm)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       round(CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS frac_pos,
+       round(avg(lo_odds), 6) AS mean_score
+FROM binned GROUP BY bin
+"""
+
+
+QUERIES.update({
+    "q86_nb_calibration": (q86_nb_calibration, Q86_SQL),
+})
+
+
+def q87_source_fingerprints(spark, sf):
+    """Per-source distinctive-token fingerprints (`textstats.
+    source_fingerprints`): top-5 tokens per source by PMI with a
+    min-count floor. The PMI expression is evaluated with the identical
+    operation order in both engines, so the (PMI desc, token asc)
+    ranking — including exact-ratio ties — reproduces bit-for-bit."""
+    from .operators import textstats as TS
+
+    docs = _t(spark, sf, "documents").select("source", "text")
+    out = TS.source_fingerprints(docs, top_k=5, min_count=3)
+    return out.select("source", "token", "cg",
+                      F.round("pmi", 6).alias("pmi"), "rank")
+
+
+Q87_SQL = """
+WITH t AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT source AS grp, unnest(toks) AS w FROM t),
+gc AS (SELECT grp, w, count(*) AS cg FROM tok GROUP BY grp, w),
+voc AS (SELECT w, sum(cg) AS c FROM gc GROUP BY w),
+gt AS (SELECT grp, sum(cg) AS ng FROM gc GROUP BY grp),
+tot AS (SELECT sum(c) AS n FROM voc),
+x AS (
+  SELECT gc.grp, gc.w, gc.cg,
+         ln((gc.cg / gt.ng) / (voc.c / CAST(tot.n AS DOUBLE))) AS pmi
+  FROM gc JOIN voc USING (w) JOIN gt USING (grp) CROSS JOIN tot
+  WHERE gc.cg >= 3),
+r AS (
+  SELECT grp, w, cg, pmi,
+         row_number() OVER (PARTITION BY grp ORDER BY pmi DESC, w ASC) AS rnk
+  FROM x)
+SELECT grp AS source, w AS token, CAST(cg AS BIGINT) AS cg,
+       round(pmi, 6) AS pmi, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 5
+"""
+
+
+QUERIES.update({
+    "q87_source_fingerprints": (q87_source_fingerprints, Q87_SQL),
+})
+
+
+def q88_cluster_balanced_mixture(spark, sf):
+    """Cluster-balanced training mixture (DoReMi-lite domain balancing):
+    assign every embedding to its nearest of 4 deterministically drawn
+    seed clusters (`similarity.semantic_seeds` + `assign_to_seeds`, the
+    q77 machinery), then realize a UNIFORM 25%-per-cluster mix with
+    `sampling.mixture_sample` using the cluster label as the source
+    column — the smallest cluster keeps rate 1.0 and the rest downsample
+    to match. A hash match attests the composed seed draw, argmax
+    assignment, achievable-budget rate solve, and per-row md5 keep
+    filter end-to-end."""
+    from .operators import sampling as SAM
+    from .operators import similarity as SIM
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    seeds = SIM.semantic_seeds(emb, 4, seed="cb0")
+    assigned = SIM.assign_to_seeds(emb, seeds)
+    docs_c = assigned.select(F.col("id").alias("vec_id"),
+                             F.col("cluster").cast("string").alias("csrc"))
+    targets = {str(i): 0.25 for i in range(4)}
+    out = SAM.mixture_sample(docs_c, targets, source_col="csrc",
+                             key="vec_id", seed="cb1")
+    return out.select("vec_id", F.col("csrc").cast("long").alias("cluster"))
+
+
+Q88_SQL = """
+WITH u AS (
+  SELECT vec_id, embedding,
+         CAST(('0x' || substr(md5('cb0:' || CAST(vec_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM embeddings),
+seeds AS (
+  SELECT embedding AS sv, row_number() OVER (ORDER BY u, vec_id) - 1 AS si
+  FROM u ORDER BY u, vec_id LIMIT 4),
+ranked AS (
+  SELECT e.vec_id, s.si,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding, s.sv) DESC, s.si
+         ) AS rn
+  FROM embeddings e CROSS JOIN seeds s),
+asg AS (SELECT vec_id, si AS cluster FROM ranked WHERE rn = 1),
+avail AS (SELECT cluster, CAST(count(*) AS DOUBLE) AS cnt
+          FROM asg GROUP BY cluster),
+b AS (SELECT min(cnt / 0.25) AS bb FROM avail),
+rates AS (SELECT cluster, (0.25 * b.bb) / cnt AS rate
+          FROM avail CROSS JOIN b)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster
+FROM asg a JOIN rates r ON a.cluster = r.cluster
+WHERE CAST(('0x' || substr(md5('cb1:' || CAST(a.vec_id AS VARCHAR)), 1, 8))
+           AS BIGINT) / 4294967296.0 < r.rate
+"""
+
+
+QUERIES.update({
+    "q88_cluster_balanced_mixture": (q88_cluster_balanced_mixture, Q88_SQL),
+})

@@ -10,7 +10,7 @@ its parsers apply (score >= cutoff filters, stringParser.py:51).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword language heuristic
 # (space-tokenized scripts only; CJK/Cyrillic/Arabic go via script ranges —
@@ -656,3 +656,73 @@ def token_divergence(df: DataFrame, group_col: str = "source",
         ((F.sum(pg * F.log(pg / m)) + F.sum(p * F.log(p / m))) / 2).alias("js"))
     return out.select(F.col("grp").alias(group_col),
                       F.col("ng").alias("n_tokens"), "kl", "js")
+
+
+def calibration_table(scored: DataFrame, score_col: str, label_col: str,
+                      n_bins: int = 10) -> DataFrame:
+    """Reliability table for a probabilistic/score classifier: equal-width
+    bins over the observed score range with per-bin count, positive count,
+    positive fraction, and mean score — the calibration curve an ML-ops
+    pipeline monitors before trusting a filter's threshold.
+
+    Bin edges come from the global min/max (one dictionary-scale
+    aggregate); bin = clamp(floor((s - min)/(max - min) * B), 0, B-1), a
+    pure-arithmetic formula an external engine reproduces bit-for-bit.
+    Degenerate range (min == max) puts everything in bin 0. One shuffle
+    (the bin groupBy, map-side combined)."""
+    mm = scored.agg(F.min(score_col).alias("lo"),
+                    F.max(score_col).alias("hi")).collect()[0]
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if hi > lo:
+        b = F.least(F.floor((F.col(score_col) - F.lit(lo))
+                            / F.lit(hi - lo) * F.lit(n_bins)),
+                    F.lit(n_bins - 1)).cast("long")
+    else:
+        b = F.lit(0).cast("long")
+    y = F.col(label_col).cast("int")
+    return (scored.select(b.alias("bin"), y.alias("y"),
+                          F.col(score_col).alias("s"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("y").alias("n_pos"),
+                 (F.sum("y") / F.count(F.lit(1))).alias("frac_pos"),
+                 F.avg("s").alias("mean_score")))
+
+
+def source_fingerprints(df: DataFrame, group_col: str = "source",
+                        text_col: str = "text", top_k: int = 5,
+                        min_count: int = 3) -> DataFrame:
+    """Per-group most-DISTINCTIVE tokens by pointwise mutual information:
+
+        PMI(w, g) = ln( (c_g(w)/N_g) / (c(w)/N) )
+
+    restricted to tokens with c_g(w) >= ``min_count`` (rare-token PMI is
+    noise), top ``top_k`` per group by (PMI desc, token asc) — the
+    "what makes this feed different" diagnostic that pairs with
+    `token_divergence`'s scalar drift score.
+
+    Scale shape: one (group, token) count aggregation (the distinct
+    grid is vocabulary x groups — token strings do surface here because
+    the OUTPUT is tokens; each distinct pair shuffles once), a vocab
+    join for corpus counts, dictionary-scale group totals broadcast,
+    then a per-group top-k window over the min_count survivors. The PMI
+    expression is written identically in external engines, so ranking
+    (ties broken by token) reproduces exactly."""
+    toks = df.select(F.col(group_col).alias("grp"),
+                     F.explode(tokens(F.col(text_col))).alias("w"))
+    gc = toks.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("cg"))
+    voc = gc.groupBy("w").agg(F.sum("cg").alias("c"))
+    gt = gc.groupBy("grp").agg(F.sum("cg").alias("ng"))
+    n = int(voc.agg(F.sum("c")).collect()[0][0] or 0)
+    x = (gc.where(F.col("cg") >= min_count)
+         .join(voc, on="w")
+         .join(F.broadcast(gt), on="grp")
+         .select("grp", "w", "cg",
+                 F.log((F.col("cg") / F.col("ng"))
+                       / (F.col("c") / F.lit(float(n)))).alias("pmi")))
+    w_rank = Window.partitionBy("grp").orderBy(F.col("pmi").desc(),
+                                               F.col("w").asc())
+    return (x.withColumn("rank", F.row_number().over(w_rank))
+            .where(F.col("rank") <= top_k)
+            .select(F.col("grp").alias(group_col), F.col("w").alias("token"),
+                    "cg", "pmi", "rank"))

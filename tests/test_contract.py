@@ -1,4 +1,4 @@
-"""Driver-contract stability (round-3 verdict item 9): the 85-query
+"""Driver-contract stability (round-3 verdict item 9): the 88-query
 registry's NAME SET must stay stable round-over-round, the attestation
 ordering must keep the least-attested entries inside a 50-entry driver
 window, and every reference dispatch string must resolve (folded here from
@@ -36,6 +36,8 @@ EXPECTED_NAMES = {
     "q78_remove_duplicate_ngrams", "q79_pii_scrub", "q80_session_stats",
     "q81_asof_join", "q82_bigram_backoff", "q83_nb_quality_classifier",
     "q84_token_divergence", "q85_turn_tool_attribution",
+    "q86_nb_calibration", "q87_source_fingerprints",
+    "q88_cluster_balanced_mixture",
 }
 
 # Round 5: zero rows-only entries remain — q33 runs the md5 hash variant
@@ -46,7 +48,7 @@ ROWS_ONLY: set = set()
 
 def test_registry_names_stable():
     assert set(DC.queries_dict()) == EXPECTED_NAMES
-    assert len(DC.queries_dict()) == 85
+    assert len(DC.queries_dict()) == 88
 
 
 def test_oracle_coverage_complete_except_declared_rows_only():
