@@ -3617,3 +3617,188 @@ WHERE CAST(('0x' || substr(md5('cb1:' || CAST(a.vec_id AS VARCHAR)), 1, 8))
 QUERIES.update({
     "q88_cluster_balanced_mixture": (q88_cluster_balanced_mixture, Q88_SQL),
 })
+
+
+# ---------------------------------------------------------------------------
+# SFT / preference training-example construction over transcripts (round 5)
+# ---------------------------------------------------------------------------
+
+# DuckDB rendition of transcripts_from_documents' 12-token turn grid,
+# shared by the q89-q92 oracles (same derivation as Q85_SQL, plus text).
+_TURNS_CTE = """
+tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS dtoks
+  FROM documents),
+tg AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS conv_id, dtoks,
+         unnest(generate_series(
+           0, greatest(CAST(ceil(len(dtoks) / 12.0) AS INT) - 1, 0))) AS turn_idx
+  FROM tokd),
+turns AS (
+  SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+         CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         array_to_string(list_slice(dtoks, turn_idx*12 + 1, turn_idx*12 + 12),
+                         ' ') AS text
+  FROM tg)
+"""
+
+
+def q89_sft_examples(spark, sf):
+    """SFT example construction (`sft.sft_examples`): one (prompt,
+    completion) row per assistant turn, prompt = the last <=8 prior turns
+    rendered 'role: text' joined by newline. The oracle re-derives the
+    turn grid and the bounded window verbatim, so a hash match attests
+    the chat rendering, the ROWS-frame context cap, the loss-mask token
+    boundary counts, and — via the raw completion column — the north
+    rule's per-turn text equality under stable turn ordering."""
+    from .operators import sft as S
+    from .sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf)
+    out = S.sft_examples(t, max_context_turns=8)
+    return out.select(
+        "conv_id", "turn_idx", "n_context_turns",
+        F.md5("prompt").alias("prompt_md5"), "completion",
+        "prompt_tokens", "completion_tokens")
+
+
+Q89_SQL = """
+WITH """ + _TURNS_CTE + """,
+ctx AS (
+  SELECT conv_id, turn_idx, role, text,
+         list(role || ': ' || text) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS c
+  FROM turns),
+ex AS (
+  SELECT conv_id, turn_idx,
+         COALESCE(len(c), 0) AS n_context_turns,
+         COALESCE(array_to_string(c, chr(10)), '') AS prompt,
+         text AS completion
+  FROM ctx WHERE role = 'assistant')
+SELECT conv_id, turn_idx, CAST(n_context_turns AS INT) AS n_context_turns,
+       md5(prompt) AS prompt_md5, completion,
+       CASE WHEN length(trim(prompt)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(prompt), '\\s+')) END
+         AS prompt_tokens,
+       CASE WHEN length(trim(completion)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(completion), '\\s+')) END
+         AS completion_tokens
+FROM ex
+"""
+
+
+def q90_preference_pairs(spark, sf):
+    """DPO preference-pair construction (`sft.preference_pairs`): per
+    conversation, chosen = the assistant turn with the highest score
+    (char length heuristic; ties -> lowest turn_idx), rejected = lowest
+    (ties -> highest turn_idx), emitted when distinct turns with positive
+    margin. Opposed tie-break directions make the pair deterministic;
+    the oracle mirrors both row_number orderings exactly."""
+    from .operators import sft as S
+    from .sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf)
+    out = S.preference_pairs(t, F.length(F.col("text")).cast("long"))
+    return out.select(
+        "conv_id", "chosen_turn_idx", "chosen_score",
+        "rejected_turn_idx", "rejected_score", "margin")
+
+
+Q90_SQL = """
+WITH """ + _TURNS_CTE + """,
+a AS (
+  SELECT conv_id, turn_idx, CAST(length(text) AS BIGINT) AS s
+  FROM turns WHERE role = 'assistant'),
+r AS (
+  SELECT conv_id, turn_idx, s,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY s DESC, turn_idx ASC) AS rh,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY s ASC, turn_idx DESC) AS rl
+  FROM a)
+SELECT t.conv_id,
+       t.turn_idx AS chosen_turn_idx, t.s AS chosen_score,
+       b.turn_idx AS rejected_turn_idx, b.s AS rejected_score,
+       t.s - b.s AS margin
+FROM (SELECT * FROM r WHERE rh = 1) t
+JOIN (SELECT * FROM r WHERE rl = 1) b USING (conv_id)
+WHERE t.turn_idx <> b.turn_idx AND t.s - b.s > 0
+"""
+
+
+def q91_boilerplate_turns(spark, sf):
+    """Boilerplate/template-turn detection (`sft.boilerplate_turns`):
+    normalized turn texts recurring in >= 2 distinct conversations —
+    the canned-response dictionary a transcript-cleaning pass removes
+    before the turns poison dedup and quality stats. Normalization
+    (lower + whitespace collapse + trim) is byte-identical across
+    engines; counts are exact."""
+    from .operators import sft as S
+    from .sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf)
+    out = S.boilerplate_turns(t, min_convs=2)
+    return out.select("text_norm", "n_convs", "n_turns")
+
+
+Q91_SQL = """
+WITH """ + _TURNS_CTE + """,
+n AS (
+  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm,
+         conv_id
+  FROM turns)
+SELECT text_norm, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM n WHERE length(text_norm) > 0
+GROUP BY text_norm HAVING count(DISTINCT conv_id) >= 2
+"""
+
+
+def q92_context_budget(spark, sf):
+    """Context-window truncation budget (`sft.context_budget`): per
+    conversation, tokens surviving truncation to the LAST 64 whitespace
+    tokens at whole-turn granularity (standard chat truncation: most
+    recent turns kept while they fit). Pure integer suffix-sum window
+    arithmetic — the oracle's reverse cumulative sum is exact."""
+    from .operators import sft as S
+    from .sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf)
+    out = S.context_budget(t, 64)
+    return out.select("conv_id", "n_turns", "total_tokens", "kept_turns",
+                      "kept_tokens", "dropped_tokens")
+
+
+Q92_SQL = """
+WITH """ + _TURNS_CTE + """,
+nt AS (
+  SELECT conv_id, turn_idx,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS nt
+  FROM turns),
+suf AS (
+  SELECT conv_id, nt,
+         sum(nt) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                       ROWS UNBOUNDED PRECEDING) AS suffix_toks
+  FROM nt)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN suffix_toks <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_turns,
+       CAST(COALESCE(sum(CASE WHEN suffix_toks <= 64 THEN nt ELSE 0 END), 0)
+            AS BIGINT) AS kept_tokens,
+       CAST(sum(nt) - COALESCE(sum(CASE WHEN suffix_toks <= 64 THEN nt ELSE 0 END),
+                               0) AS BIGINT) AS dropped_tokens
+FROM suf GROUP BY conv_id
+"""
+
+
+QUERIES.update({
+    "q89_sft_examples": (q89_sft_examples, Q89_SQL),
+    "q90_preference_pairs": (q90_preference_pairs, Q90_SQL),
+    "q91_boilerplate_turns": (q91_boilerplate_turns, Q91_SQL),
+    "q92_context_budget": (q92_context_budget, Q92_SQL),
+})

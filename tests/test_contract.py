@@ -37,7 +37,8 @@ EXPECTED_NAMES = {
     "q81_asof_join", "q82_bigram_backoff", "q83_nb_quality_classifier",
     "q84_token_divergence", "q85_turn_tool_attribution",
     "q86_nb_calibration", "q87_source_fingerprints",
-    "q88_cluster_balanced_mixture",
+    "q88_cluster_balanced_mixture", "q89_sft_examples",
+    "q90_preference_pairs", "q91_boilerplate_turns", "q92_context_budget",
 }
 
 # Round 5: zero rows-only entries remain — q33 runs the md5 hash variant
@@ -48,7 +49,7 @@ ROWS_ONLY: set = set()
 
 def test_registry_names_stable():
     assert set(DC.queries_dict()) == EXPECTED_NAMES
-    assert len(DC.queries_dict()) == 88
+    assert len(DC.queries_dict()) == 92
 
 
 def test_oracle_coverage_complete_except_declared_rows_only():
