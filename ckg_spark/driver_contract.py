@@ -3802,3 +3802,97 @@ QUERIES.update({
     "q91_boilerplate_turns": (q91_boilerplate_turns, Q91_SQL),
     "q92_context_budget": (q92_context_budget, Q92_SQL),
 })
+
+
+def q93_incremental_canonicalize(spark, sf):
+    """Incremental canonicalization == batch CC (`canonicalize.
+    incremental_canonical_mapping`, plans/canon.py). Identity graph:
+    consecutive customers (by custkey) within a nation form a chain, so
+    each nation is ONE component whose canonical id is its minimum padded
+    custkey — ground truth the oracle states directly, no recursion. The
+    chain edges are split into two deterministic deltas by md5 parity of
+    the edge pair: delta 1 leaves the chains in scattered fragments,
+    delta 2 reconnects them, so the second fold exercises mass component
+    MERGES (prior components enter as star edges; only touched components
+    recompute). A hash match proves the delta path reproduces batch
+    labels exactly — the guarantee that lets a 10^12-turn corpus sync
+    canonical entity ids per delta instead of re-running CC over all
+    history."""
+    from .operators.canonicalize import incremental_canonical_mapping
+    from .operators.ckpt import checkpoint_reset_stats
+
+    c = _t(spark, sf, "customer").select(
+        F.concat(F.lit("c"), F.lpad(F.col("c_custkey").cast("string"),
+                                    7, "0")).alias("ident"),
+        "c_nationkey", "c_custkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    edges = (
+        c.withColumn("ident_b", F.lead("ident").over(w))
+        .where(F.col("ident_b").isNotNull())
+        .select(F.col("ident").alias("ident_a"), "ident_b")
+    )
+    parity = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "ident_a", "ident_b")), 1, 4),
+        16, 10).cast("long") % 2
+    edges = checkpoint_reset_stats(edges.withColumn("_p", parity))
+    m1, _ = incremental_canonical_mapping(None, edges.where(F.col("_p") == 0))
+    m1 = checkpoint_reset_stats(m1)
+    m2, _ = incremental_canonical_mapping(
+        m1, edges.where(F.col("_p") == 1),
+        new_idents=c.select("ident"))  # single-customer nations self-map
+    return m2.select("ident", F.col("canonical_id").alias("component"))
+
+
+Q93_SQL = """
+WITH c AS (
+  SELECT 'c' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS ident,
+         c_nationkey
+  FROM customer)
+SELECT ident, min(ident) OVER (PARTITION BY c_nationkey) AS component
+FROM c
+"""
+
+
+QUERIES.update({
+    "q93_incremental_canonicalize": (q93_incremental_canonicalize, Q93_SQL),
+})
+
+
+def q94_chunk_documents(spark, sf):
+    """Overlapping token-window chunking (`chunking.chunk_documents`):
+    64-token windows, 16-token overlap (stride 48). The oracle re-derives
+    the window grid and slices verbatim, so a hash match attests the
+    stride arithmetic, the short-final-window rule, the single-window rule
+    for short docs, and byte-exact chunk text (via md5). Narrow plan: no
+    shuffle, no UDF — scan-bound at any scale."""
+    from .operators.chunking import chunk_documents
+
+    docs = _t(spark, sf, "documents")
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return out.select(
+        "doc_id", "chunk_idx", "start_token", "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"))
+
+
+Q94_SQL = """
+WITH tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+  FROM documents WHERE length(trim(text)) > 0),
+g AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         unnest(generate_series(
+           0, CAST(48 * ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT),
+           48)) AS s
+  FROM tokd)
+SELECT doc_id,
+       CAST(s / 48 AS INT) AS chunk_idx,
+       CAST(s AS INT) AS start_token,
+       CAST(least(64, n - s) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(tk, s + 1, s + 64), ' ')) AS chunk_md5
+FROM g
+"""
+
+
+QUERIES.update({
+    "q94_chunk_documents": (q94_chunk_documents, Q94_SQL),
+})

@@ -174,3 +174,112 @@ def canonical_mapping(identity_edges: DataFrame, all_idents: DataFrame,
             F.coalesce("component", "ident").alias("canonical_id"),
         )
     )
+
+
+def incremental_canonical_mapping(
+    prev_mapping: DataFrame | None,
+    new_edges: DataFrame,
+    new_idents: DataFrame | None = None,
+    src: str = "ident_a",
+    dst: str = "ident_b",
+    driver_threshold: int | None = DRIVER_CC_MAX_EDGES,
+) -> tuple[DataFrame, DataFrame]:
+    """Delta canonicalization: fold a batch of NEW identity edges into an
+    existing (ident, canonical_id) mapping WITHOUT re-running connected
+    components over all history.
+
+    Returns ``(mapping, remaps)``: the full updated mapping, and the
+    distinct ``(old_canonical_id, new_canonical_id)`` pairs for components
+    absorbed by a merge this delta — downstream edge tables patch
+    themselves with ONE broadcast join against this (dictionary-scale)
+    remap log instead of recomputing.
+
+    Batch-equivalent by construction (tests + the q93 oracle assert it):
+    canonical = lexicographic min ident of the component, exactly what
+    ``canonical_mapping`` emits over the full edge union. The delta only
+    recomputes TOUCHED components: every prior component is collapsed to a
+    star (member -> canonical_id edges), and a component can only change
+    if one of its members appears in a new edge, so CC over
+    {new edges} ∪ {stars of directly-touched components} reproduces the
+    batch labels for every affected ident while the untouched rows pass
+    through with zero compute.
+
+    Scale shape (the point of the operator): per-sync cost is
+    O(delta + touched-component membership), not O(history). The star
+    edges key on canonical_id — a mega-component makes that key hot, which
+    AQE skew-join splits; the min-label aggregation inside
+    ``connected_components`` is algebraic, so map-side partials absorb the
+    hot canon before any shuffle.
+    """
+    spark = new_edges.sparkSession
+    e = (
+        new_edges.select(F.col(src).alias("ident_a"), F.col(dst).alias("ident_b"))
+        .where(F.col("ident_a") != F.col("ident_b"))
+        .distinct()
+    )
+    if prev_mapping is None:
+        prev = spark.createDataFrame([], "ident string, canonical_id string")
+    else:
+        prev = prev_mapping.select("ident", "canonical_id")
+
+    touched = (
+        e.select(F.col("ident_a").alias("ident"))
+        .unionByName(e.select(F.col("ident_b").alias("ident")))
+        .distinct()
+    )
+    # every prior component with a member in a new edge, by FULL membership
+    touched_canons = (
+        prev.join(touched, on="ident", how="left_semi")
+        .select("canonical_id").distinct()
+    )
+    affected_prev = prev.join(touched_canons, on="canonical_id", how="left_semi")
+    affected_prev = _ckpt(affected_prev.select("ident", "canonical_id"))
+
+    star = (
+        affected_prev.where(F.col("ident") != F.col("canonical_id"))
+        .select(F.col("ident").alias("ident_a"),
+                F.col("canonical_id").alias("ident_b"))
+    )
+    comps = connected_components(
+        e.unionByName(star), driver_threshold=driver_threshold)
+    changed = _ckpt(
+        comps.select("ident", F.col("component").alias("canonical_id")))
+
+    untouched = prev.join(touched_canons, on="canonical_id", how="left_anti")
+    mapping = untouched.select("ident", "canonical_id").unionByName(changed)
+    if new_idents is not None:
+        iso = (
+            new_idents.select(F.col(new_idents.columns[0]).alias("ident"))
+            .distinct()
+            .join(mapping, on="ident", how="left_anti")
+            .select("ident", F.col("ident").alias("canonical_id"))
+        )
+        mapping = mapping.unionByName(iso)
+
+    remaps = (
+        affected_prev
+        .join(changed.withColumnRenamed("canonical_id", "new_canonical_id"),
+              on="ident")
+        .where(F.col("canonical_id") != F.col("new_canonical_id"))
+        .select(F.col("canonical_id").alias("old_canonical_id"),
+                "new_canonical_id")
+        .distinct()
+    )
+    return mapping, remaps
+
+
+def apply_remaps(edges: DataFrame, remaps: DataFrame,
+                 cols: tuple = ("subj", "obj")) -> DataFrame:
+    """Patch canonical ids inside an edge table after a component merge:
+    one broadcast join per remapped column against the (old -> new) log.
+    The remap log is dictionary-scale (distinct merged canons), so the
+    edge table itself never shuffles."""
+    r = F.broadcast(remaps.select("old_canonical_id", "new_canonical_id"))
+    out = edges
+    for c in cols:
+        out = (
+            out.join(r, on=out[c] == r["old_canonical_id"], how="left")
+            .withColumn(c, F.coalesce("new_canonical_id", F.col(c)))
+            .drop("old_canonical_id", "new_canonical_id")
+        )
+    return out

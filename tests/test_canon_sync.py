@@ -1,0 +1,193 @@
+"""Incremental canonicalization: delta-CC == batch CC, remap log, plans
+layer over snapshot tables (operators/canonicalize.py + plans/canon.py)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ckg_spark.operators.canonicalize import (
+    apply_remaps,
+    canonical_mapping,
+    connected_components,
+    incremental_canonical_mapping,
+)
+from ckg_spark.plans import canon as C
+from ckg_spark.plans import table as T
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "ident_a string, ident_b string")
+
+
+def _random_graph(seed, n=120, m=150):
+    rng = random.Random(seed)
+    return [(f"e{rng.randrange(n):03d}", f"e{rng.randrange(n):03d}")
+            for _ in range(m)]
+
+
+def _as_map(df):
+    return {r["ident"]: r["canonical_id"] for r in df.collect()}
+
+
+def test_incremental_equals_batch_random_deltas(spark):
+    pairs = _random_graph(11)
+    cut1, cut2 = len(pairs) // 3, 2 * len(pairs) // 3
+    deltas = [pairs[:cut1], pairs[cut1:cut2], pairs[cut2:]]
+
+    mapping = None
+    for d in deltas:
+        mapping, _ = incremental_canonical_mapping(mapping, _edges(spark, d))
+        mapping = mapping.cache()
+
+    full = _edges(spark, pairs)
+    idents = full.select(F.col("ident_a").alias("ident")).unionByName(
+        full.select(F.col("ident_b").alias("ident"))).distinct()
+    batch = canonical_mapping(full, idents)
+    assert _as_map(mapping) == _as_map(batch)
+
+
+def test_incremental_distributed_cc_path_agrees(spark):
+    pairs = _random_graph(23, n=40, m=50)
+    d1, d2 = pairs[:25], pairs[25:]
+    m1, _ = incremental_canonical_mapping(None, _edges(spark, d1),
+                                          driver_threshold=0)
+    m1 = m1.cache()
+    m2, _ = incremental_canonical_mapping(m1, _edges(spark, d2),
+                                          driver_threshold=0)
+    m2d, _ = incremental_canonical_mapping(m1, _edges(spark, d2))
+    assert _as_map(m2) == _as_map(m2d)
+
+
+def test_untouched_components_pass_through_unchanged(spark):
+    m1, _ = incremental_canonical_mapping(
+        None, _edges(spark, [("b", "c"), ("x", "y")]))
+    m1 = m1.cache()
+    m2, remaps = incremental_canonical_mapping(
+        m1, _edges(spark, [("c", "d")]))
+    got = _as_map(m2)
+    assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
+    assert remaps.count() == 0  # canon 'b' survived; no component vanished
+
+
+def test_merge_produces_remap_pairs(spark):
+    m1, _ = incremental_canonical_mapping(
+        None, _edges(spark, [("b", "c"), ("x", "y")]))
+    m2, remaps = incremental_canonical_mapping(
+        m1.cache(), _edges(spark, [("c", "x")]))
+    assert _as_map(m2) == {"b": "b", "c": "b", "x": "b", "y": "b"}
+    assert [(r["old_canonical_id"], r["new_canonical_id"])
+            for r in remaps.collect()] == [("x", "b")]
+
+
+def test_new_smaller_ident_remaps_old_canon(spark):
+    # batch-equivalence forces churn when a smaller ident joins: 'a' < 'b'
+    m1, _ = incremental_canonical_mapping(None, _edges(spark, [("b", "c")]))
+    m2, remaps = incremental_canonical_mapping(
+        m1.cache(), _edges(spark, [("a", "c")]))
+    assert _as_map(m2) == {"a": "a", "b": "a", "c": "a"}
+    assert [(r["old_canonical_id"], r["new_canonical_id"])
+            for r in remaps.collect()] == [("b", "a")]
+
+
+def test_isolated_new_idents_self_map(spark):
+    m1, _ = incremental_canonical_mapping(None, _edges(spark, [("b", "c")]))
+    ids = spark.createDataFrame([("zzz",), ("b",)], "ident string")
+    m2, _ = incremental_canonical_mapping(
+        m1.cache(), _edges(spark, []), new_idents=ids)
+    assert _as_map(m2) == {"b": "b", "c": "b", "zzz": "zzz"}
+
+
+def test_apply_remaps_patches_edges(spark):
+    edges = spark.createDataFrame(
+        [("x", "MAPS_TO", "q"), ("b", "MAPS_TO", "x"), ("k", "MAPS_TO", "k")],
+        "subj string, pred string, obj string")
+    remaps = spark.createDataFrame(
+        [("x", "b")], "old_canonical_id string, new_canonical_id string")
+    got = sorted((r["subj"], r["obj"])
+                 for r in apply_remaps(edges, remaps).collect())
+    assert got == [("b", "b"), ("b", "q"), ("k", "k")]
+
+
+def test_repartition_invariance(spark):
+    pairs = _random_graph(7)
+    d1, d2 = pairs[:70], pairs[70:]
+    m1, _ = incremental_canonical_mapping(None, _edges(spark, d1))
+    m1 = m1.cache()
+    a, _ = incremental_canonical_mapping(m1, _edges(spark, d2))
+    b, _ = incremental_canonical_mapping(
+        m1.repartition(13), _edges(spark, d2).repartition(17))
+    assert _as_map(a) == _as_map(b)
+
+
+# ---------------------------------------------------------------------------
+# plans/canon.py: snapshot-table sync
+# ---------------------------------------------------------------------------
+
+
+def test_sync_mapping_table_roundtrip(spark, tmp_path):
+    d = str(tmp_path / "canon")
+    r1 = C.sync_canonical_mapping(spark, d, _edges(spark, [("b", "c"), ("x", "y")]))
+    assert r1.mapping_version == 1 and r1.n_changed == 4 and r1.n_remaps == 0
+    r2 = C.sync_canonical_mapping(spark, d, _edges(spark, [("c", "x")]))
+    assert r2.n_remaps == 1
+    # only the remapped component's rows were appended (b's rows rewritten
+    # because x/y joined it; delta excludes rows whose canon is unchanged)
+    assert r2.n_changed == 2  # x, y now -> b; b, c already -> b
+    got = _as_map(C.read_canonical_mapping(spark, d))
+    assert got == {"b": "b", "c": "b", "x": "b", "y": "b"}
+    # empty delta: no new commit
+    r3 = C.sync_canonical_mapping(spark, d, _edges(spark, []))
+    assert r3.mapping_version is None and r3.n_changed == 0
+
+
+def test_sync_matches_batch_and_compacts(spark, tmp_path):
+    d = str(tmp_path / "canon2")
+    pairs = _random_graph(31)
+    for lo, hi in [(0, 50), (50, 100), (100, len(pairs))]:
+        C.sync_canonical_mapping(spark, d, _edges(spark, pairs[lo:hi]))
+    full = _edges(spark, pairs)
+    idents = full.select(F.col("ident_a").alias("ident")).unionByName(
+        full.select(F.col("ident_b").alias("ident"))).distinct()
+    want = _as_map(canonical_mapping(full, idents))
+    assert _as_map(C.read_canonical_mapping(spark, d)) == want
+
+    v = C.compact_mapping(spark, d)
+    assert _as_map(C.read_canonical_mapping(spark, d)) == want
+    # compacted table holds exactly one row per ident
+    assert T.read(spark, d).count() == len(want)
+    # time travel still sees the pre-compaction state
+    assert _as_map(C.read_canonical_mapping(spark, d, version=v - 1)) == want
+
+
+def test_remap_log_resolves_chains(spark, tmp_path):
+    d = str(tmp_path / "canon3")
+    # sync1: {c,d} canon c ; {x,y} canon x
+    C.sync_canonical_mapping(spark, d, _edges(spark, [("c", "d"), ("x", "y")]))
+    # sync2: x joins c's component -> remap x->c
+    C.sync_canonical_mapping(spark, d, _edges(spark, [("d", "x")]))
+    # sync3: 'a' joins -> remap c->a ; chain x->c->a must resolve to x->a
+    C.sync_canonical_mapping(spark, d, _edges(spark, [("a", "y")]))
+    log = {(r["old_canonical_id"], r["new_canonical_id"])
+           for r in C.read_remap_log(spark, d).collect()}
+    assert log == {("x", "a"), ("c", "a")}
+    # since_version filter keeps only canons absorbed after that sync
+    late = {(r["old_canonical_id"], r["new_canonical_id"])
+            for r in C.read_remap_log(spark, d, since_version=2).collect()}
+    assert late == {("c", "a")}
+
+
+def test_sync_handles_mega_star_component(spark, tmp_path):
+    # one hot canon with 300 members, then a merge touches it: the star
+    # rebuild stays distributed-safe (exercise the distributed CC path)
+    d = str(tmp_path / "canon4")
+    star = [("a000", f"m{i:03d}") for i in range(300)]
+    C.sync_canonical_mapping(spark, d, _edges(spark, star))
+    m2, remaps = incremental_canonical_mapping(
+        C.read_canonical_mapping(spark, d),
+        _edges(spark, [("m000", "zz")]),
+        driver_threshold=0)
+    got = _as_map(m2)
+    assert got["zz"] == "a000" and len(got) == 302
+    assert remaps.count() == 0

@@ -39,6 +39,7 @@ EXPECTED_NAMES = {
     "q86_nb_calibration", "q87_source_fingerprints",
     "q88_cluster_balanced_mixture", "q89_sft_examples",
     "q90_preference_pairs", "q91_boilerplate_turns", "q92_context_budget",
+    "q93_incremental_canonicalize", "q94_chunk_documents",
 }
 
 # Round 5: zero rows-only entries remain — q33 runs the md5 hash variant
@@ -49,7 +50,7 @@ ROWS_ONLY: set = set()
 
 def test_registry_names_stable():
     assert set(DC.queries_dict()) == EXPECTED_NAMES
-    assert len(DC.queries_dict()) == 92
+    assert len(DC.queries_dict()) == 94
 
 
 def test_oracle_coverage_complete_except_declared_rows_only():
