@@ -147,3 +147,92 @@ def compact_mapping(spark: SparkSession, mapping_table_dir: str) -> int:
     merged = read_canonical_mapping(spark, mapping_table_dir).withColumn(
         "map_version", F.lit(cur["version"]).cast("int"))
     return T.overwrite(merged, mapping_table_dir, properties=props)
+
+
+# ---------------------------------------------------------------------------
+# Composed: incremental KG sync under an EVOLVING canonicalization
+# ---------------------------------------------------------------------------
+
+
+def sync_graph(
+    spark: SparkSession,
+    transcripts_table_dir: str,
+    vocab_tables: dict,
+    edges_table_dir: str,
+    mapping_table_dir: str,
+    identity_edges: DataFrame | None = None,
+) -> "object":
+    """One sync tick of the full incremental KG: fold this tick's identity
+    edges (new ontology xrefs) into the canonical mapping, then extract ->
+    link -> canonicalize ONLY the new transcript files with the updated
+    mapping (plans/incremental.sync_mention_edges).
+
+    Already-written edges are NOT rewritten when a merge happens — the
+    remap log fixes them at read time (`read_graph_edges`), which is what
+    keeps each tick O(delta) at 10^12-turn scale. Every vocab ident is
+    registered in the mapping on first contact so any FUTURE merge of an
+    ident that already emitted edges is guaranteed a remap-log row
+    (otherwise an ident that was never a mapping row could silently change
+    canon with no patch record)."""
+    from . import incremental as I
+
+    idents = vocab_tables["aliases"].select("ident").distinct()
+    if identity_edges is None:
+        identity_edges = spark.createDataFrame(
+            [], "ident_a string, ident_b string")
+    sync_canonical_mapping(spark, mapping_table_dir, identity_edges,
+                           new_idents=idents)
+    cmap = read_canonical_mapping(spark, mapping_table_dir)
+    return I.sync_mention_edges(spark, transcripts_table_dir, vocab_tables,
+                                edges_table_dir, canonical=cmap)
+
+
+def read_graph_edges(spark: SparkSession, edges_table_dir: str,
+                     mapping_table_dir: str,
+                     comention: bool = False) -> DataFrame:
+    """Merge-on-read view of a `sync_graph` edge table that is EXACT under
+    canonicalization drift: resolved remap log patches subj (one broadcast
+    join — old canons are a dictionary-scale set, turn-key objs never
+    collide with them), then per-edge re-aggregation folds rows merged by
+    the patch. With ``comention=True`` the CO_MENTIONED_WITH family is
+    DERIVED from the patched mention edges (per-turn distinct-subject
+    pairs) rather than read from storage: entity merges can collapse two
+    co-mentioned entities into one, and only re-derivation keeps the
+    turn-count score exact (summing stored partials would double-count a
+    turn whose pair set shrank). Batch equivalence is pinned by
+    tests/test_canon_sync.py::test_sync_graph_matches_batch*."""
+    from . import incremental as I
+    from ..operators.canonicalize import apply_remaps
+
+    e = I.read_merged_edges(spark, edges_table_dir)
+    remaps = read_remap_log(spark, mapping_table_dir)
+    e = apply_remaps(e, remaps, cols=("subj",))
+    mentions = (
+        e.groupBy(*I.EDGE_KEY).agg(F.sum("score").alias("score"))
+        .select("subj", "pred", "obj", "source", "score", "evidence_type")
+    )
+    if not comention:
+        return mentions
+    sets = (
+        mentions.where(F.col("pred") == "MENTIONED_IN_TURN")
+        .groupBy("obj")
+        .agg(F.sort_array(F.collect_set("subj")).alias("es"))
+        .where(F.size("es") >= 2)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(es)-1), "
+                "i -> transform(sequence(0, i-1), "
+                "j -> named_struct('subj', es[j], 'obj', es[i]))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.subj").alias("subj"), F.col("p.obj").alias("obj"))
+    com = (
+        pairs.groupBy("subj", "obj")
+        .agg(F.count(F.lit(1)).cast("double").alias("score"))
+        .select("subj", F.lit("CO_MENTIONED_WITH").alias("pred"), "obj",
+                F.lit("tagger").alias("source"), "score",
+                F.lit("co_occurrence").alias("evidence_type"))
+    )
+    return mentions.unionByName(com)

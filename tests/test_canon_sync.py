@@ -191,3 +191,64 @@ def test_sync_handles_mega_star_component(spark, tmp_path):
     got = _as_map(m2)
     assert got["zz"] == "a000" and len(got) == 302
     assert remaps.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Composed: incremental KG sync under an evolving canonicalization
+# ---------------------------------------------------------------------------
+
+
+def test_sync_graph_matches_batch_under_identity_drift(spark, tmp_path,
+                                                       vocab_tables):
+    from ckg_spark.datagen import gen_transcripts
+    from ckg_spark.operators import extract as X
+    from ckg_spark.operators import link as L
+    from ckg_spark.operators import materialize as M
+    from ckg_spark.operators.canonicalize import canonical_mapping
+    from ckg_spark.streaming.ingest import _batch_linked
+    from ckg_spark.vocab import build_vocab
+
+    vb = build_vocab(n_entities=120, seed=7)  # matches conftest vocab_tables
+    tdir = str(tmp_path / "transcripts")
+    edir = str(tmp_path / "edges")
+    mdir = str(tmp_path / "mapping")
+    chunks = [spark.createDataFrame(gen_transcripts(150, vocab=vb, seed=s))
+              for s in (21, 22, 23)]
+
+    # pick two idents that really emit edges, so the merge bites
+    alias_grams = X.prepare_alias_grams(vocab_tables["aliases"])
+    alias_table = L.prepare_alias_table(vocab_tables["aliases"])
+    probe = _batch_linked(chunks[0], alias_grams, alias_table,
+                          vocab_tables["stoplist"], None)
+    ia, ib = [r["ident"] for r in
+              probe.select("ident").distinct().orderBy("ident").limit(2).collect()]
+
+    # tick 1: no identity edges; tick 2: merge ia~ib AFTER ia/ib already
+    # emitted edges in tick 1 (remap-on-read must patch them); tick 3: none
+    T.append(chunks[0], tdir)
+    C.sync_graph(spark, tdir, vocab_tables, edir, mdir)
+    T.append(chunks[1], tdir)
+    C.sync_graph(spark, tdir, vocab_tables, edir, mdir,
+                 identity_edges=_edges(spark, [(ia, ib)]))
+    T.append(chunks[2], tdir)
+    C.sync_graph(spark, tdir, vocab_tables, edir, mdir)
+
+    # the merge must have produced a remap-log row (ia < ib lexicographic
+    # or vice versa; one absorbed the other)
+    log = C.read_remap_log(spark, mdir).collect()
+    assert len(log) == 1
+
+    got = C.read_graph_edges(spark, edir, mdir, comention=True)
+
+    all_idents = vocab_tables["aliases"].select("ident").distinct()
+    full_map = canonical_mapping(_edges(spark, [(ia, ib)]), all_idents)
+    linked = _batch_linked(T.read(spark, tdir), alias_grams, alias_table,
+                           vocab_tables["stoplist"], full_map)
+    want = M.mention_edges(linked).unionByName(M.comention_edges(linked))
+
+    key = lambda df: sorted(map(tuple, df.select(
+        "subj", "pred", "obj", "score").collect()))
+    assert key(got) == key(want)
+    # the collapsed pair must not survive as a self co-mention
+    assert got.where((F.col("pred") == "CO_MENTIONED_WITH")
+                     & (F.col("subj") == F.col("obj"))).count() == 0
