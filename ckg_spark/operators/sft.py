@@ -88,29 +88,32 @@ def preference_pairs(transcripts: DataFrame, score: Column, *,
     a learned classifier's log-odds, a reward-model output joined in
     upstream). The opposed tie-breaks make the pair deterministic AND
     guarantee chosen != rejected whenever >= 2 assistant turns exist.
-    One shuffle (conv_id window); output is one row per conversation.
+
+    ONE algebraic aggregation: chosen = max_by, rejected = min_by on the
+    (score, -turn_idx) key — the key is unique per conversation (turn_idx
+    is), so both are deterministic, and map-side partials reduce each
+    conversation to one row per map partition BEFORE the single conv_id
+    shuffle (a 10^6-turn conversation never travels; the earlier
+    two-window + self-join form shuffled the full turn stream twice).
     """
     a = (transcripts.where(F.col("role") == assistant_role)
-         .select("conv_id", "turn_idx", "text", score.alias("s")))
-    w_hi = Window.partitionBy("conv_id").orderBy(
-        F.col("s").desc(), F.col("turn_idx").asc())
-    w_lo = Window.partitionBy("conv_id").orderBy(
-        F.col("s").asc(), F.col("turn_idx").desc())
-    ranked = a.select(
-        "conv_id", "turn_idx", "s",
-        F.row_number().over(w_hi).alias("rh"),
-        F.row_number().over(w_lo).alias("rl"))
-    top = ranked.where(F.col("rh") == 1).select(
-        "conv_id", F.col("turn_idx").alias("chosen_turn_idx"),
-        F.col("s").alias("chosen_score"))
-    bot = ranked.where(F.col("rl") == 1).select(
-        "conv_id", F.col("turn_idx").alias("rejected_turn_idx"),
-        F.col("s").alias("rejected_score"))
-    return (top.join(bot, on="conv_id")
-            .where(F.col("chosen_turn_idx") != F.col("rejected_turn_idx"))
-            .withColumn("margin",
-                        F.col("chosen_score") - F.col("rejected_score"))
-            .where(F.col("margin") > min_margin))
+         .select("conv_id", "turn_idx", score.alias("s")))
+    # maximize/minimize (s, -turn_idx): high score ties -> lowest turn_idx,
+    # low score ties -> highest turn_idx
+    key = F.struct(F.col("s"), (-F.col("turn_idx")).alias("_nti"))
+    val = F.struct("turn_idx", "s")
+    agg = a.groupBy("conv_id").agg(
+        F.max_by(val, key).alias("_ch"),
+        F.min_by(val, key).alias("_rj"))
+    return (agg.select(
+        "conv_id",
+        F.col("_ch.turn_idx").alias("chosen_turn_idx"),
+        F.col("_ch.s").alias("chosen_score"),
+        F.col("_rj.turn_idx").alias("rejected_turn_idx"),
+        F.col("_rj.s").alias("rejected_score"),
+        (F.col("_ch.s") - F.col("_rj.s")).alias("margin"))
+        .where(F.col("chosen_turn_idx") != F.col("rejected_turn_idx"))
+        .where(F.col("margin") > min_margin))
 
 
 def boilerplate_turns(transcripts: DataFrame, *, min_convs: int = 2,
