@@ -211,6 +211,40 @@ def incremental_canonical_mapping(
     ``connected_components`` is algebraic, so map-side partials absorb the
     hot canon before any shuffle.
     """
+    parts = incremental_canonical_parts(
+        prev_mapping, new_edges, new_idents=new_idents, src=src, dst=dst,
+        driver_threshold=driver_threshold)
+    mapping = (parts["untouched"].unionByName(parts["changed"])
+               .unionByName(parts["isolated"]))
+    return mapping, parts["remaps"]
+
+
+def incremental_canonical_parts(
+    prev_mapping: DataFrame | None,
+    new_edges: DataFrame,
+    new_idents: DataFrame | None = None,
+    src: str = "ident_a",
+    dst: str = "ident_b",
+    driver_threshold: int | None = DRIVER_CC_MAX_EDGES,
+) -> dict:
+    """The pieces of ``incremental_canonical_mapping`` before the final
+    union, for callers that must avoid touching the O(history) part:
+
+    - ``changed``: (ident, canonical_id) for every ident of an affected
+      component or new edge — O(delta + touched membership) rows;
+    - ``isolated``: brand-new edge-less idents self-mapped — O(new idents);
+    - ``affected_prev``: the prior rows of touched components (what
+      ``changed`` supersedes) — lets a sync diff changed-vs-prior without
+      joining the full mapping;
+    - ``untouched``: prior rows passing through (LAZY anti-join — only the
+      full-mapping API evaluates it);
+    - ``remaps``: distinct (old_canonical_id, new_canonical_id) merge log.
+
+    A snapshot-table sync appends ``changed``-diff + ``isolated`` only, so
+    its per-sync SHUFFLE work is O(delta); the full prior mapping is
+    scanned once (broadcast semi-join probes; the scan of an
+    entity-dictionary-scale table is the cheap part) and never shuffled.
+    """
     spark = new_edges.sparkSession
     e = (
         new_edges.select(F.col(src).alias("ident_a"), F.col(dst).alias("ident_b"))
@@ -246,15 +280,16 @@ def incremental_canonical_mapping(
         comps.select("ident", F.col("component").alias("canonical_id")))
 
     untouched = prev.join(touched_canons, on="canonical_id", how="left_anti")
-    mapping = untouched.select("ident", "canonical_id").unionByName(changed)
     if new_idents is not None:
         iso = (
             new_idents.select(F.col(new_idents.columns[0]).alias("ident"))
             .distinct()
-            .join(mapping, on="ident", how="left_anti")
+            .join(prev, on="ident", how="left_anti")
+            .join(changed, on="ident", how="left_anti")
             .select("ident", F.col("ident").alias("canonical_id"))
         )
-        mapping = mapping.unionByName(iso)
+    else:
+        iso = spark.createDataFrame([], "ident string, canonical_id string")
 
     remaps = (
         affected_prev
@@ -265,7 +300,9 @@ def incremental_canonical_mapping(
                 "new_canonical_id")
         .distinct()
     )
-    return mapping, remaps
+    return {"untouched": untouched.select("ident", "canonical_id"),
+            "changed": changed, "isolated": iso,
+            "affected_prev": affected_prev, "remaps": remaps}
 
 
 def apply_remaps(edges: DataFrame, remaps: DataFrame,

@@ -31,7 +31,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators.canonicalize import incremental_canonical_mapping
+from ..operators.canonicalize import (incremental_canonical_mapping,
+                                      incremental_canonical_parts)
 from . import table as T
 
 _MAP_SCHEMA = "ident string, canonical_id string, map_version int"
@@ -75,19 +76,18 @@ def sync_canonical_mapping(
     exists = T.current_version(mapping_table_dir) is not None
     prev = (read_canonical_mapping(spark, mapping_table_dir)
             if exists else None)
-    mapping, remaps = incremental_canonical_mapping(
-        prev, new_edges, new_idents=new_idents)
-
-    if prev is not None:
-        # changed = rows whose canonical differs from or are absent in prev
-        delta = mapping.join(
-            prev.withColumnRenamed("canonical_id", "_old"),
-            on="ident", how="left",
-        ).where(
-            F.col("_old").isNull() | (F.col("_old") != F.col("canonical_id"))
-        ).select("ident", "canonical_id")
-    else:
-        delta = mapping
+    parts = incremental_canonical_parts(prev, new_edges,
+                                        new_idents=new_idents)
+    remaps = parts["remaps"]
+    # diff changed-vs-PRIOR over the affected rows only (O(touched), never
+    # an O(history) join): a changed row is new to the table unless its
+    # prior canon in the affected set already matches
+    delta = parts["changed"].join(
+        parts["affected_prev"].withColumnRenamed("canonical_id", "_old"),
+        on="ident", how="left",
+    ).where(
+        F.col("_old").isNull() | (F.col("_old") != F.col("canonical_id"))
+    ).select("ident", "canonical_id").unionByName(parts["isolated"])
 
     next_v = (T.current_version(mapping_table_dir) or 0) + 1
     delta = delta.withColumn("map_version", F.lit(next_v).cast("int"))
