@@ -3896,3 +3896,239 @@ FROM g
 QUERIES.update({
     "q94_chunk_documents": (q94_chunk_documents, Q94_SQL),
 })
+
+
+def q95_remove_boilerplate(spark, sf):
+    """Boilerplate removal (`sft.remove_boilerplate`): drop every turn
+    whose normalized text is in the >=2-conversation boilerplate
+    dictionary (q91's output), keep the rest byte-identical. Broadcast
+    anti-join — the corpus never shuffles. The oracle re-derives the
+    dictionary and the anti-join; surviving-turn md5 pins byte parity."""
+    from .operators import sft as S
+    from .sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf)
+    bp = S.boilerplate_turns(t, min_convs=2)
+    out = S.remove_boilerplate(t, bp)
+    return out.select("conv_id", "turn_idx", "role",
+                      F.md5("text").alias("text_md5"))
+
+
+Q95_SQL = """
+WITH """ + _TURNS_CTE + """,
+n AS (
+  SELECT conv_id, turn_idx, role, text,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS tn
+  FROM turns),
+bp AS (
+  SELECT tn FROM n WHERE length(tn) > 0
+  GROUP BY tn HAVING count(DISTINCT conv_id) >= 2)
+SELECT conv_id, turn_idx, role, md5(text) AS text_md5
+FROM n WHERE tn NOT IN (SELECT tn FROM bp)
+"""
+
+
+QUERIES.update({
+    "q95_remove_boilerplate": (q95_remove_boilerplate, Q95_SQL),
+})
+
+
+def q96_validate_conversations(spark, sf):
+    """Structural conversation QA (`sft.validate_conversations`) — run on
+    a deterministically CORRUPTED grid (turns dropped where the md5 of
+    (conv_id, turn_idx) is odd) so every violation counter discriminates:
+    dropped turns create turn_idx gaps, repeated-role runs, orphaned tool
+    turns, and non-user conversation starts. The oracle mirrors the drop
+    and re-derives all counters via lag windows."""
+    from .operators import sft as S
+    from .sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf)
+    keep = (F.conv(F.substring(
+        F.md5(F.concat_ws("#", "conv_id", "turn_idx")), 1, 4),
+        16, 10).cast("long") % 2) == 0
+    return S.validate_conversations(t.where(keep))
+
+
+Q96_SQL = """
+WITH """ + _TURNS_CTE + """,
+kept AS (
+  SELECT conv_id, turn_idx, role, text FROM turns
+  WHERE CAST(('0x' || substr(md5(conv_id || '#' || CAST(turn_idx AS VARCHAR)),
+                             1, 4)) AS BIGINT) % 2 = 0),
+lagd AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pr,
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pi
+  FROM kept)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(COALESCE(max(CASE WHEN pi IS NULL
+                 THEN CASE WHEN role = 'user' THEN 1 ELSE 0 END END), 0)
+            AS INT) AS starts_with_user,
+       CAST(sum(CASE WHEN role = pr THEN 1 ELSE 0 END) AS INT)
+         AS repeated_role_runs,
+       CAST(sum(CASE WHEN role = 'tool' AND pr IS NOT NULL
+                      AND pr NOT IN ('assistant', 'tool')
+                THEN 1 ELSE 0 END) AS INT) AS orphan_tool_turns,
+       CAST(sum(CASE WHEN pi IS NOT NULL AND turn_idx - pi <> 1
+                THEN 1 ELSE 0 END) AS INT) AS idx_gaps,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS INT)
+         AS empty_turns,
+       CAST(CASE WHEN COALESCE(max(CASE WHEN pi IS NULL
+                      THEN CASE WHEN role = 'user' THEN 1 ELSE 0 END END), 0) = 1
+                  AND sum(CASE WHEN role = pr THEN 1 ELSE 0 END) = 0
+                  AND sum(CASE WHEN role = 'tool' AND pr IS NOT NULL
+                               AND pr NOT IN ('assistant', 'tool')
+                          THEN 1 ELSE 0 END) = 0
+                  AND sum(CASE WHEN pi IS NOT NULL AND turn_idx - pi <> 1
+                          THEN 1 ELSE 0 END) = 0
+                  AND sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS INT) AS is_valid
+FROM lagd GROUP BY conv_id
+"""
+
+
+QUERIES.update({
+    "q96_validate_conversations": (q96_validate_conversations, Q96_SQL),
+})
+
+
+def q97_entity_recency(spark, sf):
+    """Temporal-KG entity profile (`temporal.recency_weighted_scores`):
+    per linked entity over the transcript corpus, first/last mention ts
+    and an exponential recency score (half-life 30 min against the fixed
+    corpus watermark 2025-01-02). Reuses the q32 extract->link chain, so
+    the oracle re-derives mention occurrences verbatim and then the exact
+    decay algebra; one algebraic aggregation — a hot entity's mentions
+    reduce map-side before the single shuffle."""
+    from .operators import link as L
+    from .operators import temporal as TP
+    from .sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf)
+    grams = X.prepare_alias_grams(_vocab_df(spark), alias_col="term")
+    mentions = X.extract_mentions(t, grams)
+    alias_table = spark.createDataFrame(
+        [(a, i, r, "Entity", "NAME") for a, i, r in ALIAS_ROWS],
+        "gram string, ident string, rank int, entity_type string, source string",
+    )
+    linked = L.link_mentions(mentions, alias_table, stoplist=None, keep="best")
+    with_ts = linked.withColumn(
+        "ts", F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+        + F.make_interval(mins=F.col("turn_idx")))
+    out = TP.recency_weighted_scores(
+        with_ts, "ident", "ts", "2025-01-02 00:00:00",
+        half_life_seconds=1800.0)
+    return out.select(
+        F.col("ident").alias("subj"), "n_events", "first_seen", "last_seen",
+        F.round("recency_score", 6).alias("recency_score"))
+
+
+Q97_SQL = f"""
+WITH vocab(term) AS (VALUES {{VOCAB}}),
+alias(gram, ident, rnk) AS (VALUES {{ALIAS}}),
+tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS dtoks
+  FROM documents),
+wins AS (
+  SELECT doc_id, dtoks,
+         unnest(generate_series(
+           0, greatest(CAST(ceil(len(dtoks) / 12.0) AS INT) - 1, 0))) AS w
+  FROM tokd),
+turns AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS conv_id, w AS turn_idx,
+         array_to_string(list_slice(dtoks, w * 12 + 1, w * 12 + 12), ' ') AS ttext
+  FROM wins),
+norm AS (
+  SELECT conv_id, turn_idx,
+         string_split(trim(regexp_replace(lower(ttext), '[^a-z0-9]+', ' ', 'g')),
+                      ' ') AS toks
+  FROM turns),
+g1 AS (SELECT conv_id, turn_idx, unnest(toks) AS gram FROM norm),
+g2pos AS (
+  SELECT conv_id, turn_idx, toks,
+         unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM norm),
+g2 AS (SELECT conv_id, turn_idx, toks[i] || ' ' || toks[i + 1] AS gram FROM g2pos),
+grams AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+best AS (
+  SELECT gram, ident FROM (
+    SELECT gram, ident,
+           row_number() OVER (PARTITION BY gram ORDER BY rnk, ident) AS rn
+    FROM alias WHERE rnk <> 2
+  ) WHERE rn = 1),
+m AS (
+  SELECT b.ident,
+         TIMESTAMP '2025-01-01 00:00:00'
+           + to_minutes(CAST(g.turn_idx AS BIGINT)) AS ts
+  FROM grams g
+  JOIN vocab v ON g.gram = v.term
+  JOIN best b ON g.gram = b.gram)
+SELECT ident AS subj,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS first_seen,
+       max(ts) AS last_seen,
+       round(sum(power(0.5,
+         (epoch(TIMESTAMP '2025-01-02 00:00:00') - epoch(ts)) / 1800.0)), 6)
+         AS recency_score
+FROM m GROUP BY ident
+"""
+Q97_SQL = Q97_SQL.replace("{VOCAB}", _vocab_values_sql()).replace(
+    "{ALIAS}", _alias_values_sql())
+
+
+QUERIES.update({
+    "q97_entity_recency": (q97_entity_recency, Q97_SQL),
+})
+
+
+def q98_chunk_dedup(spark, sf):
+    """Composition: overlapping chunking -> exact chunk-level dedup (the
+    RAG-index prep that drops repeated windows before embedding). Groups
+    q94's chunks by chunk text, keeps groups spanning >= 2 chunks, and
+    emits the canonical exemplar (lowest doc_id, then lowest chunk_idx)
+    with group counts — one map-side-combined shuffle on the chunk hash."""
+    from .operators.chunking import chunk_documents
+
+    docs = _t(spark, sf, "documents")
+    ch = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    key = F.struct(F.col("doc_id"), F.col("chunk_idx"))
+    return (ch.groupBy(F.md5("chunk_text").alias("chunk_md5"))
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.min(key).alias("_ex"))
+            .where(F.col("n_chunks") >= 2)
+            .select("chunk_md5", "n_chunks", "n_docs",
+                    F.col("_ex.doc_id").alias("exemplar_doc_id"),
+                    F.col("_ex.chunk_idx").alias("exemplar_chunk_idx")))
+
+
+Q98_SQL = """
+WITH tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+  FROM documents WHERE length(trim(text)) > 0),
+g AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         unnest(generate_series(
+           0, CAST(48 * ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT),
+           48)) AS s
+  FROM tokd),
+c AS (
+  SELECT doc_id, CAST(s / 48 AS INT) AS chunk_idx,
+         md5(array_to_string(list_slice(tk, s + 1, s + 64), ' ')) AS chunk_md5
+  FROM g)
+SELECT chunk_md5,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS exemplar_doc_id,
+       CAST(min(chunk_idx) FILTER (WHERE doc_id = (
+         SELECT min(c2.doc_id) FROM c c2 WHERE c2.chunk_md5 = c.chunk_md5))
+         AS INT) AS exemplar_chunk_idx
+FROM c GROUP BY chunk_md5 HAVING count(*) >= 2
+"""
+
+
+QUERIES.update({
+    "q98_chunk_dedup": (q98_chunk_dedup, Q98_SQL),
+})

@@ -177,3 +177,52 @@ def context_budget(transcripts: DataFrame, budget_tokens: int) -> DataFrame:
                  F.sum(F.col("nt") * keep).alias("kept_tokens"),
                  (F.sum("nt") - F.sum(F.col("nt") * keep))
                  .alias("dropped_tokens")))
+
+
+def validate_conversations(transcripts: DataFrame) -> DataFrame:
+    """Structural QA per conversation — the gate a transcript corpus
+    passes before any training export:
+
+    - ``starts_with_user``: first turn (by turn_idx) has role 'user';
+    - ``repeated_role_runs``: adjacent turns with the SAME role (a run of
+      k same-role turns counts k-1);
+    - ``orphan_tool_turns``: 'tool' turns not preceded by an assistant or
+      tool turn (a tool result must follow a call);
+    - ``idx_gaps``: adjacent turn_idx deltas != 1 (lost turns);
+    - ``empty_turns``: whitespace-only texts;
+    - ``is_valid``: all of the above clean.
+
+    One conv_id window (lag role/idx) + one aggregation that reuses the
+    window's partitioning — single shuffle, all JVM expressions.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_role = F.lag("role").over(w)
+    prev_idx = F.lag("turn_idx").over(w)
+    t = transcripts.select(
+        "conv_id", "turn_idx", "role", "text",
+        prev_role.alias("_pr"), prev_idx.alias("_pi"))
+    first_user = F.max(F.when(
+        F.col("_pi").isNull(), (F.col("role") == "user").cast("int")))
+    # when/otherwise (not bool casts): a NULL lag must count 0, not
+    # propagate NULL through the whole-group sum on 1-turn conversations
+    rep = F.sum(F.when(F.col("role") == F.col("_pr"), 1).otherwise(0))
+    orphan = F.sum(F.when((F.col("role") == "tool")
+                          & F.col("_pr").isNotNull()
+                          & ~F.col("_pr").isin("assistant", "tool"),
+                          1).otherwise(0))
+    gaps = F.sum(F.when(F.col("_pi").isNotNull()
+                        & (F.col("turn_idx") - F.col("_pi") != 1),
+                        1).otherwise(0))
+    empty = F.sum(F.when(F.length(F.trim("text")) == 0, 1).otherwise(0))
+    out = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.coalesce(first_user, F.lit(0)).cast("int").alias("starts_with_user"),
+        rep.cast("int").alias("repeated_role_runs"),
+        orphan.cast("int").alias("orphan_tool_turns"),
+        gaps.cast("int").alias("idx_gaps"),
+        empty.cast("int").alias("empty_turns"))
+    return out.withColumn(
+        "is_valid",
+        ((F.col("starts_with_user") == 1) & (F.col("repeated_role_runs") == 0)
+         & (F.col("orphan_tool_turns") == 0) & (F.col("idx_gaps") == 0)
+         & (F.col("empty_turns") == 0)).cast("int"))

@@ -250,3 +250,31 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str | list[str],
     matched = _asof_core(l2b, r2b.unionByName(synth.select(*r2b.columns)),
                          keys + ["__b"], tolerance_s, backward)
     return _asof_project(matched, left.columns, pay_cols, prefix)
+
+
+def recency_weighted_scores(df: DataFrame, keys: str | list[str],
+                            ts_col: str, ref_ts: str,
+                            half_life_seconds: float,
+                            weight_col: Column | None = None) -> DataFrame:
+    """Exponential recency decay per key — the temporal-KG edge/profile
+    scoring pass: each event contributes weight * 0.5^(age/half_life),
+    age measured back from ``ref_ts`` (a fixed reference instant, e.g.
+    the corpus watermark — a string literal so the op stays deterministic
+    and reproducible, never wall-clock).
+
+    Output per key: n_events, first_seen, last_seen, recency_score.
+    ONE map-side-combined aggregation (sum/min/max/count are all
+    algebraic) — a hot entity's million mentions reduce to one partial
+    per map partition before the shuffle.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    age_s = (F.unix_timestamp(F.to_timestamp(F.lit(ref_ts)))
+             - F.unix_timestamp(F.col(ts_col))).cast("double")
+    w = F.pow(F.lit(0.5), age_s / F.lit(float(half_life_seconds)))
+    if weight_col is not None:
+        w = w * weight_col
+    return (df.groupBy(*ks).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("first_seen"),
+        F.max(ts_col).alias("last_seen"),
+        F.sum(w).alias("recency_score")))

@@ -40,6 +40,8 @@ EXPECTED_NAMES = {
     "q88_cluster_balanced_mixture", "q89_sft_examples",
     "q90_preference_pairs", "q91_boilerplate_turns", "q92_context_budget",
     "q93_incremental_canonicalize", "q94_chunk_documents",
+    "q95_remove_boilerplate", "q96_validate_conversations",
+    "q97_entity_recency", "q98_chunk_dedup",
 }
 
 # Round 5: zero rows-only entries remain — q33 runs the md5 hash variant
@@ -50,7 +52,7 @@ ROWS_ONLY: set = set()
 
 def test_registry_names_stable():
     assert set(DC.queries_dict()) == EXPECTED_NAMES
-    assert len(DC.queries_dict()) == 94
+    assert len(DC.queries_dict()) == 98
 
 
 def test_oracle_coverage_complete_except_declared_rows_only():
@@ -80,7 +82,10 @@ def test_attestation_window_holds_least_attested_first():
     if outside:
         mid_in = [n for n in names[:50] if 19 <= int(n[1:3]) <= 68
                   and n not in ("q33_simhash_pairs", "q56_louvain_communities")]
-        assert max(int(n[1:3]) for n in mid_in) < int(outside[0][1:3])
+        # with 50 head entries the window is exactly full and no middle
+        # entry fits — the spill is then the ENTIRE r04-attested middle
+        if mid_in:
+            assert max(int(n[1:3]) for n in mid_in) < int(outside[0][1:3])
 
 
 def test_reference_dispatch_strings_resolve():

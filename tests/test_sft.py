@@ -123,3 +123,45 @@ def test_sft_repartition_invariance(spark):
     b = sorted(map(tuple, S.sft_examples(t.repartition(13),
                                          max_context_turns=3).collect()))
     assert a == b
+
+
+def test_validate_conversations_flags(spark):
+    rows = [
+        # valid conversation
+        ("c1", 0, "user", "hi"), ("c1", 1, "assistant", "hello"),
+        ("c1", 2, "tool", "{}"),
+        # starts with assistant, has a gap, repeated role, empty text
+        ("c2", 1, "assistant", "x"), ("c2", 2, "assistant", " "),
+        ("c2", 4, "tool", "r"),
+        # orphan tool turn after user
+        ("c3", 0, "user", "q"), ("c3", 1, "tool", "r"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    from ckg_spark.operators.sft import validate_conversations
+    got = {r["conv_id"]: r.asDict() for r in
+           validate_conversations(df).collect()}
+    assert got["c1"]["is_valid"] == 1
+    c2 = got["c2"]
+    assert (c2["starts_with_user"], c2["repeated_role_runs"],
+            c2["idx_gaps"], c2["empty_turns"], c2["is_valid"]) == (0, 1, 1, 1, 0)
+    c3 = got["c3"]
+    assert c3["orphan_tool_turns"] == 1 and c3["is_valid"] == 0
+
+
+def test_recency_weighted_scores_exact(spark):
+    import math
+    from ckg_spark.operators.temporal import recency_weighted_scores
+    df = spark.createDataFrame(
+        [("e1", "2025-01-01 00:00:00"), ("e1", "2025-01-01 01:00:00"),
+         ("e2", "2025-01-01 01:00:00")],
+        "ident string, ts_s string").selectExpr(
+            "ident", "to_timestamp(ts_s) AS ts")
+    out = {r["ident"]: r.asDict() for r in recency_weighted_scores(
+        df, "ident", "ts", "2025-01-01 02:00:00",
+        half_life_seconds=3600.0).collect()}
+    # ages 2h and 1h at half-life 1h: 0.25 + 0.5
+    assert abs(out["e1"]["recency_score"] - 0.75) < 1e-12
+    assert out["e1"]["n_events"] == 2
+    assert str(out["e1"]["first_seen"]) == "2025-01-01 00:00:00"
+    assert abs(out["e2"]["recency_score"] - 0.5) < 1e-12
