@@ -105,6 +105,7 @@ HEADLINE = [
     "q01_pricing_summary", "q03_star_join", "q10_topk_revenue",
     "q15_symmetric_dedup", "q21_mentions", "q26_dedup_exact",
     "q29_cosine_topk", "q31_minhash_clusters",
+    "q93_incremental_canonicalize",
 ]
 
 
