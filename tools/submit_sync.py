@@ -49,6 +49,16 @@ def main() -> int:
     ap.add_argument("--comention", action="store_true",
                     help="also append partial co-mention counts "
                          "(exact totals via read_merged_edges)")
+    ap.add_argument("--mapping-table", default=None,
+                    help="canonical-mapping snapshot table dir: route the "
+                         "sync through plans.canon.sync_graph so entity "
+                         "canonicalization EVOLVES per delta (vocab "
+                         "identity edges fold in incrementally; merges are "
+                         "logged for remap-on-read)")
+    ap.add_argument("--identity-edges", default=None,
+                    help="parquet of NEW (ident_a, ident_b) identity edges "
+                         "for this sync (default: the vocabulary's own "
+                         "identity edges — idempotent to refold)")
     ap.add_argument("--compact-every", type=int, default=0,
                     help="fold merge-on-read partials when the edge table "
                          "has accumulated this many snapshots (0 = never)")
@@ -79,9 +89,27 @@ def main() -> int:
         ap.error("one of --vocab-obo / --synthetic-vocab is required")
 
     tables = vocab_to_spark(spark, vocab)
-    rep = I.sync_mention_edges(
-        spark, args.transcripts_table, tables, args.edges_table,
-        to_version=args.to_version, comention=args.comention)
+    n_remaps = None
+    if args.mapping_table:
+        from ckg_spark.plans import canon as C
+
+        if args.comention:
+            ap.error("--mapping-table derives exact co-mentions at READ "
+                     "time (plans.canon.read_graph_edges); storing partials "
+                     "under canonical drift would double-count — drop "
+                     "--comention")
+        ident_delta = (spark.read.parquet(args.identity_edges)
+                       .select("ident_a", "ident_b")
+                       if args.identity_edges
+                       else tables["identity_edges"])
+        rep = C.sync_graph(spark, args.transcripts_table, tables,
+                           args.edges_table, args.mapping_table,
+                           identity_edges=ident_delta)
+        n_remaps = C.read_remap_log(spark, args.mapping_table).count()
+    else:
+        rep = I.sync_mention_edges(
+            spark, args.transcripts_table, tables, args.edges_table,
+            to_version=args.to_version, comention=args.comention)
 
     compacted = False
     if (args.compact_every and rep.edge_table_version is not None
@@ -97,6 +125,7 @@ def main() -> int:
         "edge_table_version": rep.edge_table_version,
         "up_to_date": rep.edge_table_version is None,
         "compacted": compacted,
+        "remap_log_size": n_remaps,
     }))
     return 0
 
