@@ -89,6 +89,7 @@ def stream_mention_edges_snapshot(
     checkpoint_dir: str,
     canonical: DataFrame | None = None,
     comention: bool = False,
+    mapping_table_dir: str | None = None,
 ):
     """Same per-micro-batch extract->link as ``stream_mention_edges``, but
     the sink is a SNAPSHOT-TABLE append (``plans.table``): each micro-batch
@@ -106,8 +107,24 @@ def stream_mention_edges_snapshot(
     contract as ``plans.incremental``: exact totals come from
     ``plans.incremental.read_merged_edges`` and partials are folded by
     ``compact_merged``). The stream write path stays append-only either
-    way — no read-modify-write per tick at any table size."""
+    way — no read-modify-write per tick at any table size.
+
+    ``mapping_table_dir``: the EVOLVING canonicalization hook — each
+    micro-batch canonicalizes with the CURRENT merge-on-read mapping
+    (plans/canon.py), so an identity merge synced mid-stream applies from
+    the next batch on, and batches written before it are patched at read
+    by the remap log (``plans.canon.read_graph_edges``). Mutually
+    exclusive with ``comention``: under canonical drift, stored partial
+    pair counts double-count a turn whose pair set collapsed — exact
+    co-mentions must be DERIVED at read (read_graph_edges(comention=True)
+    does exactly that)."""
     from ..plans import table as T
+
+    if mapping_table_dir is not None and comention:
+        raise ValueError(
+            "comention partials are not exact under canonical drift; use "
+            "mapping_table_dir with plans.canon.read_graph_edges("
+            "comention=True) instead")
 
     alias_grams = X.prepare_alias_grams(vocab_tables["aliases"])
     alias_table = L.prepare_alias_table(vocab_tables["aliases"])
@@ -127,8 +144,13 @@ def stream_mention_edges_snapshot(
         }
         if batch_id in seen:
             return  # replayed batch: already committed, skip
+        cmap = canonical
+        if mapping_table_dir is not None and T.current_version(
+                mapping_table_dir) is not None:
+            from ..plans.canon import read_canonical_mapping
+            cmap = read_canonical_mapping(spark, mapping_table_dir)
         linked = _batch_linked(batch_df, alias_grams, alias_table, stoplist,
-                               canonical)
+                               cmap)
         edges = M.mention_edges(linked)
         if comention:
             edges = edges.unionByName(M.comention_edges(linked))

@@ -252,3 +252,76 @@ def test_sync_graph_matches_batch_under_identity_drift(spark, tmp_path,
     # the collapsed pair must not survive as a self co-mention
     assert got.where((F.col("pred") == "CO_MENTIONED_WITH")
                      & (F.col("subj") == F.col("obj"))).count() == 0
+
+
+def test_streaming_sink_under_canonical_drift(spark, tmp_path, vocab_tables):
+    """stream_mention_edges_snapshot(mapping_table_dir=...): a canon merge
+    synced BETWEEN two ticks applies to the second tick at write time and
+    to the first tick at read time (remap log) — the merged view equals
+    the one-shot batch under the final mapping, co-mentions included."""
+    import os
+
+    import pytest as _pytest
+
+    from ckg_spark.datagen import gen_transcripts
+    from ckg_spark.operators import extract as X
+    from ckg_spark.operators import link as L
+    from ckg_spark.operators import materialize as M
+    from ckg_spark.operators.canonicalize import canonical_mapping
+    from ckg_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from ckg_spark.streaming.ingest import (_batch_linked,
+                                            stream_mention_edges_snapshot)
+    from ckg_spark.vocab import build_vocab
+
+    vb = build_vocab(n_entities=120, seed=7)
+    pdf1 = gen_transcripts(150, vocab=vb, seed=31)
+    pdf2 = gen_transcripts(150, vocab=vb, seed=32)
+    in_dir, tbl, cp, mdir = (str(tmp_path / d)
+                             for d in ("in", "tbl", "cp", "mapping"))
+    os.makedirs(in_dir, exist_ok=True)
+
+    alias_grams = X.prepare_alias_grams(vocab_tables["aliases"])
+    alias_table = L.prepare_alias_table(vocab_tables["aliases"])
+    probe = _batch_linked(spark.createDataFrame(pdf1), alias_grams,
+                          alias_table, vocab_tables["stoplist"], None)
+    ia, ib = [r["ident"] for r in probe.select("ident").distinct()
+              .orderBy("ident").limit(2).collect()]
+
+    # comention partials + drift must be refused
+    with _pytest.raises(ValueError, match="comention"):
+        stream_mention_edges_snapshot(spark, in_dir, TRANSCRIPT_SCHEMA,
+                                      vocab_tables, tbl, cp,
+                                      comention=True, mapping_table_dir=mdir)
+
+    # register vocab idents (remap-completeness precondition), tick 1
+    C.sync_canonical_mapping(
+        spark, mdir, _edges(spark, []),
+        new_idents=vocab_tables["aliases"].select("ident").distinct())
+    pdf1.to_parquet(f"{in_dir}/f1.parquet", index=False)
+    q = stream_mention_edges_snapshot(spark, in_dir, TRANSCRIPT_SCHEMA,
+                                      vocab_tables, tbl, cp,
+                                      mapping_table_dir=mdir)
+    q.awaitTermination(120)
+
+    # merge ia~ib AFTER tick 1 committed edges under the old canon
+    rep = C.sync_canonical_mapping(spark, mdir, _edges(spark, [(ia, ib)]))
+    assert rep.n_remaps == 1
+
+    pdf2.to_parquet(f"{in_dir}/f2.parquet", index=False)
+    q = stream_mention_edges_snapshot(spark, in_dir, TRANSCRIPT_SCHEMA,
+                                      vocab_tables, tbl, cp,
+                                      mapping_table_dir=mdir)
+    q.awaitTermination(120)
+
+    got = C.read_graph_edges(spark, tbl, mdir, comention=True)
+
+    all_idents = vocab_tables["aliases"].select("ident").distinct()
+    full_map = canonical_mapping(_edges(spark, [(ia, ib)]), all_idents)
+    import pandas as pd
+    linked = _batch_linked(spark.createDataFrame(pd.concat([pdf1, pdf2])),
+                           alias_grams, alias_table,
+                           vocab_tables["stoplist"], full_map)
+    want = M.mention_edges(linked).unionByName(M.comention_edges(linked))
+    key = lambda df: sorted(map(tuple, df.select(
+        "subj", "pred", "obj", "score").collect()))
+    assert key(got) == key(want)
