@@ -281,11 +281,20 @@ def incremental_canonical_parts(
 
     untouched = prev.join(touched_canons, on="canonical_id", how="left_anti")
     if new_idents is not None:
+        # shuffle-free: prev is only PROBED (left_semi with the broadcast
+        # ident set — a scan, never an exchange of the mapping); the known
+        # subset is <= |new_idents| so the final anti-join broadcasts too
+        ni = (new_idents.select(F.col(new_idents.columns[0]).alias("ident"))
+              .distinct())
+        known = (
+            prev.join(F.broadcast(ni), on="ident", how="left_semi")
+            .select("ident")
+            .unionByName(
+                changed.join(F.broadcast(ni), on="ident", how="left_semi")
+                .select("ident"))
+        )
         iso = (
-            new_idents.select(F.col(new_idents.columns[0]).alias("ident"))
-            .distinct()
-            .join(prev, on="ident", how="left_anti")
-            .join(changed, on="ident", how="left_anti")
+            ni.join(F.broadcast(known), on="ident", how="left_anti")
             .select("ident", F.col("ident").alias("canonical_id"))
         )
     else:
@@ -310,7 +319,14 @@ def apply_remaps(edges: DataFrame, remaps: DataFrame,
     """Patch canonical ids inside an edge table after a component merge:
     one broadcast join per remapped column against the (old -> new) log.
     The remap log is dictionary-scale (distinct merged canons), so the
-    edge table itself never shuffles."""
+    edge table itself never shuffles.
+
+    The join is SINGLE-HOP: ``remaps`` must already map each old canon to
+    its FINAL target. One sync's remaps satisfy this by construction
+    (targets are that sync's final labels); a log accumulated ACROSS
+    syncs can chain (old -> mid -> final) and must be resolved first —
+    ``plans.canon.read_remap_log`` does exactly that. Passing a raw
+    multi-sync concatenation here would strand rows on retired canons."""
     r = F.broadcast(remaps.select("old_canonical_id", "new_canonical_id"))
     out = edges
     for c in cols:

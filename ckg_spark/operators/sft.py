@@ -35,6 +35,14 @@ def _turn_render(role_col: str = "role", text_col: str = "text") -> Column:
     return F.concat(F.col(role_col), F.lit(": "), F.col(text_col))
 
 
+def _token_count(c: Column) -> Column:
+    """House whitespace token count (textstats.token_count): null/empty
+    text counts 0, never NULL — a NULL here would poison whole-conversation
+    sums in context_budget."""
+    from .textstats import token_count
+    return token_count(c)
+
+
 def sft_examples(transcripts: DataFrame, *,
                  assistant_role: str = "assistant",
                  max_context_turns: int | None = None,
@@ -59,8 +67,7 @@ def sft_examples(transcripts: DataFrame, *,
     w = (Window.partitionBy("conv_id").orderBy("turn_idx")
          .rowsBetween(lo, -1))
     ctx = F.collect_list(_turn_render()).over(w)
-    toks = lambda c: F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(c), r"\s+")))
+    toks = _token_count
     out = (transcripts
            .withColumn("_ctx", ctx)
            .where(F.col("role") == assistant_role)
@@ -163,8 +170,7 @@ def context_budget(transcripts: DataFrame, budget_tokens: int) -> DataFrame:
     and including it is <= budget. One shuffle (conv_id window, reverse
     cumulative sum), all integer arithmetic — exact across engines.
     """
-    toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long")
+    toks = _token_count(F.col("text")).cast("long")
     w_suf = (Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
              .rowsBetween(Window.unboundedPreceding, 0))
     t = (transcripts.select("conv_id", "turn_idx", toks.alias("nt"))

@@ -268,8 +268,11 @@ def recency_weighted_scores(df: DataFrame, keys: str | list[str],
     per map partition before the shuffle.
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
-    age_s = (F.unix_timestamp(F.to_timestamp(F.lit(ref_ts)))
-             - F.unix_timestamp(F.col(ts_col))).cast("double")
+    # microsecond precision: unix_timestamp truncates to whole seconds,
+    # which breaks the exact-decay claim for sub-second event spacing
+    age_s = ((F.unix_micros(F.to_timestamp(F.lit(ref_ts)))
+              - F.unix_micros(F.col(ts_col))).cast("double")
+             / F.lit(1_000_000.0))
     w = F.pow(F.lit(0.5), age_s / F.lit(float(half_life_seconds)))
     if weight_col is not None:
         w = w * weight_col

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.canonicalize import (incremental_canonical_mapping,
                                       incremental_canonical_parts)
+from ..operators.ckpt import checkpoint_reset_stats as _ckpt
 from . import table as T
 
 _MAP_SCHEMA = "ident string, canonical_id string, map_version int"
@@ -91,12 +92,15 @@ def sync_canonical_mapping(
 
     next_v = (T.current_version(mapping_table_dir) or 0) + 1
     delta = delta.withColumn("map_version", F.lit(next_v).cast("int"))
+    # materialize once: count + append + the writer's own recount would
+    # otherwise re-run the anti-join/window plan three times
+    delta = _ckpt(delta)
     n_changed = delta.count()
     if n_changed == 0 and exists:
         return CanonSyncReport(None, 0, 0)
     mv = T.append(delta, mapping_table_dir, properties=properties or {})
 
-    remaps = remaps.withColumn("map_version", F.lit(mv).cast("int"))
+    remaps = _ckpt(remaps.withColumn("map_version", F.lit(mv).cast("int")))
     n_remaps = remaps.count()
     if n_remaps or T.current_version(_remap_dir(mapping_table_dir)) is None:
         if n_remaps == 0:
@@ -119,14 +123,16 @@ def read_remap_log(spark: SparkSession, mapping_table_dir: str,
         return spark.createDataFrame([], _REMAP_SCHEMA.rsplit(",", 1)[0])
     rows = T.read(spark, rd).orderBy("map_version").collect()
     final: dict[str, str] = {}
+    rev: dict[str, set] = {}  # target -> olds currently mapped to it (O(R))
     for r in rows:
-        tgt = r["new_canonical_id"]
-        tgt = final.get(tgt, tgt)
+        old = r["old_canonical_id"]
+        tgt = final.get(r["new_canonical_id"], r["new_canonical_id"])
         # repoint every chain already ending at the absorbed canon
-        for k, v in list(final.items()):
-            if v == r["old_canonical_id"]:
-                final[k] = tgt
-        final[r["old_canonical_id"]] = tgt
+        for k in rev.pop(old, set()):
+            final[k] = tgt
+            rev.setdefault(tgt, set()).add(k)
+        final[old] = tgt
+        rev.setdefault(tgt, set()).add(old)
     if since_version is not None:
         keep = {r["old_canonical_id"] for r in rows
                 if r["map_version"] > since_version}
@@ -161,6 +167,7 @@ def sync_graph(
     edges_table_dir: str,
     mapping_table_dir: str,
     identity_edges: DataFrame | None = None,
+    to_version: int | None = None,
 ) -> "object":
     """One sync tick of the full incremental KG: fold this tick's identity
     edges (new ontology xrefs) into the canonical mapping, then extract ->
@@ -184,7 +191,8 @@ def sync_graph(
                            new_idents=idents)
     cmap = read_canonical_mapping(spark, mapping_table_dir)
     return I.sync_mention_edges(spark, transcripts_table_dir, vocab_tables,
-                                edges_table_dir, canonical=cmap)
+                                edges_table_dir, canonical=cmap,
+                                to_version=to_version)
 
 
 def read_graph_edges(spark: SparkSession, edges_table_dir: str,
@@ -204,11 +212,15 @@ def read_graph_edges(spark: SparkSession, edges_table_dir: str,
     from . import incremental as I
     from ..operators.canonicalize import apply_remaps
 
-    e = I.read_merged_edges(spark, edges_table_dir)
+    # patch the RAW rows first (broadcast join, no exchange), then ONE
+    # EDGE_KEY aggregation folds both the stored partials and the rows the
+    # patch merged — summation is associative, so this equals the naive
+    # read_merged_edges -> patch -> re-agg at half the shuffle cost
+    raw = T.read(spark, edges_table_dir)
     remaps = read_remap_log(spark, mapping_table_dir)
-    e = apply_remaps(e, remaps, cols=("subj",))
+    raw = apply_remaps(raw, remaps, cols=("subj",))
     mentions = (
-        e.groupBy(*I.EDGE_KEY).agg(F.sum("score").alias("score"))
+        raw.groupBy(*I.EDGE_KEY).agg(F.sum("score").alias("score"))
         .select("subj", "pred", "obj", "source", "score", "evidence_type")
     )
     if not comention:

@@ -125,6 +125,15 @@ def stream_mention_edges_snapshot(
             "comention partials are not exact under canonical drift; use "
             "mapping_table_dir with plans.canon.read_graph_edges("
             "comention=True) instead")
+    if mapping_table_dir is not None and T.current_version(
+            mapping_table_dir) is None:
+        # a batch written before the idents are registered could change
+        # canon later with NO remap-log row — remap-on-read exactness
+        # requires registration FIRST, so refuse instead of degrading
+        raise ValueError(
+            "mapping table is empty: register the vocabulary idents first "
+            "(plans.canon.sync_canonical_mapping(..., new_idents=aliases."
+            "select('ident'))) so later merges always log a remap")
 
     alias_grams = X.prepare_alias_grams(vocab_tables["aliases"])
     alias_table = L.prepare_alias_table(vocab_tables["aliases"])
@@ -145,8 +154,7 @@ def stream_mention_edges_snapshot(
         if batch_id in seen:
             return  # replayed batch: already committed, skip
         cmap = canonical
-        if mapping_table_dir is not None and T.current_version(
-                mapping_table_dir) is not None:
+        if mapping_table_dir is not None:
             from ..plans.canon import read_canonical_mapping
             cmap = read_canonical_mapping(spark, mapping_table_dir)
         linked = _batch_linked(batch_df, alias_grams, alias_table, stoplist,

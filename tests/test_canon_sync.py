@@ -325,3 +325,17 @@ def test_streaming_sink_under_canonical_drift(spark, tmp_path, vocab_tables):
     key = lambda df: sorted(map(tuple, df.select(
         "subj", "pred", "obj", "score").collect()))
     assert key(got) == key(want)
+
+
+def test_streaming_drift_requires_registered_mapping(spark, tmp_path,
+                                                     vocab_tables):
+    import pytest as _pytest
+
+    from ckg_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from ckg_spark.streaming.ingest import stream_mention_edges_snapshot
+
+    with _pytest.raises(ValueError, match="register"):
+        stream_mention_edges_snapshot(
+            spark, str(tmp_path / "in"), TRANSCRIPT_SCHEMA, vocab_tables,
+            str(tmp_path / "tbl"), str(tmp_path / "cp"),
+            mapping_table_dir=str(tmp_path / "empty_mapping"))

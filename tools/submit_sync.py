@@ -104,7 +104,8 @@ def main() -> int:
                        else tables["identity_edges"])
         rep = C.sync_graph(spark, args.transcripts_table, tables,
                            args.edges_table, args.mapping_table,
-                           identity_edges=ident_delta)
+                           identity_edges=ident_delta,
+                           to_version=args.to_version)
         n_remaps = C.read_remap_log(spark, args.mapping_table).count()
     else:
         rep = I.sync_mention_edges(
