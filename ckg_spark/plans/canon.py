@@ -208,7 +208,12 @@ def read_graph_edges(spark: SparkSession, edges_table_dir: str,
     co-mentioned entities into one, and only re-derivation keeps the
     turn-count score exact (summing stored partials would double-count a
     turn whose pair set shrank). Batch equivalence is pinned by
-    tests/test_canon_sync.py::test_sync_graph_matches_batch*."""
+    tests/test_canon_sync.py::test_sync_graph_matches_batch*.
+
+    If the edge table was compacted with ``compact_graph_edges``, only
+    remaps committed AFTER the folded-through mapping version are applied
+    (the manifest records ``remaps_folded_through``); the patch join
+    shrinks with every maintenance pass."""
     from . import incremental as I
     from ..operators.canonicalize import apply_remaps
 
@@ -217,7 +222,11 @@ def read_graph_edges(spark: SparkSession, edges_table_dir: str,
     # patch merged — summation is associative, so this equals the naive
     # read_merged_edges -> patch -> re-agg at half the shuffle cost
     raw = T.read(spark, edges_table_dir)
-    remaps = read_remap_log(spark, mapping_table_dir)
+    folded = T.read_manifest(edges_table_dir).get("properties", {}).get(
+        "remaps_folded_through")
+    remaps = read_remap_log(
+        spark, mapping_table_dir,
+        since_version=int(folded) if folded is not None else None)
     raw = apply_remaps(raw, remaps, cols=("subj",))
     mentions = (
         raw.groupBy(*I.EDGE_KEY).agg(F.sum("score").alias("score"))
@@ -248,3 +257,25 @@ def read_graph_edges(spark: SparkSession, edges_table_dir: str,
                 F.lit("co_occurrence").alias("evidence_type"))
     )
     return mentions.unionByName(com)
+
+
+def compact_graph_edges(spark: SparkSession, edges_table_dir: str,
+                        mapping_table_dir: str) -> int:
+    """Maintenance pass for a `sync_graph` edge table: fold the stored
+    partials AND the remap log into storage in one overwrite commit —
+    every row's subj becomes its current canon, merged rows collapse.
+    The commit records ``remaps_folded_through`` (the mapping version
+    whose remaps are now physically applied) and re-stamps the sync
+    high-water mark, so subsequent `read_graph_edges` calls patch with
+    only the remaps committed SINCE, and `sync_graph` keeps consuming
+    source deltas where it left off. History stays time-travelable until
+    expire_snapshots; co-mentions stay derived-at-read (storing them
+    would re-open the drift double-count)."""
+    from . import incremental as I
+
+    mark = I.last_synced_version(edges_table_dir)
+    folded = read_graph_edges(spark, edges_table_dir, mapping_table_dir)
+    props = {"remaps_folded_through": T.current_version(mapping_table_dir)}
+    if mark is not None:
+        props["transcripts_version"] = mark
+    return T.overwrite(folded, edges_table_dir, properties=props)

@@ -339,3 +339,52 @@ def test_streaming_drift_requires_registered_mapping(spark, tmp_path,
             spark, str(tmp_path / "in"), TRANSCRIPT_SCHEMA, vocab_tables,
             str(tmp_path / "tbl"), str(tmp_path / "cp"),
             mapping_table_dir=str(tmp_path / "empty_mapping"))
+
+
+def test_compact_graph_edges_folds_remaps(spark, tmp_path):
+    """compact_graph_edges physically applies the remap log (storage has
+    no retired canons), records remaps_folded_through, and later reads
+    apply ONLY post-compaction remaps — exact across a chain that spans
+    the compaction boundary (e3->e2 folded, then e2->e1 after)."""
+    edir, mdir = str(tmp_path / "edges"), str(tmp_path / "mapping")
+
+    def edge(s, o, sc=1.0):
+        return (s, "MENTIONED_IN_TURN", o, "tagger", sc, "Entity")
+
+    T.append(spark.createDataFrame(
+        [edge("e2", "t:1"), edge("e3", "t:1"), edge("e4", "t:2"),
+         edge("e1", "t:2")],
+        "subj string, pred string, obj string, source string, "
+        "score double, evidence_type string"), edir)
+    C.sync_canonical_mapping(
+        spark, mdir, _edges(spark, []),
+        new_idents=spark.createDataFrame(
+            [("e1",), ("e2",), ("e3",), ("e4",)], "ident string"))
+    C.sync_canonical_mapping(spark, mdir, _edges(spark, [("e2", "e3")]))
+
+    def view():
+        return sorted(map(tuple, C.read_graph_edges(
+            spark, edir, mdir, comention=True)
+            .select("subj", "pred", "obj", "score").collect()))
+
+    want = [("e1", "CO_MENTIONED_WITH", "e4", 1.0),
+            ("e1", "MENTIONED_IN_TURN", "t:2", 1.0),
+            ("e2", "MENTIONED_IN_TURN", "t:1", 2.0),
+            ("e4", "MENTIONED_IN_TURN", "t:2", 1.0)]
+    assert view() == want
+
+    v = C.compact_graph_edges(spark, edir, mdir)
+    assert view() == want  # fold is read-invisible
+    stored = {r["subj"] for r in T.read(spark, edir).collect()}
+    assert "e3" not in stored  # retired canon physically gone
+    assert T.read_manifest(edir)["properties"]["remaps_folded_through"] \
+        == T.current_version(mdir)
+
+    # post-compaction merge: chain e3->e2->e1 crosses the fold boundary —
+    # storage holds e2 (e3 already folded), and the since-filtered log
+    # {e2->e1} patches it; t:2 ({e1, e4}) is untouched by the merge
+    C.sync_canonical_mapping(spark, mdir, _edges(spark, [("e1", "e2")]))
+    assert view() == [("e1", "CO_MENTIONED_WITH", "e4", 1.0),
+                      ("e1", "MENTIONED_IN_TURN", "t:1", 2.0),
+                      ("e1", "MENTIONED_IN_TURN", "t:2", 1.0),
+                      ("e4", "MENTIONED_IN_TURN", "t:2", 1.0)]
