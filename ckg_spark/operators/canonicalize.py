@@ -280,25 +280,33 @@ def incremental_canonical_parts(
         comps.select("ident", F.col("component").alias("canonical_id")))
 
     untouched = prev.join(touched_canons, on="canonical_id", how="left_anti")
+    # every RAW edge endpoint counts as observed — a self-loop (a, a)
+    # contributes no CC edge but its vertex must still enter the mapping
+    # (batch canonical_mapping self-maps it via all_idents)
+    raw_endpoints = (
+        new_edges.select(F.col(src).alias("ident"))
+        .unionByName(new_edges.select(F.col(dst).alias("ident")))
+        .distinct()
+    )
+    ni = raw_endpoints
     if new_idents is not None:
-        # shuffle-free: prev is only PROBED (left_semi with the broadcast
-        # ident set — a scan, never an exchange of the mapping); the known
-        # subset is <= |new_idents| so the final anti-join broadcasts too
-        ni = (new_idents.select(F.col(new_idents.columns[0]).alias("ident"))
-              .distinct())
-        known = (
-            prev.join(F.broadcast(ni), on="ident", how="left_semi")
-            .select("ident")
-            .unionByName(
-                changed.join(F.broadcast(ni), on="ident", how="left_semi")
-                .select("ident"))
-        )
-        iso = (
-            ni.join(F.broadcast(known), on="ident", how="left_anti")
-            .select("ident", F.col("ident").alias("canonical_id"))
-        )
-    else:
-        iso = spark.createDataFrame([], "ident string, canonical_id string")
+        ni = ni.unionByName(
+            new_idents.select(F.col(new_idents.columns[0]).alias("ident"))
+        ).distinct()
+    # shuffle-free: prev is only PROBED (left_semi with the broadcast
+    # ident set — a scan, never an exchange of the mapping); the known
+    # subset is <= |ni| so the final anti-join broadcasts too
+    known = (
+        prev.join(F.broadcast(ni), on="ident", how="left_semi")
+        .select("ident")
+        .unionByName(
+            changed.join(F.broadcast(ni), on="ident", how="left_semi")
+            .select("ident"))
+    )
+    iso = (
+        ni.join(F.broadcast(known), on="ident", how="left_anti")
+        .select("ident", F.col("ident").alias("canonical_id"))
+    )
 
     remaps = (
         affected_prev
