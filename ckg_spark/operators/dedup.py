@@ -89,14 +89,10 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = 64) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4,
-                        bucket_cap: int = 200) -> DataFrame:
-    """Same-band-bucket candidate pairs (doc_a < doc_b), distinct.
-
-    bands*rows must equal the signature length. ``bucket_cap`` drops
-    degenerate buckets (boilerplate floods) before the quadratic self-join.
-    """
-    banded = sigs.select(
+def band_rows(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """LSH banding: (doc_id, band, bh) — one 8-byte bucket hash per band
+    (the persisted form an incremental index stores, plans/neardup.py)."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -105,6 +101,16 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4,
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4,
+                        bucket_cap: int = 200) -> DataFrame:
+    """Same-band-bucket candidate pairs (doc_a < doc_b), distinct.
+
+    bands*rows must equal the signature length. ``bucket_cap`` drops
+    degenerate buckets (boilerplate floods) before the quadratic self-join.
+    """
+    banded = band_rows(sigs, bands=bands, rows=rows)
 
     counts = banded.groupBy("band", "bh").count().where(F.col("count") <= bucket_cap)
     small = banded.join(counts.select("band", "bh"), on=["band", "bh"], how="left_semi")
