@@ -35,6 +35,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.ckpt import checkpoint_reset_stats as _ckpt
 from ..operators.dedup import (band_rows, exact_jaccard, minhash_signatures,
                                shingles)
 from . import table as T
@@ -98,20 +99,27 @@ def sync_neardup(
 
     delta = spark.read.parquet(*new_files).select(id_col, text_col)
     n_docs = delta.count()
-    sh_delta = shingles(delta, id_col, text_col, k=k).localCheckpoint(
-        eager=True)
-    banded = band_rows(
+    # checkpoint_reset_stats, NOT plain localCheckpoint: the checkpoint
+    # keeps Catalyst's inherited sizeInBytes, and a wrong small estimate
+    # here makes the planner BROADCAST the multi-million-row band table
+    # downstream (OOM observed in tools/neardup_scale_probe.py)
+    sh_delta = _ckpt(shingles(delta, id_col, text_col, k=k))
+    banded = _ckpt(band_rows(
         minhash_signatures(sh_delta, n_hashes=n_hashes),
-        bands=bands, rows=rows).localCheckpoint(eager=True)
+        bands=bands, rows=rows))
 
     has_index = T.current_version(index_dir) is not None
     if has_index:
         index = T.read(spark, index_dir)
         keys = banded.select("band", "bh").distinct()
-        # PROBE the index: broadcast the delta's bucket keys, scan once —
-        # only rows in delta-touched buckets survive (delta-bucket scale)
-        hits = index.join(F.broadcast(keys), on=["band", "bh"],
-                          how="left_semi").localCheckpoint(eager=True)
+        # PROBE the index with the delta's bucket keys: only rows in
+        # delta-touched buckets survive (delta-bucket scale). NO explicit
+        # broadcast hint — a large initial/backfill delta makes the key
+        # set exceed driver memory, and a forced hint overrides AQE's
+        # size check (found by tools/neardup_scale_probe.py); AQE
+        # broadcasts the small side on its own for routine deltas
+        hits = _ckpt(index.join(keys, on=["band", "bh"],
+                                how="left_semi"))
     else:
         hits = banded.limit(0)
 
@@ -122,10 +130,8 @@ def sync_neardup(
            .agg(F.countDistinct("doc_id").alias("n"))
            .where(F.col("n") <= bucket_cap)
            .select("band", "bh"))
-    banded_ok = banded.join(F.broadcast(tot), on=["band", "bh"],
-                            how="left_semi")
-    hits_ok = hits.join(F.broadcast(tot), on=["band", "bh"],
-                        how="left_semi")
+    banded_ok = banded.join(tot, on=["band", "bh"], how="left_semi")
+    hits_ok = hits.join(tot, on=["band", "bh"], how="left_semi")
 
     a, b = banded_ok.alias("a"), banded_ok.alias("b")
     cand_new = (a.join(b, on=["band", "bh"])
@@ -137,8 +143,7 @@ def sync_neardup(
                   .where(F.col("a.doc_id") != F.col("o.doc_id"))
                   .select(F.least("a.doc_id", "o.doc_id").alias("doc_a"),
                           F.greatest("a.doc_id", "o.doc_id").alias("doc_b")))
-    cands = cand_new.unionByName(cand_cross).distinct() \
-        .localCheckpoint(eager=True)
+    cands = _ckpt(cand_new.unionByName(cand_cross).distinct())
 
     # exact verify: old docs' shingles recomputed from the docs table via
     # an id semi-join (narrow scan, id pushdown); delta shingles reused
@@ -148,11 +153,10 @@ def sync_neardup(
                .join(delta.select(id_col), on=id_col, how="left_anti"))
     old_docs = (T.read(spark, docs_table_dir)
                 .select(id_col, text_col)
-                .join(F.broadcast(old_ids), on=id_col, how="left_semi"))
+                .join(old_ids, on=id_col, how="left_semi"))
     sh_all = sh_delta.unionByName(shingles(old_docs, id_col, text_col, k=k))
-    verified = (exact_jaccard(cands, sh_all)
-                .where(F.col("jaccard") >= threshold)
-                .localCheckpoint(eager=True))
+    verified = _ckpt(exact_jaccard(cands, sh_all)
+                     .where(F.col("jaccard") >= threshold))
     n_pairs = verified.count()
 
     iv = T.append(banded, index_dir, properties={"docs_version": cur})
