@@ -279,3 +279,24 @@ def compact_graph_edges(spark: SparkSession, edges_table_dir: str,
     if mark is not None:
         props["transcripts_version"] = mark
     return T.overwrite(folded, edges_table_dir, properties=props)
+
+
+def expire_remap_log(spark: SparkSession, mapping_table_dir: str,
+                     through_version: int) -> int:
+    """Drop remap rows with map_version <= ``through_version`` in one
+    overwrite commit — bounded retention for the merge log.
+
+    SOUND ONLY when every edge table reading this mapping has folded
+    through that version (`compact_graph_edges` records
+    ``remaps_folded_through`` per table; pass the MINIMUM across
+    consumers): a row's old canon is then physically absent from all
+    storage, and chain resolution among the surviving rows is
+    self-contained (each row's target was a final label at its commit
+    time, so later rows never reference an expired old canon as a
+    target... except as a chain HEAD, which only matters if storage
+    still holds the expired old — it does not, by precondition)."""
+    rd = _remap_dir(mapping_table_dir)
+    if T.current_version(rd) is None:
+        return 0
+    keep = T.read(spark, rd).where(F.col("map_version") > through_version)
+    return T.overwrite(keep, rd)

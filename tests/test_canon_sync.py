@@ -388,3 +388,29 @@ def test_compact_graph_edges_folds_remaps(spark, tmp_path):
                       ("e1", "MENTIONED_IN_TURN", "t:1", 2.0),
                       ("e1", "MENTIONED_IN_TURN", "t:2", 1.0),
                       ("e4", "MENTIONED_IN_TURN", "t:2", 1.0)]
+
+
+def test_expire_remap_log_after_fold(spark, tmp_path):
+    """After compact_graph_edges folds through version X, remap rows <= X
+    can expire; reads stay exact for merges before AND after expiry."""
+    edir, mdir = str(tmp_path / "edges"), str(tmp_path / "mapping")
+    T.append(spark.createDataFrame(
+        [("e2", "MENTIONED_IN_TURN", "t:1", "tagger", 1.0, "Entity"),
+         ("e3", "MENTIONED_IN_TURN", "t:1", "tagger", 1.0, "Entity")],
+        "subj string, pred string, obj string, source string, "
+        "score double, evidence_type string"), edir)
+    C.sync_canonical_mapping(
+        spark, mdir, _edges(spark, []),
+        new_idents=spark.createDataFrame(
+            [("e1",), ("e2",), ("e3",)], "ident string"))
+    C.sync_canonical_mapping(spark, mdir, _edges(spark, [("e2", "e3")]))
+    C.compact_graph_edges(spark, edir, mdir)
+    folded = T.read_manifest(edir)["properties"]["remaps_folded_through"]
+    C.expire_remap_log(spark, mdir, folded)
+    assert C.read_remap_log(spark, mdir).count() == 0
+
+    # a NEW merge after expiry still patches exactly
+    C.sync_canonical_mapping(spark, mdir, _edges(spark, [("e1", "e2")]))
+    got = sorted(map(tuple, C.read_graph_edges(spark, edir, mdir)
+                     .select("subj", "obj", "score").collect()))
+    assert got == [("e1", "t:1", 2.0)]
