@@ -207,7 +207,20 @@ def learn_bpe(docs: DataFrame, n_merges: int = 1000, text_col: str = "text",
     lists). ``max_words`` caps the vocabulary at the most frequent words —
     the standard practice that bounds merge-learning cost independently of
     corpus size."""
-    wf = word_frequencies(docs, text_col)
+    return learn_bpe_from_word_table(
+        word_frequencies(docs, text_col), n_merges=n_merges,
+        min_freq=min_freq, min_pair_freq=min_pair_freq,
+        max_words=max_words, driver_threshold=driver_threshold)
+
+
+def learn_bpe_from_word_table(wf: DataFrame, n_merges: int = 1000,
+                              min_freq: int = 1, min_pair_freq: int = 2,
+                              max_words: int | None = None,
+                              driver_threshold: int | None = LEARN_BPE_MAX_COLLECT) -> list:
+    """Learn merges from a precomputed (word, freq) table — the entry
+    point an INCREMENTALLY-maintained word table uses (plans/tokenizer.py
+    folds per-delta partial counts; learning is a pure function of the
+    summed table, so incremental == batch by construction)."""
     if min_freq > 1:
         wf = wf.where(F.col("freq") >= min_freq)
     if max_words is not None:
