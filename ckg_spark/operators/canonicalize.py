@@ -286,25 +286,30 @@ def incremental_canonical_parts(
     raw_endpoints = (
         new_edges.select(F.col(src).alias("ident"))
         .unionByName(new_edges.select(F.col(dst).alias("ident")))
+        .where(F.col("ident").isNotNull())  # a NULL endpoint must not self-map
         .distinct()
     )
     ni = raw_endpoints
     if new_idents is not None:
         ni = ni.unionByName(
             new_idents.select(F.col(new_idents.columns[0]).alias("ident"))
+            .where(F.col("ident").isNotNull())
         ).distinct()
-    # shuffle-free: prev is only PROBED (left_semi with the broadcast
-    # ident set — a scan, never an exchange of the mapping); the known
-    # subset is <= |ni| so the final anti-join broadcasts too
+    # prev is only PROBED (left_semi joins keyed on the ident set — AQE
+    # broadcasts the set when it is dictionary-scale and falls back to a
+    # shuffle when a backfill-sized delta makes it corpus-scale; NO
+    # explicit broadcast hint — a forced hint overrides AQE's size check
+    # and OOMs the driver, the defect class tools/neardup_scale_probe.py
+    # caught in plans/neardup.py)
     known = (
-        prev.join(F.broadcast(ni), on="ident", how="left_semi")
+        prev.join(ni, on="ident", how="left_semi")
         .select("ident")
         .unionByName(
-            changed.join(F.broadcast(ni), on="ident", how="left_semi")
+            changed.join(ni, on="ident", how="left_semi")
             .select("ident"))
     )
     iso = (
-        ni.join(F.broadcast(known), on="ident", how="left_anti")
+        ni.join(known, on="ident", how="left_anti")
         .select("ident", F.col("ident").alias("canonical_id"))
     )
 

@@ -418,24 +418,37 @@ def contamination_report(docs: DataFrame, benchmark: DataFrame,
     louvain): a caller passing a large held-out corpus as ``benchmark``
     gets a plain shuffle left-semi join instead of a driver OOM. Output:
     (doc_id, n_contaminated, n_shingles, frac_contaminated)."""
-    bench_h = (
-        shingles(benchmark, id_col, text_col, k=k)
-        .select(F.xxhash64("shingle").alias("_bh")).distinct()
-        .localCheckpoint(eager=True)
-    )
-    small_bench = (
-        bench_h.limit(broadcast_max_hashes + 1).count() <= broadcast_max_hashes
-    )
-    bench_side = F.broadcast(bench_h) if small_bench else bench_h
+    bench_side = bench_hash_side(benchmark, id_col, text_col, k,
+                                 broadcast_max_hashes)
     doc_sh = shingles(docs, id_col, text_col, k=k).withColumn(
         "_h", F.xxhash64("shingle"))
     per_doc = doc_sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"))
     hits = (
-        doc_sh.join(bench_side, on=doc_sh["_h"] == bench_h["_bh"],
+        doc_sh.join(bench_side, on=doc_sh["_h"] == bench_side["_bh"],
                     how="left_semi")
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
+    return contamination_select(per_doc, hits)
+
+
+def bench_hash_side(benchmark: DataFrame, id_col: str, text_col: str,
+                    k: int, broadcast_max_hashes: int) -> DataFrame:
+    """Distinct benchmark gram hashes with the size-gated broadcast hint —
+    shared by the batch report above and the incremental index probe
+    (plans/decontam.py) so the gate can never drift between them."""
+    bench_h = (
+        shingles(benchmark, id_col, text_col, k=k)
+        .select(F.xxhash64("shingle").alias("_bh")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    small = bench_h.limit(broadcast_max_hashes + 1).count() \
+        <= broadcast_max_hashes
+    return F.broadcast(bench_h) if small else bench_h
+
+
+def contamination_select(per_doc: DataFrame, hits: DataFrame) -> DataFrame:
+    """The report projection shared by batch and incremental paths."""
     return (
         per_doc.join(hits, on="doc_id", how="left")
         .select(

@@ -110,7 +110,8 @@ def sync_canonical_mapping(
 
 
 def read_remap_log(spark: SparkSession, mapping_table_dir: str,
-                   since_version: int | None = None) -> DataFrame:
+                   since_version: int | None = None,
+                   through_version: int | None = None) -> DataFrame:
     """(old_canonical_id, new_canonical_id) pairs with cross-sync chains
     RESOLVED: a canon absorbed in sync 2 whose absorber was itself
     absorbed in sync 5 maps straight to the final canon, so one broadcast
@@ -122,6 +123,8 @@ def read_remap_log(spark: SparkSession, mapping_table_dir: str,
     if T.current_version(rd) is None:
         return spark.createDataFrame([], _REMAP_SCHEMA.rsplit(",", 1)[0])
     rows = T.read(spark, rd).orderBy("map_version").collect()
+    if through_version is not None:
+        rows = [r for r in rows if r["map_version"] <= through_version]
     final: dict[str, str] = {}
     rev: dict[str, set] = {}  # target -> olds currently mapped to it (O(R))
     for r in rows:
@@ -197,7 +200,8 @@ def sync_graph(
 
 def read_graph_edges(spark: SparkSession, edges_table_dir: str,
                      mapping_table_dir: str,
-                     comention: bool = False) -> DataFrame:
+                     comention: bool = False,
+                     _through: int | None = None) -> DataFrame:
     """Merge-on-read view of a `sync_graph` edge table that is EXACT under
     canonicalization drift: resolved remap log patches subj (one broadcast
     join — old canons are a dictionary-scale set, turn-key objs never
@@ -222,11 +226,12 @@ def read_graph_edges(spark: SparkSession, edges_table_dir: str,
     # patch merged — summation is associative, so this equals the naive
     # read_merged_edges -> patch -> re-agg at half the shuffle cost
     raw = T.read(spark, edges_table_dir)
-    folded = T.read_manifest(edges_table_dir).get("properties", {}).get(
-        "remaps_folded_through")
-    remaps = read_remap_log(
-        spark, mapping_table_dir,
-        since_version=int(folded) if folded is not None else None)
+    # max across SNAPSHOTS, not the current manifest: every sync append
+    # after a compaction commits a manifest without the property, and
+    # reading only the head would silently re-apply the whole log forever
+    folded = T.last_stamped_version(edges_table_dir, "remaps_folded_through")
+    remaps = read_remap_log(spark, mapping_table_dir, since_version=folded,
+                            through_version=_through)
     raw = apply_remaps(raw, remaps, cols=("subj",))
     mentions = (
         raw.groupBy(*I.EDGE_KEY).agg(F.sum("score").alias("score"))
@@ -274,8 +279,13 @@ def compact_graph_edges(spark: SparkSession, edges_table_dir: str,
     from . import incremental as I
 
     mark = I.last_synced_version(edges_table_dir)
-    folded = read_graph_edges(spark, edges_table_dir, mapping_table_dir)
-    props = {"remaps_folded_through": T.current_version(mapping_table_dir)}
+    # capture the mapping version BEFORE folding and bound the fold to it:
+    # a concurrent mapping sync committing mid-fold would otherwise land
+    # remaps recorded as folded but never physically applied
+    mv = T.current_version(mapping_table_dir)
+    folded = read_graph_edges(spark, edges_table_dir, mapping_table_dir,
+                              _through=mv)
+    props = {"remaps_folded_through": mv}
     if mark is not None:
         props["transcripts_version"] = mark
     return T.overwrite(folded, edges_table_dir, properties=props)

@@ -45,12 +45,7 @@ def _counts_dir(index_dir: str) -> str:
 
 
 def last_synced_version(index_dir: str) -> int | None:
-    if T.current_version(index_dir) is None:
-        return None
-    seen = [int(s["properties"]["docs_version"])
-            for s in T.snapshots(index_dir)
-            if s.get("properties", {}).get("docs_version") is not None]
-    return max(seen) if seen else None
+    return T.last_stamped_version(index_dir, "docs_version")
 
 
 def sync_decontam_index(
@@ -76,15 +71,31 @@ def sync_decontam_index(
                       properties={"docs_version": cur})
         return DecontamSyncReport(done, cur, 0, iv)
 
+    _check_index_params(index_dir, k)
     delta = spark.read.parquet(*new_files).select(id_col, text_col)
     n_docs = delta.count()
     sh = _ckpt(shingles(delta, id_col, text_col, k=k)
                .select("doc_id", F.xxhash64("shingle").alias("h")))
     totals = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"))
-    iv = T.append(sh, index_dir, properties={"docs_version": cur})
+    # totals FIRST, mark LAST: a crash in between replays the whole delta
+    # (mark unset), and the duplicate totals rows that replay leaves are
+    # absorbed by the max() dedupe in probe_benchmark — the reverse order
+    # would stamp the mark with the totals missing, silently dropping the
+    # delta's docs from every future report
     T.append(totals, _counts_dir(index_dir))
+    iv = T.append(sh, index_dir,
+                  properties={"docs_version": cur, "gram_k": k})
     return DecontamSyncReport(done, cur, n_docs, iv)
+
+
+def _check_index_params(index_dir: str, k: int) -> None:
+    """The persisted hashes depend on k; silently mixing gram sizes would
+    just report garbage counts — refuse instead."""
+    stored = T.last_stamped_version(index_dir, "gram_k")
+    if stored is not None and stored != k:
+        raise ValueError(
+            f"index at {index_dir} was built with k={stored}; got k={k}")
 
 
 def probe_benchmark(
@@ -100,27 +111,17 @@ def probe_benchmark(
     — row-identical to `dedup.contamination_report(full_docs, benchmark)`
     but reading only the 16-byte index rows. Same size-gated broadcast:
     an oversized 'benchmark' falls back to a shuffle semi-join."""
-    bench_h = (
-        shingles(benchmark, id_col, text_col, k=k)
-        .select(F.xxhash64("shingle").alias("_bh")).distinct()
-        .localCheckpoint(eager=True)
-    )
-    small = bench_h.limit(broadcast_max_hashes + 1).count() \
-        <= broadcast_max_hashes
-    bench_side = F.broadcast(bench_h) if small else bench_h
+    from ..operators.dedup import bench_hash_side, contamination_select
 
+    _check_index_params(index_dir, k)
+    bench_side = bench_hash_side(benchmark, id_col, text_col, k,
+                                 broadcast_max_hashes)
     idx = T.read(spark, index_dir)
-    hits = (idx.join(bench_side, on=idx["h"] == bench_h["_bh"],
+    hits = (idx.join(bench_side, on=idx["h"] == bench_side["_bh"],
                      how="left_semi")
             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_contaminated")))
-    totals = T.read(spark, _counts_dir(index_dir))
-    return (
-        totals.join(hits, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            "n_shingles",
-            (F.coalesce("n_contaminated", F.lit(0))
-             / F.greatest("n_shingles", F.lit(1))).alias("frac_contaminated"),
-        )
-    )
+    # max() dedupe: a crash-replayed sync appends the same totals twice
+    # (identical values), and each doc belongs to exactly one delta
+    totals = (T.read(spark, _counts_dir(index_dir))
+              .groupBy("doc_id").agg(F.max("n_shingles").alias("n_shingles")))
+    return contamination_select(totals, hits)

@@ -66,12 +66,7 @@ class SyncReport:
 def last_synced_version(edges_table_dir: str) -> int | None:
     """High-water mark: the largest transcripts_version recorded in the
     edge table's LIVE snapshot log (survives manifest expiry gaps)."""
-    if T.current_version(edges_table_dir) is None:
-        return None
-    seen = [int(s["properties"]["transcripts_version"])
-            for s in T.snapshots(edges_table_dir)
-            if s.get("properties", {}).get("transcripts_version") is not None]
-    return max(seen) if seen else None
+    return T.last_stamped_version(edges_table_dir, "transcripts_version")
 
 
 def sync_mention_edges(

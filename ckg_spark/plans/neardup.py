@@ -51,12 +51,7 @@ class NeardupSyncReport:
 
 
 def last_synced_version(index_dir: str) -> int | None:
-    if T.current_version(index_dir) is None:
-        return None
-    seen = [int(s["properties"]["docs_version"])
-            for s in T.snapshots(index_dir)
-            if s.get("properties", {}).get("docs_version") is not None]
-    return max(seen) if seen else None
+    return T.last_stamped_version(index_dir, "docs_version")
 
 
 def sync_neardup(
@@ -84,8 +79,13 @@ def sync_neardup(
     corpus (tested)."""
     cur = T.read_manifest(docs_table_dir)["version"]
     done = last_synced_version(index_dir)
+    # empty frame matches the docs table's id type so a no-op tick stays
+    # union/append-compatible with real ticks
+    id_type = next((c[1] for c in
+                    T.read_manifest(docs_table_dir).get("schema", [])
+                    if c[0] == id_col), "string")
     empty_pairs = spark.createDataFrame(
-        [], f"doc_a string, doc_b string, jaccard double")
+        [], f"doc_a {id_type}, doc_b {id_type}, jaccard double")
     if done is not None and done >= cur:
         return NeardupSyncReport(done, cur, 0, 0, None), empty_pairs
 
@@ -107,6 +107,20 @@ def sync_neardup(
     banded = _ckpt(band_rows(
         minhash_signatures(sh_delta, n_hashes=n_hashes),
         bands=bands, rows=rows))
+
+    # the persisted bucket hashes depend on the LSH parameters — a
+    # parameter drift across syncs would silently stop finding
+    # cross-corpus pairs, so refuse it
+    params = f"k={k},n={n_hashes},b={bands},r={rows}"
+    stored = None
+    if T.current_version(index_dir) is not None:
+        stored = [s["properties"]["lsh_params"]
+                  for s in T.snapshots(index_dir)
+                  if s.get("properties", {}).get("lsh_params")]
+        stored = stored[-1] if stored else None
+    if stored is not None and stored != params:
+        raise ValueError(
+            f"index at {index_dir} was built with {stored}; got {params}")
 
     has_index = T.current_version(index_dir) is not None
     if has_index:
@@ -159,8 +173,10 @@ def sync_neardup(
                      .where(F.col("jaccard") >= threshold))
     n_pairs = verified.count()
 
-    iv = T.append(banded, index_dir, properties={"docs_version": cur})
-
+    # fold the mapping BEFORE stamping the index: a crash in between
+    # replays the whole delta (mark unset) and re-folding the identical
+    # pairs is a no-op mapping commit — the reverse order would stamp the
+    # mark with the merges lost, and no future delta re-probes them
     if mapping_table_dir is not None:
         from . import canon as C
         C.sync_canonical_mapping(
@@ -168,4 +184,7 @@ def sync_neardup(
             verified.select(F.col("doc_a").cast("string").alias("ident_a"),
                             F.col("doc_b").cast("string").alias("ident_b")),
             new_idents=delta.select(F.col(id_col).cast("string")))
+    iv = T.append(banded, index_dir,
+                  properties={"docs_version": cur, "lsh_params":
+                              f"k={k},n={n_hashes},b={bands},r={rows}"})
     return NeardupSyncReport(done, cur, n_docs, n_pairs, iv), verified

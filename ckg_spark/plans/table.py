@@ -573,3 +573,15 @@ def incremental_files(table_dir: str, from_version: int | None,
                     f"v{v} ({op}); re-baseline from v{v}")
     base = set(from_m["files"])
     return [f for f in to_m["files"] if f not in base]
+
+
+def last_stamped_version(table_dir: str, prop: str) -> int | None:
+    """High-water mark helper shared by every incremental sync plan: the
+    largest integer ``prop`` recorded in the table's LIVE snapshot log
+    (survives manifest-expiry gaps — reads snapshots(), not a version
+    walk). None when the table does not exist or nothing is stamped."""
+    if current_version(table_dir) is None:
+        return None
+    seen = [int(s["properties"][prop]) for s in snapshots(table_dir)
+            if s.get("properties", {}).get(prop) is not None]
+    return max(seen) if seen else None

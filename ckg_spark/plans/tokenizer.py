@@ -31,12 +31,7 @@ class TokenizerSyncReport:
 
 
 def last_synced_version(wf_dir: str) -> int | None:
-    if T.current_version(wf_dir) is None:
-        return None
-    seen = [int(s["properties"]["docs_version"])
-            for s in T.snapshots(wf_dir)
-            if s.get("properties", {}).get("docs_version") is not None]
-    return max(seen) if seen else None
+    return T.last_stamped_version(wf_dir, "docs_version")
 
 
 def sync_word_frequencies(

@@ -414,3 +414,37 @@ def test_expire_remap_log_after_fold(spark, tmp_path):
     got = sorted(map(tuple, C.read_graph_edges(spark, edir, mdir)
                      .select("subj", "obj", "score").collect()))
     assert got == [("e1", "t:1", 2.0)]
+
+
+def test_folded_through_survives_later_appends(spark, tmp_path):
+    """Sync appends after a compaction commit manifests WITHOUT the
+    remaps_folded_through property; reads must find it across snapshots
+    (not just the head) and keep patching only the since-fold remaps."""
+    edir, mdir = str(tmp_path / "edges"), str(tmp_path / "mapping")
+    schema = ("subj string, pred string, obj string, source string, "
+              "score double, evidence_type string")
+    T.append(spark.createDataFrame(
+        [("e2", "MENTIONED_IN_TURN", "t:1", "tagger", 1.0, "Entity"),
+         ("e3", "MENTIONED_IN_TURN", "t:1", "tagger", 1.0, "Entity")],
+        schema), edir)
+    C.sync_canonical_mapping(
+        spark, mdir, _edges(spark, []),
+        new_idents=spark.createDataFrame(
+            [("e1",), ("e2",), ("e3",), ("e5",)], "ident string"))
+    C.sync_canonical_mapping(spark, mdir, _edges(spark, [("e2", "e3")]))
+    C.compact_graph_edges(spark, edir, mdir)
+    folded = T.last_stamped_version(edir, "remaps_folded_through")
+
+    # a later plain append (as sync_graph would do) lacks the property
+    T.append(spark.createDataFrame(
+        [("e5", "MENTIONED_IN_TURN", "t:9", "tagger", 1.0, "Entity")],
+        schema), edir)
+    assert "remaps_folded_through" not in \
+        T.read_manifest(edir).get("properties", {})
+    assert T.last_stamped_version(edir, "remaps_folded_through") == folded
+
+    # post-append merge still patches exactly (e2 -> e1)
+    C.sync_canonical_mapping(spark, mdir, _edges(spark, [("e1", "e2")]))
+    got = sorted(map(tuple, C.read_graph_edges(spark, edir, mdir)
+                     .select("subj", "obj", "score").collect()))
+    assert got == [("e1", "t:1", 2.0), ("e5", "t:9", 1.0)]
