@@ -157,10 +157,23 @@ def materialize_edges(
     return e.dropDuplicates(["subj", "pred", "obj", "source"])
 
 
-def materialize_nodes(terms: DataFrame, canonical: DataFrame) -> DataFrame:
+def materialize_nodes(terms: DataFrame, canonical: DataFrame,
+                      include_retired: bool = False) -> DataFrame:
     """One node per canonical id; attributes from the min member id
     (deterministic MERGE-on-id analog of cypher.yml:25-27), synonyms =
-    union of all member names/synonyms."""
+    union of all member names/synonyms.
+
+    ``include_retired``: also emit one node per merged-away ident (type
+    'alias', source 'canonicalization'). The default collapses merged
+    idents into their canonical node, which leaves MAPS_TO edge SUBJECTS
+    dangling relative to the node table — fine for query engines that
+    resolve them through the mapping, but a referential-integrity
+    violation for a strict bulk loader (neo4j-admin import rejects edges
+    whose endpoints are absent; CKG materializes BOTH ontologies' node
+    files so its mapping endpoints always exist). Flag, not default: the
+    collapsed form is the benchmarked/P-R-attested output shape.
+    Found by running operators/kg_qa.py::schema_violations over the
+    pipeline's own emitted graph."""
     t = terms.join(
         F.broadcast(canonical.withColumnRenamed("ident", "id")), on="id", how="left"
     ).withColumn("canonical_id", F.coalesce("canonical_id", "id"))
@@ -186,11 +199,34 @@ def materialize_nodes(terms: DataFrame, canonical: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_set("syn")).alias("synonyms"))
         .withColumnRenamed("canonical_id", "id")
     )
-    return (
+    out = (
         attrs.join(syns, on="id", how="left")
         .withColumn("source", F.lit("ontology"))
         .select("id", "label", "name", "description", "type", "synonyms", "source")
     )
+    if include_retired:
+        # Start from the mapping, not terms: cross-ontology idents (the
+        # efoParser-style external ids) appear only as identity-edge
+        # endpoints and have no term row — fall back to id-derived
+        # attributes so the node still materializes.
+        retired = (
+            canonical.where(F.col("ident") != F.col("canonical_id"))
+            .select(F.col("ident").alias("id")).distinct()
+            .join(F.broadcast(terms), on="id", how="left")
+            .select(
+                "id",
+                F.coalesce("label", F.lit("External")).alias("label"),
+                F.coalesce("name", F.col("id")).alias("name"),
+                "description",
+                F.lit("alias").alias("type"),
+                F.sort_array(F.array_union(
+                    F.coalesce("synonyms", F.array()),
+                    F.array(F.coalesce("name", F.col("id")))))
+                .alias("synonyms"),
+                F.lit("canonicalization").alias("source"))
+        )
+        out = out.unionByName(retired)
+    return out
 
 
 def _merge_rows(allrows: DataFrame) -> DataFrame:

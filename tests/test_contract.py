@@ -41,7 +41,8 @@ EXPECTED_NAMES = {
     "q90_preference_pairs", "q91_boilerplate_turns", "q92_context_budget",
     "q93_incremental_canonicalize", "q94_chunk_documents",
     "q95_remove_boilerplate", "q96_validate_conversations",
-    "q97_entity_recency", "q98_chunk_dedup",
+    "q97_entity_recency", "q98_chunk_dedup", "q99_schema_violations",
+    "q100_negative_sampling", "q101_triangle_counts",
 }
 
 # Round 5: zero rows-only entries remain — q33 runs the md5 hash variant
@@ -52,7 +53,7 @@ ROWS_ONLY: set = set()
 
 def test_registry_names_stable():
     assert set(DC.queries_dict()) == EXPECTED_NAMES
-    assert len(DC.queries_dict()) == 98
+    assert len(DC.queries_dict()) == 101
 
 
 def test_oracle_coverage_complete_except_declared_rows_only():
@@ -65,27 +66,29 @@ def test_oracle_coverage_complete_except_declared_rows_only():
 def test_attestation_window_holds_least_attested_first():
     """The driver writes correctness rows for only the first 50 queries()
     entries per round. Round-5 rotation: q01-q18 (last driver-green in
-    r03), the oracle-upgraded q33/q56, and any new q69+ entries must sit
-    inside the first 50; only entries hash-green in CORRECTNESS_r04
-    (q19-q68 minus the upgraded pair) may fall outside, and the spill is
-    the high-numbered tail so it leads the round-6 rotation."""
+    r03), the oracle-upgraded q33/q56, and the round-5 block q69-q98 fill
+    the window EXACTLY (18 + 2 + 30 = 50). The late round-5 additions
+    (q99+) landed after the window was full and sit immediately past it —
+    value-attested by tools/check_oracles.py instead — followed by the
+    q19-q68 middle (every entry hash-green in CORRECTNESS_r04) ascending,
+    so the spill leads the round-6 rotation."""
+    def num(n):
+        return int(n[1:].split("_")[0])
+
     names = list(DC.queries_dict())
     window = set(names[:50])
     for n in names:
-        if (int(n[1:3]) <= 18 or int(n[1:3]) >= 69
+        if (num(n) <= 18 or 69 <= num(n) <= 98
                 or n in ("q33_simhash_pairs", "q56_louvain_communities")):
             assert n in window, n
-    outside = [n for n in names[50:]]
-    assert all(19 <= int(n[1:3]) <= 68 for n in outside), outside
-    # spill = contiguous high tail of the r04-attested middle
-    assert outside == sorted(outside, key=lambda n: int(n[1:3]))
-    if outside:
-        mid_in = [n for n in names[:50] if 19 <= int(n[1:3]) <= 68
-                  and n not in ("q33_simhash_pairs", "q56_louvain_communities")]
-        # with 50 head entries the window is exactly full and no middle
-        # entry fits — the spill is then the ENTIRE r04-attested middle
-        if mid_in:
-            assert max(int(n[1:3]) for n in mid_in) < int(outside[0][1:3])
+    outside = names[50:]
+    late = [n for n in outside if num(n) >= 99]
+    middle = [n for n in outside if 19 <= num(n) <= 68]
+    # spill = late additions first (they lead round 6), then the
+    # r04-attested middle; each block ascending, nothing else outside
+    assert outside == late + middle, outside
+    assert late == sorted(late, key=num)
+    assert middle == sorted(middle, key=num)
 
 
 def test_reference_dispatch_strings_resolve():
