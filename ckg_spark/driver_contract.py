@@ -4327,3 +4327,38 @@ QUERIES.update({
     "q100_negative_sampling": (q100_negative_sampling, Q100_SQL),
     "q101_triangle_counts": (q101_triangle_counts, Q101_SQL),
 })
+
+
+def q102_linking_contexts(spark, sf):
+    """Entity-linking training windows (extract.mention_contexts): 40-char
+    contexts around the first occurrence of every distinct (doc, term)
+    mention, over the SAME normalized-text + boundary-match semantics as
+    q21 (the oracle reuses _MENTIONS_ORACLE verbatim and re-derives the
+    padded-string window arithmetic with strpos/substr)."""
+    from .operators.extract import mention_contexts
+
+    return mention_contexts(_mentions(spark, sf), _t(spark, sf, "documents"),
+                            window_chars=40)
+
+
+Q102_SQL = f"""
+WITH m AS ({_MENTIONS_ORACLE}),
+d AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+         || ' ' AS s
+  FROM documents),
+j AS (
+  SELECT m.doc_id, m.term, d.s,
+         strpos(d.s, ' ' || m.term || ' ') AS p
+  FROM m JOIN d USING (doc_id))
+SELECT doc_id, term,
+       substr(substr(s, 1, p - 1), greatest(1, (p - 1) - 40 + 1)) AS left_ctx,
+       substr(s, p + length(term) + 2, 40) AS right_ctx
+FROM j WHERE p > 0
+"""
+
+
+QUERIES.update({
+    "q102_linking_contexts": (q102_linking_contexts, Q102_SQL),
+})

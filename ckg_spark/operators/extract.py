@@ -510,3 +510,47 @@ def resolve_longest_match(
         F.col("m.n_words").alias("n_words"),
         F.col("m.alias_lc").alias("alias_lc"),
     )
+
+
+def mention_contexts(mentions: DataFrame, docs: DataFrame,
+                     window_chars: int = 40,
+                     keys: tuple[str, ...] = ("doc_id",),
+                     text_col: str = "text",
+                     term_col: str = "term") -> DataFrame:
+    """Character context windows around each mention's FIRST occurrence —
+    the (term, left_ctx, right_ctx) training examples an entity-linking
+    or disambiguation model is trained on (the learned form of the
+    reference's dictionary-tagger lookup, textminingParser.py:96-120).
+
+    Works over the NORMALIZED text (same ``normalize_text`` the extractor
+    matches on, space-padded), so positions are found with plain
+    substring arithmetic instead of a second regex pass: with
+    s = ' ' || norm || ' ' and p = instr(s, ' ' || term || ' '),
+    left_ctx = the last ``window_chars`` chars before the match's leading
+    space and right_ctx = the ``window_chars`` chars after its trailing
+    space. Character (not token) windows keep the arithmetic exact and
+    engine-portable; windows may start/end mid-token, which linkers
+    tolerate by construction.
+
+    Scale shape: ONE co-partitioned equi-join of the mention stream with
+    the docs' normalized text on ``keys``; all window math is JVM-side
+    expression work in the same stage. Deterministic at any parallelism
+    (first occurrence is a pure string function of the row).
+    """
+    w = int(window_chars)
+    s = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
+    d = docs.select(*keys, s.alias("_s"))
+    j = (mentions.join(d, on=list(keys))
+         .withColumn("_pat", F.concat(F.lit(" "), F.col(term_col), F.lit(" ")))
+         .withColumn("_p", F.expr("instr(_s, _pat)"))
+         .where(F.col("_p") > 0))
+    before = F.col("_s").substr(F.lit(1), F.col("_p") - 1)
+    after_start = F.col("_p") + F.length(term_col) + 2
+    return j.select(
+        *keys,
+        F.col(term_col),
+        before.substr(
+            F.greatest(F.lit(1), F.length(before) - F.lit(w) + 1),
+            F.lit(w)).alias("left_ctx"),
+        F.col("_s").substr(after_start, F.lit(w)).alias("right_ctx"),
+    )

@@ -931,3 +931,26 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                .unionAll(tri.select(F.col("v1").alias("id")))
                .unionAll(tri.select(F.col("v2").alias("id"))))
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node: 2*triangles / (d*(d-1))
+    over the canonical undirected simple graph (distinct-neighbor
+    degree), 0.0 for degree < 2 — triangle_counts plus one degree
+    aggregation and a broadcast-free full-outer stitch on id."""
+    e = (edges.select(F.least("subj", "obj").alias("a"),
+                      F.greatest("subj", "obj").alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("id"))
+           .unionAll(e.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("degree")))
+    tri = triangle_counts(edges)
+    return (deg.join(tri, on="id", how="left")
+            .select(
+                "id", "degree",
+                F.coalesce("triangles", F.lit(0)).alias("triangles"),
+                F.when(F.col("degree") < 2, F.lit(0.0))
+                .otherwise(2.0 * F.coalesce("triangles", F.lit(0))
+                           / (F.col("degree") * (F.col("degree") - 1)))
+                .alias("lcc")))

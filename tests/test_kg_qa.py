@@ -219,3 +219,60 @@ def test_materialize_nodes_include_retired_closes_maps_to(spark, vocab_tables):
     assert retired.count() == full.count() - default.count() > 0
     assert {r.type for r in retired.select("type").distinct().collect()} == {"alias"}
     assert full.count() == default.count() + maps_to.select("subj").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# mention_contexts (entity-linking training windows)
+# ---------------------------------------------------------------------------
+
+def test_mention_contexts_hand_computed(spark):
+    from ckg_spark.operators.extract import mention_contexts
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta GAMMA delta epsilon"),   # mid-string mention
+         (2, "gamma at the start"),               # left_ctx empty
+         (3, "ends with gamma"),                  # right_ctx empty
+         (4, "x gamma y gamma z")],               # first occurrence only
+        ["doc_id", "text"])
+    mentions = spark.createDataFrame(
+        [(1, "gamma"), (2, "gamma"), (3, "gamma"), (4, "gamma"),
+         (1, "beta")], ["doc_id", "term"])
+    got = {(r.doc_id, r.term): (r.left_ctx, r.right_ctx)
+           for r in mention_contexts(mentions, docs, window_chars=8).collect()}
+    # normalized doc 1: "alpha beta gamma delta epsilon"
+    assert got[(1, "gamma")] == ("pha beta", "delta ep")
+    assert got[(1, "beta")] == (" alpha", "gamma de")
+    assert got[(2, "gamma")] == ("", "at the s")
+    assert got[(3, "gamma")] == ("nds with", "")
+    assert got[(4, "gamma")] == (" x", "y gamma ")
+
+
+def test_mention_contexts_parallelism_invariant(spark):
+    from ckg_spark.operators.extract import mention_contexts
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} filler gamma tail{i} more words here") for i in range(40)],
+        ["doc_id", "text"])
+    mentions = spark.createDataFrame([(i, "gamma") for i in range(40)],
+                                     ["doc_id", "term"])
+    a = sorted(map(tuple, mention_contexts(mentions, docs, 12).collect()))
+    b = sorted(map(tuple, mention_contexts(
+        mentions.repartition(7), docs.repartition(5), 12).collect()))
+    assert a == b and len(a) == 40
+
+
+def test_clustering_coefficients(spark):
+    from ckg_spark.operators.graph_algos import clustering_coefficients
+
+    # K4 (lcc 1.0 each) bridged to a path node 5 (deg 1 -> 0.0), and node
+    # 4's extra neighbor makes its lcc 3 triangles / C(4,2) = 0.5.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        ["subj", "obj"])
+    got = {r.id: (r.degree, r.triangles, r.lcc)
+           for r in clustering_coefficients(edges).collect()}
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (3, 3, 1.0)
+    assert got[4] == (4, 3, 0.5)
+    assert got[5] == (1, 0, 0.0)
