@@ -4362,3 +4362,53 @@ FROM j WHERE p > 0
 QUERIES.update({
     "q102_linking_contexts": (q102_linking_contexts, Q102_SQL),
 })
+
+
+def q103_cooccurrence_scores(spark, sf):
+    """STRING/Jensen-lab textmining association scores derived from the
+    engine's own co-mention pair counts (materialize.
+    cooccurrence_score_edges over the q23 pair table): the reference
+    ingests these scores pre-computed (textminingParser reads the score
+    column); here they are DERIVED with the published Franceschini 2013
+    formula, so the oracle re-computes count, marginals, grand total and
+    the alpha-mix in SQL."""
+    from .operators.materialize import cooccurrence_score_edges
+
+    m = _mentions(spark, sf)
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(b, on="doc_id")
+        .where(F.col("a.term") < F.col("b.term"))
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cooccurrence_score_edges(pairs, count_col="n")
+
+
+Q103_SQL = f"""
+WITH m AS ({_MENTIONS_ORACLE}),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term),
+marg AS (
+  SELECT id, sum(c) AS mg FROM (
+    SELECT term_a AS id, CAST(n AS DOUBLE) AS c FROM pairs
+    UNION ALL
+    SELECT term_b AS id, CAST(n AS DOUBLE) AS c FROM pairs)
+  GROUP BY id),
+tot AS (SELECT sum(CAST(n AS DOUBLE)) AS nn FROM pairs)
+SELECT p.term_a, p.term_b, p.n,
+       round(pow(CAST(p.n AS DOUBLE), 0.6)
+             * pow(CAST(p.n AS DOUBLE) * t.nn / (ma.mg * mb.mg), 0.4),
+             6) AS score
+FROM pairs p
+JOIN marg ma ON ma.id = p.term_a
+JOIN marg mb ON mb.id = p.term_b
+CROSS JOIN tot t
+"""
+
+
+QUERIES.update({
+    "q103_cooccurrence_scores": (q103_cooccurrence_scores, Q103_SQL),
+})

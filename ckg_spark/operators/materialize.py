@@ -384,3 +384,52 @@ def fused_turn_edges(linked_canon: DataFrame) -> DataFrame:
         )
     )
     return mention.unionByName(comention)
+
+
+def cooccurrence_score_edges(pairs: DataFrame,
+                             a_col: str = "term_a", b_col: str = "term_b",
+                             count_col: str = "n",
+                             alpha: float = 0.6) -> DataFrame:
+    """STRING/Jensen-lab textmining co-occurrence scores from pair counts.
+
+    The reference INGESTS pre-scored Jensen-lab files (textminingParser.py
+    reads the score column straight out of the TSVs); the published
+    formula behind those scores (Franceschini et al. 2013, STRING v9.1) is
+
+        s(a,b) = C(a,b)^alpha * (C(a,b) * C(..) / (C(a.) * C(.b)))^(1-alpha)
+
+    with C(a,b) the pair's co-occurrence weight, C(a.) its row marginal
+    and C(..) the grand total — a weighted geometric mix of raw count and
+    observed/expected ratio (alpha = 0.6 in the paper). Implementing it
+    over the engine's own co-mention counts turns ingested scores into
+    DERIVED ones, closing the loop from transcripts to weighted
+    ASSOCIATED_WITH evidence.
+
+    ``pairs``: (a_col, b_col, count_col) aggregated pair counts (one row
+    per unordered pair, a < b, as comention_edges/q23 emit). Scale shape:
+    marginals are ONE map-side-combined aggregation over the exploded
+    pair list (entity-scale result -> broadcast back), the grand total a
+    1-row broadcast; the pair stream itself never shuffles. Scores are
+    rounded to 6 decimals (house oracle-parity convention for
+    transcendentals).
+    """
+    c = F.col(count_col).cast("double")
+    tot = pairs.agg(F.sum(c).alias("_N"))
+    marg = (pairs.select(F.col(a_col).alias("id"), c.alias("_c"))
+            .unionAll(pairs.select(F.col(b_col).alias("id"), c.alias("_c")))
+            .groupBy("id").agg(F.sum("_c").alias("_m")))
+    return (
+        pairs
+        .join(F.broadcast(marg.select(F.col("id").alias(a_col),
+                                      F.col("_m").alias("_ma"))), on=a_col)
+        .join(F.broadcast(marg.select(F.col("id").alias(b_col),
+                                      F.col("_m").alias("_mb"))), on=b_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            a_col, b_col, count_col,
+            F.round(
+                F.pow(c, F.lit(float(alpha)))
+                * F.pow(c * F.col("_N") / (F.col("_ma") * F.col("_mb")),
+                        F.lit(1.0 - float(alpha))),
+                6).alias("score"))
+    )

@@ -276,3 +276,24 @@ def test_clustering_coefficients(spark):
     assert got[3] == (3, 3, 1.0)
     assert got[4] == (4, 3, 0.5)
     assert got[5] == (1, 0, 0.0)
+
+
+def test_cooccurrence_score_edges_hand_computed(spark):
+    from ckg_spark.operators.materialize import cooccurrence_score_edges
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 6), ("a", "c", 2), ("b", "c", 2)],
+        ["term_a", "term_b", "n"])
+    got = {(r.term_a, r.term_b): r.score
+           for r in cooccurrence_score_edges(pairs).collect()}
+    N, ma, mb, mc = 10.0, 8.0, 8.0, 4.0
+    exp = {
+        ("a", "b"): round(6 ** 0.6 * (6 * N / (ma * mb)) ** 0.4, 6),
+        ("a", "c"): round(2 ** 0.6 * (2 * N / (ma * mc)) ** 0.4, 6),
+        ("b", "c"): round(2 ** 0.6 * (2 * N / (mb * mc)) ** 0.4, 6),
+    }
+    assert got == exp
+    # ratio leg: equal counts, rarer endpoints score HIGHER than expected
+    # under independence — the formula's point
+    assert got[("a", "c")] == got[("b", "c")]
+    assert got[("a", "b")] > got[("a", "c")]
