@@ -4412,3 +4412,80 @@ CROSS JOIN tot t
 QUERIES.update({
     "q103_cooccurrence_scores": (q103_cooccurrence_scores, Q103_SQL),
 })
+
+
+def q104_embedding_disambiguation(spark, sf):
+    """Context-embedding disambiguation of 1:N link candidates
+    (link.link_best_by_embedding — the 'embedding similarity' scorer the
+    north rule names next to TF-IDF): q24's alias candidates re-resolved
+    by cosine between the mention doc's context embedding and each
+    candidate entity's embedding. Context/entity vectors are drawn
+    deterministically from the embeddings table (doc_id mod n; md5 index
+    for entities — the house draw), so the oracle re-derives vectors,
+    cosines (double-precision list_dot_product in the exact sqrt(a)*sqrt(b)
+    algebraic form Spark's fold uses), and the argmax in SQL. Scores
+    rounded ONCE to 6dp on the identical doubles (re-rounding the
+    operator's 6dp output to 4dp is a double-rounding trap — found live:
+    round(round(-0.03394993, 6), 4) = -0.034 vs round(-0.03394993, 4)
+    = -0.0339)."""
+    from .operators.link import link_best_by_embedding
+    from .operators.kg_qa import _md5_32
+
+    m = _mentions(spark, sf)
+    aliases = spark.createDataFrame(ALIAS_ROWS, "alias string, ident string, rank int")
+    cands = (m.join(F.broadcast(aliases), m["term"] == aliases["alias"], "inner")
+             .select("doc_id", "term", "ident"))
+    emb = _t(spark, sf, "embeddings")
+    ncnt = emb.agg(F.count(F.lit(1)).alias("_n"))
+    mvecs = (_t(spark, sf, "documents").select("doc_id")
+             .crossJoin(F.broadcast(ncnt))
+             .withColumn("vec_id", F.col("doc_id") % F.col("_n"))
+             .join(emb, on="vec_id").select("doc_id", "embedding"))
+    evecs = (aliases.select("ident").distinct()
+             .crossJoin(F.broadcast(ncnt))
+             .withColumn("vec_id",
+                         _md5_32(F.concat(F.lit("ent:"), F.col("ident")))
+                         % F.col("_n"))
+             .join(emb, on="vec_id").select("ident", "embedding"))
+    return link_best_by_embedding(cands, mvecs, evecs,
+                                  keys=("doc_id",), mention_col="term")
+
+
+Q104_SQL = f"""
+WITH m AS ({_MENTIONS_ORACLE}),
+aliases(alias, ident, rank) AS (VALUES {_alias_values_sql()}),
+n AS (SELECT count(*) AS n FROM embeddings),
+mv AS (
+  SELECT d.doc_id, e.embedding::DOUBLE[] AS mvec
+  FROM documents d CROSS JOIN n
+  JOIN embeddings e ON e.vec_id = d.doc_id % n.n),
+ev AS (
+  SELECT i.ident, e.embedding::DOUBLE[] AS evec
+  FROM (SELECT DISTINCT ident FROM aliases) i CROSS JOIN n
+  JOIN embeddings e ON e.vec_id =
+    CAST(('0x' || substr(md5('ent:' || i.ident), 1, 8)) AS BIGINT) % n.n),
+cand AS (
+  SELECT m.doc_id, m.term, a.ident
+  FROM m JOIN aliases a ON m.term = a.alias),
+scored AS (
+  SELECT c.doc_id, c.term, c.ident,
+         list_dot_product(mv.mvec, ev.evec)
+           / (sqrt(list_dot_product(mv.mvec, mv.mvec))
+              * sqrt(list_dot_product(ev.evec, ev.evec))) AS cos,
+         row_number() OVER (
+           PARTITION BY c.doc_id, c.term
+           ORDER BY list_dot_product(mv.mvec, ev.evec)
+             / (sqrt(list_dot_product(mv.mvec, mv.mvec))
+                * sqrt(list_dot_product(ev.evec, ev.evec))) DESC,
+                    c.ident) AS rn
+  FROM cand c
+  JOIN mv ON mv.doc_id = c.doc_id
+  JOIN ev ON ev.ident = c.ident)
+SELECT doc_id, term, ident, round(cos, 6) AS cosine
+FROM scored WHERE rn = 1
+"""
+
+
+QUERIES.update({
+    "q104_embedding_disambiguation": (q104_embedding_disambiguation, Q104_SQL),
+})

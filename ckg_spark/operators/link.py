@@ -101,3 +101,61 @@ def link_mentions(
     return mentions.join(F.broadcast(best_per_gram), on="alias_lc", how="inner").select(
         *keys, "pos", "n_words", "alias_lc", "ident", "entity_type", "rank"
     )
+
+
+def link_best_by_embedding(
+    candidates: DataFrame,
+    mention_vecs: DataFrame,
+    entity_vecs: DataFrame,
+    keys: Sequence[str] = ("doc_id",),
+    mention_col: str = "alias_lc",
+    ident_col: str = "ident",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-similarity disambiguation of 1:N link candidates — the
+    second scorer the north rule names ("candidate entity linking scored
+    by broadcast-joined alias tables plus TF-IDF/embedding similarity").
+    Rank-based ``link_mentions(keep='best')`` resolves by dictionary
+    priority; this resolves by CONTEXT: each candidate is scored by the
+    cosine between the mention site's context embedding and the
+    candidate entity's embedding, and the argmax wins (ties -> lowest
+    ident, deterministic at any parallelism).
+
+    ``candidates``:   (keys..., mention_col, ident_col) — the 1:N set
+                      from ``link_mentions(keep='all')``.
+    ``mention_vecs``: (keys..., vec_col) context embedding per mention
+                      site (corpus-scale).
+    ``entity_vecs``:  (ident_col, vec_col) — dictionary-scale, broadcast.
+
+    Scale shape: entity vectors broadcast onto the candidate stream; ONE
+    co-partitioned equi-join with the context vectors on ``keys``; the
+    cosine is a JVM zip_with/aggregate fold (no UDF); the argmax window
+    partitions on (keys..., mention) — satisfied by the join's existing
+    hashpartitioning(keys), so it adds a sort but no exchange.
+    """
+    from pyspark.sql import Window
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    def _norm(a):
+        return F.sqrt(F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+    ev = F.broadcast(entity_vecs.select(
+        F.col(ident_col), F.col(vec_col).alias("_ev")))
+    mv = mention_vecs.select(*keys, F.col(vec_col).alias("_mv"))
+    scored = (
+        candidates.join(ev, on=ident_col)
+        .join(mv, on=list(keys))
+        .withColumn("_cos", _dot(F.col("_mv"), F.col("_ev"))
+                    / (_norm(F.col("_mv")) * _norm(F.col("_ev"))))
+    )
+    w = Window.partitionBy(*keys, mention_col).orderBy(
+        F.col("_cos").desc(), F.col(ident_col).asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*keys, mention_col, ident_col,
+                    F.round("_cos", 6).alias("cosine")))

@@ -297,3 +297,39 @@ def test_cooccurrence_score_edges_hand_computed(spark):
     # under independence — the formula's point
     assert got[("a", "c")] == got[("b", "c")]
     assert got[("a", "b")] > got[("a", "c")]
+
+
+def test_link_best_by_embedding_picks_context_match(spark):
+    from ckg_spark.operators.link import link_best_by_embedding
+
+    # candidate 'e_x' points along axis x, 'e_y' along y; mention in doc 1
+    # has an x-ish context, doc 2 a y-ish context. Rank-based linking
+    # cannot separate them; the embedding scorer must.
+    cands = spark.createDataFrame(
+        [(1, "jaguar", "e_x"), (1, "jaguar", "e_y"),
+         (2, "jaguar", "e_x"), (2, "jaguar", "e_y")],
+        ["doc_id", "alias_lc", "ident"])
+    mvecs = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.2, 0.8])],
+        ["doc_id", "embedding"])
+    evecs = spark.createDataFrame(
+        [("e_x", [1.0, 0.0]), ("e_y", [0.0, 1.0])],
+        ["ident", "embedding"])
+    got = {r.doc_id: (r.ident, r.cosine)
+           for r in link_best_by_embedding(cands, mvecs, evecs).collect()}
+    assert got[1][0] == "e_x" and got[2][0] == "e_y"
+    import math
+    assert got[1][1] == round(0.9 / math.hypot(0.9, 0.1), 6)
+
+
+def test_link_best_by_embedding_tie_breaks_on_ident(spark):
+    from ckg_spark.operators.link import link_best_by_embedding
+
+    cands = spark.createDataFrame(
+        [(1, "m", "b_ent"), (1, "m", "a_ent")], ["doc_id", "alias_lc", "ident"])
+    mvecs = spark.createDataFrame([(1, [1.0, 1.0])], ["doc_id", "embedding"])
+    evecs = spark.createDataFrame(
+        [("a_ent", [2.0, 2.0]), ("b_ent", [2.0, 2.0])],  # bit-identical cosine
+        ["ident", "embedding"])
+    out = link_best_by_embedding(cands, mvecs, evecs).collect()
+    assert len(out) == 1 and out[0].ident == "a_ent"
