@@ -106,3 +106,24 @@ import pytest
 def spark_sess(spark):
     """Alias the session fixture so @given args don't shadow it."""
     return spark
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1, max_size=30))
+def test_triangle_counts_matches_bruteforce_property(spark_sess, pairs):
+    """triangle_counts == itertools brute force on arbitrary small graphs
+    (direction, duplicates, and self-loops must all be ignored)."""
+    import pandas as pd
+    df = spark_sess.createDataFrame(
+        pd.DataFrame(pairs, columns=["subj", "obj"]))
+    got = {r["id"]: r["triangles"] for r in G.triangle_counts(df).collect()}
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = sorted({x for e in es for x in e})
+    expect = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for x in (a, b, c):
+                expect[x] = expect.get(x, 0) + 1
+    assert got == expect
