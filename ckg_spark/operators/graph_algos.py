@@ -954,3 +954,66 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
                 .otherwise(2.0 * F.coalesce("triangles", F.lit(0))
                            / (F.col("degree") * (F.col("degree") - 1)))
                 .alias("lcc")))
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          iters: int = 10, damping: float = 0.85,
+                          checkpoint_every: int = 4) -> DataFrame:
+    """Personalized PageRank: teleport to the SEED set instead of
+    uniformly — the 'entities most relevant to X' ranking a KG serves
+    next to plain centrality (the reference's report layer ranks by
+    global networkx centrality only, knowledge.py:501-530; relevance to
+    a query entity needs the personalized variant). Same power-iteration
+    skeleton as ``pagerank`` — algebraic map-side-combined inflow agg,
+    dangling mass redistributed to the TELEPORT vector (not uniformly),
+    checkpoint_reset_stats bounding plan growth.
+
+    ``seeds``: DataFrame with an ``id`` column (any subset of the graph's
+    nodes; rows not in the graph are ignored). Ranks sum to ~1; nodes
+    unreachable from the seeds get rank 0 (not (1-d)/n — the defining
+    difference from the uniform variant). Returns (id, rank).
+    """
+    verts = _ckpt(
+        edges.select(F.col("subj").alias("id"))
+        .unionByName(edges.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    seed_ids = F.broadcast(seeds.select("id").distinct())
+    tele = verts.join(seed_ids, on="id", how="left_semi")
+    n_seeds = tele.count()
+    if n_seeds == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    t = 1.0 / n_seeds
+    tvec = verts.join(seed_ids.withColumn("_t", F.lit(t)), on="id", how="left") \
+        .select("id", F.coalesce("_t", F.lit(0.0)).alias("t"))
+    tvec = _ckpt(tvec)
+
+    out_deg = edges.groupBy("subj").agg(F.count(F.lit(1)).alias("odeg"))
+    links = edges.select("subj", "obj").join(out_deg, on="subj")
+    ranks = tvec.select("id", F.col("t").alias("rank"))
+
+    for it in range(iters):
+        contribs = (
+            links.join(ranks.withColumnRenamed("id", "subj"), on="subj")
+            .select("obj", (F.col("rank") / F.col("odeg")).alias("c"))
+            .groupBy("obj")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = (
+            ranks.join(out_deg.withColumnRenamed("subj", "id"), on="id",
+                       how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        ranks = (
+            tvec.join(contribs.withColumnRenamed("obj", "id"), on="id", how="left")
+            .select(
+                "id",
+                ((1.0 - damping) * F.col("t")
+                 + damping * (F.coalesce("inflow", F.lit(0.0))
+                              + F.lit(float(dangling)) * F.col("t"))).alias("rank"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = _ckpt(ranks)
+    return ranks

@@ -333,3 +333,56 @@ def test_link_best_by_embedding_tie_breaks_on_ident(spark):
         ["ident", "embedding"])
     out = link_best_by_embedding(cands, mvecs, evecs).collect()
     assert len(out) == 1 and out[0].ident == "a_ent"
+
+
+# ---------------------------------------------------------------------------
+# personalized_pagerank
+# ---------------------------------------------------------------------------
+
+def _numpy_ppr(edge_list, seeds, iters=10, d=0.85):
+    """Independent dense power iteration with the same update rule."""
+    import numpy as np
+    nodes = sorted({x for e in edge_list for x in e})
+    ix = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    odeg = {}
+    for a, _ in edge_list:
+        odeg[a] = odeg.get(a, 0) + 1
+    t = np.zeros(n)
+    for s in seeds:
+        t[ix[s]] = 1.0 / len(seeds)
+    r = t.copy()
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        for a, b in edge_list:
+            inflow[ix[b]] += r[ix[a]] / odeg[a]
+        dangling = sum(r[ix[v]] for v in nodes if v not in odeg)
+        r = (1 - d) * t + d * (inflow + dangling * t)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    from ckg_spark.operators.graph_algos import personalized_pagerank
+
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+                 ("d", "e"), ("x", "y")]  # e, y dangling; x/y off-seed
+    edges = spark.createDataFrame(edge_list, ["subj", "obj"])
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    got = {r.id: r.rank
+           for r in personalized_pagerank(edges, seeds, iters=10).collect()}
+    exp = _numpy_ppr(edge_list, ["a"], iters=10)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12, (k, got[k], exp[k])
+    # defining property: the component unreachable from the seed is 0
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_personalized_pagerank_empty_seed_overlap(spark):
+    from ckg_spark.operators.graph_algos import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b")], ["subj", "obj"])
+    seeds = spark.createDataFrame([("zzz",)], ["id"])  # not in graph
+    got = personalized_pagerank(edges, seeds).collect()
+    assert {r.rank for r in got} == {0.0}
