@@ -18,14 +18,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.graph_algos import degrees, pagerank
+from ..operators.graph_algos import degrees, pagerank, personalized_pagerank
 
 
 def knowledge_summary(edges: DataFrame, k: int = 15,
-                      method: str = "pagerank") -> DataFrame:
+                      method: str = "pagerank",
+                      seeds: DataFrame | None = None) -> DataFrame:
     """Top-k central entities with rank + degree columns.
 
-    method: 'pagerank' (power iteration) or 'degree'. Ties broken by id —
+    method: 'pagerank' (power iteration), 'degree', 'betweenness',
+    'closeness', or 'personalized' (requires ``seeds``: rank by relevance
+    TO the seed entities — seed-teleport PageRank). Ties broken by id —
     deterministic at any parallelism.
 
     Note: on a mention-only edge set, PageRank concentrates on turn nodes
@@ -35,6 +38,13 @@ def knowledge_summary(edges: DataFrame, k: int = 15,
     deg = degrees(edges)
     if method == "pagerank":
         pr = pagerank(edges, iters=10)
+        scored = deg.join(pr, on="id", how="left").withColumn(
+            "centrality", F.coalesce("rank", F.lit(0.0))
+        )
+    elif method == "personalized":
+        if seeds is None:
+            raise ValueError("method='personalized' requires seeds")
+        pr = personalized_pagerank(edges, seeds, iters=10)
         scored = deg.join(pr, on="id", how="left").withColumn(
             "centrality", F.coalesce("rank", F.lit(0.0))
         )

@@ -386,3 +386,25 @@ def test_personalized_pagerank_empty_seed_overlap(spark):
     seeds = spark.createDataFrame([("zzz",)], ["id"])  # not in graph
     got = personalized_pagerank(edges, seeds).collect()
     assert {r.rank for r in got} == {0.0}
+
+
+def test_knowledge_summary_personalized_ranks_near_seed(spark):
+    from ckg_spark.queries.knowledge import knowledge_summary
+
+    # two symmetric cliques bridged by one edge: global centrality cannot
+    # separate them, relevance to a seed in clique A must.
+    ca = [("a1", "a2"), ("a2", "a3"), ("a3", "a1")]
+    cb = [("b1", "b2"), ("b2", "b3"), ("b3", "b1")]
+    bridge = [("a1", "b1")]
+    edges = spark.createDataFrame(
+        [(x, y) for x, y in ca + cb + bridge]
+        + [(y, x) for x, y in ca + cb + bridge], ["subj", "obj"])
+    seeds = spark.createDataFrame([("a2",)], ["id"])
+    top = knowledge_summary(edges, k=6, method="personalized", seeds=seeds)
+    rows = top.collect()
+    rank = {r.id: r.centrality for r in rows}
+    assert min(rank[x] for x in ("a1", "a2", "a3")) > max(
+        rank[x] for x in ("b2", "b3"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        knowledge_summary(edges, method="personalized")
