@@ -107,6 +107,11 @@ def negative_triples(positives: DataFrame, entities: DataFrame,
     under pool updates.  Callers needing exactly-k oversample (larger k)
     and rank by neg_idx.
     """
+    if int(k) < 1:
+        # sequence(0, k-1) with k=0 would be sequence(0, -1), which Spark
+        # evaluates with an INFERRED step of -1 -> [0, -1], silently
+        # emitting a bogus negative slot instead of nothing.
+        raise ValueError(f"negative_triples requires k >= 1, got {k}")
     # Dense 0..n-1 index over the id-sorted pool. The single-partition
     # window runs over the dictionary-scale pool ONLY (never the corpus);
     # the indexed pool and its size are then broadcast.

@@ -408,3 +408,10 @@ def test_knowledge_summary_personalized_ranks_near_seed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         knowledge_summary(edges, method="personalized")
+
+
+def test_negative_triples_rejects_k_zero(spark, pos_and_pool):
+    positives, entities = pos_and_pool
+    with pytest.raises(ValueError):
+        # k=0 would hit Spark's sequence(0, -1) inferred-step trap
+        negative_triples(positives, entities, k=0)
