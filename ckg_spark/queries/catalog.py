@@ -74,6 +74,19 @@ _FALLBACK: dict[str, dict] = {
             "FROM edges WHERE pred = 'MAPS_TO' GROUP BY obj ORDER BY canonical_id"
         ),
     },
+    "dangling_endpoints": {
+        "involved_nodes": ["*"],
+        "involved_rels": ["*"],
+        "sql": (
+            "SELECT pred, 'subj' AS endpoint, count(*) AS n_dangling "
+            "FROM edges e LEFT ANTI JOIN nodes n ON e.subj = n.id GROUP BY pred "
+            "UNION ALL "
+            "SELECT pred, 'obj' AS endpoint, count(*) AS n_dangling "
+            "FROM edges e LEFT ANTI JOIN nodes n ON e.obj = n.id "
+            "WHERE pred NOT IN ('MENTIONED_IN_TURN') "
+            "GROUP BY pred ORDER BY pred, endpoint"
+        ),
+    },
     "hub_entities": {
         "involved_nodes": ["*"],
         "involved_rels": ["*"],

@@ -84,6 +84,13 @@ def test_query_catalog(spark, vocab_tables, transcripts_df, tmp_path):
     hubs = Q.run_query(spark, "hub_entities", res.nodes, res.edges, k=4).toPandas()
     assert len(hubs) == 4
     assert set(Q.queries_involving("MAPS_TO")) >= {"merged_identities"}
+    # referential QA: with default (collapsed) nodes the dangling rows are
+    # exactly the MAPS_TO subjects (retired idents); nothing else dangles
+    # (MENTIONED_IN_TURN obj = turn keys, excluded by the query itself)
+    dang = Q.run_query(spark, "dangling_endpoints", res.nodes, res.edges).toPandas()
+    got = {(r.pred, r.endpoint): r.n_dangling for r in dang.itertuples()}
+    n_maps = res.edges.where("pred = 'MAPS_TO'").count()
+    assert got == {("MAPS_TO", "subj"): n_maps} and n_maps > 0
 
 
 def test_parse_obo(tmp_path):
