@@ -4489,3 +4489,67 @@ FROM scored WHERE rn = 1
 QUERIES.update({
     "q104_embedding_disambiguation": (q104_embedding_disambiguation, Q104_SQL),
 })
+
+
+def q105_link_prediction(spark, sf):
+    """Structural link-prediction features (graph_algos.
+    link_prediction_features — common neighbors / Jaccard / Adamic-Adar
+    over the wedge join) on q101's per-nation consecutive-customer
+    graph: candidates are the distance-2 non-edges; the oracle
+    re-derives adjacency, shared-neighbor counts, and both feature
+    formulas (ln in both engines) with plain self-joins."""
+    from .operators.graph_algos import link_prediction_features
+
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    base = c.select(
+        F.col("c_custkey"),
+        F.lead("c_custkey", 1).over(w).alias("n1"),
+        F.lead("c_custkey", 2).over(w).alias("n2"))
+    edges = (
+        base.where(F.col("n1").isNotNull())
+        .select(F.col("c_custkey").alias("subj"), F.col("n1").alias("obj"))
+        .unionAll(
+            base.where(F.col("n2").isNotNull())
+            .select(F.col("c_custkey").alias("subj"), F.col("n2").alias("obj")))
+    )
+    return link_prediction_features(edges)
+
+
+Q105_SQL = """
+WITH base AS (
+  SELECT c_custkey,
+         lead(c_custkey, 1) OVER w AS n1,
+         lead(c_custkey, 2) OVER w AS n2
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)),
+e AS (
+  SELECT DISTINCT least(c_custkey, n1) AS a, greatest(c_custkey, n1) AS b
+  FROM base WHERE n1 IS NOT NULL
+  UNION
+  SELECT DISTINCT least(c_custkey, n2), greatest(c_custkey, n2)
+  FROM base WHERE n2 IS NOT NULL),
+adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, count(*) AS d FROM adj GROUP BY u),
+mid AS (SELECT adj.u, adj.v, deg.d FROM adj JOIN deg USING (u)),
+pairs AS (
+  SELECT m1.v AS node_a, m2.v AS node_b,
+         CAST(count(*) AS BIGINT) AS common,
+         round(sum(1.0 / ln(m1.d)), 6) AS adamic_adar
+  FROM mid m1 JOIN mid m2 ON m1.u = m2.u AND m1.v < m2.v
+  GROUP BY m1.v, m2.v
+  HAVING count(*) >= 1)
+SELECT p.node_a, p.node_b, p.common,
+       round(CAST(p.common AS DOUBLE) / (da.d + db.d - p.common), 6) AS jaccard,
+       p.adamic_adar
+FROM pairs p
+JOIN deg da ON da.u = p.node_a
+JOIN deg db ON db.u = p.node_b
+WHERE NOT EXISTS (SELECT 1 FROM e
+                  WHERE e.a = p.node_a AND e.b = p.node_b)
+"""
+
+
+QUERIES.update({
+    "q105_link_prediction": (q105_link_prediction, Q105_SQL),
+})

@@ -1017,3 +1017,60 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = _ckpt(ranks)
     return ranks
+
+
+def link_prediction_features(edges: DataFrame, min_common: int = 1,
+                             max_degree: int | None = 1000,
+                             exclude_existing: bool = True) -> DataFrame:
+    """Structural link-prediction features — the classic KG-completion
+    candidate generator (Liben-Nowell & Kleinberg 2003): for node pairs
+    sharing >= ``min_common`` neighbors, emit common-neighbor count,
+    Jaccard of neighborhoods, and Adamic-Adar (sum over shared
+    neighbors u of 1/ln(deg(u))). These are the features an edge-
+    prediction model trains on and the scores a 'suggested association'
+    report ranks by — the inferred-edge layer the reference's knowledge
+    graph serves from curated sources only.
+
+    Pairs are enumerated by the wedge join (shared-neighbor self-join on
+    the canonical undirected simple graph). ``max_degree`` is the hub
+    guard: nodes above it do not CONTRIBUTE as shared neighbors (their
+    wedge fan-out is deg^2; a corpus-hot entity would otherwise pair
+    everything with everything — the same cap the reference applies to
+    co-mention queries, datasets_cypher.yml:180). Degrees in the
+    features are TRUE degrees, unaffected by the cap. None = no cap.
+    ``exclude_existing`` drops pairs already connected (candidate-only
+    output); ties/determinism: pure set algebra + algebraic aggs.
+    Returns (node_a, node_b, common, jaccard, adamic_adar), a < b.
+    """
+    e = (edges.select(F.least("subj", "obj").alias("a"),
+                      F.greatest("subj", "obj").alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    e = _ckpt(e)
+    adj = (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v"))))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    mid = adj.join(deg, on="u")
+    if max_degree is not None:
+        mid = mid.where(F.col("d") <= int(max_degree))
+    w1 = mid.select("u", F.col("v").alias("node_a"), F.col("d").alias("du"))
+    w2 = mid.select("u", F.col("v").alias("node_b"))
+    pairs = (w1.join(w2, on="u")
+             .where(F.col("node_a") < F.col("node_b"))
+             .groupBy("node_a", "node_b")
+             .agg(F.count(F.lit(1)).alias("common"),
+                  F.round(F.sum(1.0 / F.log(F.col("du").cast("double"))), 6)
+                  .alias("adamic_adar"))
+             .where(F.col("common") >= int(min_common)))
+    if exclude_existing:
+        pairs = pairs.join(
+            e.select(F.col("a").alias("node_a"), F.col("b").alias("node_b")),
+            on=["node_a", "node_b"], how="left_anti")
+    da = deg.select(F.col("u").alias("node_a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("u").alias("node_b"), F.col("d").alias("_db"))
+    return (pairs.join(da, on="node_a").join(db, on="node_b")
+            .select("node_a", "node_b", "common",
+                    F.round(F.col("common")
+                            / (F.col("_da") + F.col("_db") - F.col("common")),
+                            6).alias("jaccard"),
+                    "adamic_adar"))

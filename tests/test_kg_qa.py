@@ -415,3 +415,64 @@ def test_negative_triples_rejects_k_zero(spark, pos_and_pool):
     with pytest.raises(ValueError):
         # k=0 would hit Spark's sequence(0, -1) inferred-step trap
         negative_triples(positives, entities, k=0)
+
+
+# ---------------------------------------------------------------------------
+# link_prediction_features
+# ---------------------------------------------------------------------------
+
+def test_link_prediction_features_hand_computed(spark):
+    import math
+    from ckg_spark.operators.graph_algos import link_prediction_features
+
+    # square 1-2-3-4 plus diagonal (1,3): the only non-edge is (2,4),
+    # whose common neighbors are the two degree-3 diagonal endpoints.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], ["subj", "obj"])
+    out = link_prediction_features(edges).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.node_a, r.node_b, r.common) == (2, 4, 2)
+    assert r.jaccard == 1.0  # N(2) == N(4) == {1, 3}
+    assert r.adamic_adar == round(2 / math.log(3), 6)
+
+    # include existing edges: the diagonal (1,3) shares {2, 4}
+    all_pairs = {(r.node_a, r.node_b): (r.common, r.jaccard, r.adamic_adar)
+                 for r in link_prediction_features(
+                     edges, exclude_existing=False).collect()}
+    assert all_pairs[(1, 3)] == (2, 0.5, round(2 / math.log(2), 6))
+    assert all_pairs[(1, 2)][0] == 1 and all_pairs[(3, 4)][0] == 1
+
+    # hub cap: with max_degree=2 the degree-3 nodes stop contributing,
+    # so (2,4) loses both witnesses and disappears
+    capped = link_prediction_features(edges, max_degree=2).collect()
+    assert capped == []
+
+
+def test_link_prediction_features_matches_bruteforce(spark):
+    import itertools, math
+    from ckg_spark.operators.graph_algos import link_prediction_features
+
+    rows = sorted({(min((i * 7 + 1) % 25, (i * 11 + 3) % 25),
+                    max((i * 7 + 1) % 25, (i * 11 + 3) % 25))
+                   for i in range(90)})
+    rows = [r for r in rows if r[0] != r[1]]
+    edges = spark.createDataFrame(rows, ["subj", "obj"])
+    es = set(rows)
+    adj = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for v, w in itertools.combinations(sorted(adj), 2):
+        if (v, w) in es:
+            continue
+        common = adj[v] & adj[w]
+        if not common:
+            continue
+        aa = round(sum(1 / math.log(len(adj[u])) for u in common), 6)
+        jac = round(len(common) / (len(adj[v]) + len(adj[w]) - len(common)), 6)
+        expect[(v, w)] = (len(common), jac, aa)
+    got = {(r.node_a, r.node_b): (r.common, r.jaccard, r.adamic_adar)
+           for r in link_prediction_features(edges, max_degree=None).collect()}
+    assert got == expect and len(got) > 10
