@@ -4553,3 +4553,108 @@ WHERE NOT EXISTS (SELECT 1 FROM e
 QUERIES.update({
     "q105_link_prediction": (q105_link_prediction, Q105_SQL),
 })
+
+
+def q106_edge_intervals(spark, sf):
+    """Temporal edge annotation — the temporal-KG form of the co-mention
+    edge: per linked entity pair co-mentioned in the same turn, the
+    validity interval (first/last co-mention ts), turn count, and active
+    span in minutes. This is what turns a static CO_MENTIONED_WITH edge
+    into a temporal fact ('associated since / last confirmed'); reuses
+    the q32/q97 extract->link chain so the oracle re-derives occurrences
+    verbatim and the pair/interval algebra exactly. Plan: per-turn
+    sorted-set pair expansion (comention_edges pattern — one groupBy,
+    no turn-keyed self-join) then ONE algebraic pair aggregation."""
+    from .operators import link as L
+    from .sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf)
+    grams = X.prepare_alias_grams(_vocab_df(spark), alias_col="term")
+    mentions = X.extract_mentions(t, grams)
+    alias_table = spark.createDataFrame(
+        [(a, i, r, "Entity", "NAME") for a, i, r in ALIAS_ROWS],
+        "gram string, ident string, rank int, entity_type string, source string",
+    )
+    linked = L.link_mentions(mentions, alias_table, stoplist=None, keep="best")
+    sets = (linked.groupBy("conv_id", "turn_idx")
+            .agg(F.sort_array(F.collect_set("ident")).alias("es"))
+            .where(F.size("es") >= 2))
+    pairs = sets.select(
+        "conv_id", "turn_idx",
+        F.explode(F.expr(
+            "flatten(transform(sequence(1, size(es)-1), "
+            "i -> transform(sequence(0, i-1), "
+            "j -> named_struct('subj', es[j], 'obj', es[i]))))")).alias("p"))
+    with_ts = pairs.select(
+        F.col("p.subj").alias("subj"), F.col("p.obj").alias("obj"),
+        (F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+         + F.make_interval(mins=F.col("turn_idx"))).alias("ts"))
+    return (with_ts.groupBy("subj", "obj")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.min("ts").alias("first_seen"),
+                 F.max("ts").alias("last_seen"))
+            .withColumn(
+                "span_minutes",
+                ((F.unix_timestamp("last_seen")
+                  - F.unix_timestamp("first_seen")) / 60).cast("long")))
+
+
+Q106_SQL = """
+WITH vocab(term) AS (VALUES {VOCAB}),
+alias(gram, ident, rnk) AS (VALUES {ALIAS}),
+tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS dtoks
+  FROM documents),
+wins AS (
+  SELECT doc_id, dtoks,
+         unnest(generate_series(
+           0, greatest(CAST(ceil(len(dtoks) / 12.0) AS INT) - 1, 0))) AS w
+  FROM tokd),
+turns AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS conv_id, w AS turn_idx,
+         array_to_string(list_slice(dtoks, w * 12 + 1, w * 12 + 12), ' ') AS ttext
+  FROM wins),
+norm AS (
+  SELECT conv_id, turn_idx,
+         string_split(trim(regexp_replace(lower(ttext), '[^a-z0-9]+', ' ', 'g')),
+                      ' ') AS toks
+  FROM turns),
+g1 AS (SELECT conv_id, turn_idx, unnest(toks) AS gram FROM norm),
+g2pos AS (
+  SELECT conv_id, turn_idx, toks,
+         unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM norm),
+g2 AS (SELECT conv_id, turn_idx, toks[i] || ' ' || toks[i + 1] AS gram FROM g2pos),
+grams AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+best AS (
+  SELECT gram, ident FROM (
+    SELECT gram, ident,
+           row_number() OVER (PARTITION BY gram ORDER BY rnk, ident) AS rn
+    FROM alias WHERE rnk <> 2
+  ) WHERE rn = 1),
+m AS (
+  SELECT DISTINCT g.conv_id, g.turn_idx, b.ident
+  FROM grams g
+  JOIN vocab v ON g.gram = v.term
+  JOIN best b ON g.gram = b.gram),
+p AS (
+  SELECT a.ident AS subj, b.ident AS obj,
+         TIMESTAMP '2025-01-01 00:00:00'
+           + to_minutes(CAST(a.turn_idx AS BIGINT)) AS ts
+  FROM m a JOIN m b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.ident < b.ident)
+SELECT subj, obj,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       min(ts) AS first_seen,
+       max(ts) AS last_seen,
+       CAST((epoch(max(ts)) - epoch(min(ts))) / 60 AS BIGINT) AS span_minutes
+FROM p GROUP BY subj, obj
+"""
+Q106_SQL = Q106_SQL.replace("{VOCAB}", _vocab_values_sql()).replace(
+    "{ALIAS}", _alias_values_sql())
+
+
+QUERIES.update({
+    "q106_edge_intervals": (q106_edge_intervals, Q106_SQL),
+})
