@@ -1,0 +1,65 @@
+"""Bucketed tables: co-located joins and aggs plan exchange-free."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ckg_spark.plans.bucketed import write_bucketed, read_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    a = spark.range(0, 5000).select(
+        (F.col("id") % 500).alias("subj"), F.col("id").alias("payload_a"))
+    b = spark.range(0, 3000).select(
+        (F.col("id") % 500).alias("subj"), F.col("id").alias("payload_b"))
+    write_bucketed(a, "t_bkt_a", "subj", buckets=8, path=str(base / "a"))
+    write_bucketed(b, "t_bkt_b", "subj", buckets=8, path=str(base / "b"))
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(bucketed_pair):
+    spark = bucketed_pair
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed(spark, "t_bkt_a").join(
+            read_bucketed(spark, "t_bkt_b"), on="subj")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan  # file layout satisfies the join
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # and it computes the right thing
+        n = j.count()
+        assert n == 5000 * (3000 // 500)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_agg_has_no_exchange(bucketed_pair):
+    spark = bucketed_pair
+    g = read_bucketed(spark, "t_bkt_a").groupBy("subj").agg(
+        F.sum("payload_a").alias("s"))
+    assert "Exchange" not in _plan(g), _plan(g)
+    assert g.count() == 500
+
+
+def test_unbucketed_join_pays_the_exchange(bucketed_pair):
+    """Control: the same join on plain DataFrames shuffles — the absence
+    above is the bucketing, not the optimizer getting lucky."""
+    spark = bucketed_pair
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 5000).select(
+            (F.col("id") % 500).alias("subj"), F.col("id").alias("pa"))
+        b = spark.range(0, 3000).select(
+            (F.col("id") % 500).alias("subj"), F.col("id").alias("pb"))
+        assert "Exchange" in _plan(a.join(b, on="subj"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
