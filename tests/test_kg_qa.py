@@ -476,3 +476,52 @@ def test_link_prediction_features_matches_bruteforce(spark):
     got = {(r.node_a, r.node_b): (r.common, r.jaccard, r.adamic_adar)
            for r in link_prediction_features(edges, max_degree=None).collect()}
     assert got == expect and len(got) > 10
+
+
+# ---------------------------------------------------------------------------
+# plan assertions + empty-input hardening for the round-5g family
+# ---------------------------------------------------------------------------
+
+def test_mention_contexts_single_join_no_udf_plan(spark):
+    from ckg_spark.operators.extract import mention_contexts
+
+    docs = spark.createDataFrame([(1, "a gamma b")], ["doc_id", "text"])
+    mentions = spark.createDataFrame([(1, "gamma")], ["doc_id", "term"])
+    plan = mention_contexts(mentions, docs, 16)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # one equi-join, all window math in-stage: no UDF eval, no extra joins
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Join") <= 2  # one join (name may appear in 2 nodes)
+
+
+def test_cooccurrence_scores_broadcast_marginals_plan(spark):
+    from ckg_spark.operators.materialize import cooccurrence_score_edges
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 2)], ["term_a", "term_b", "n"])
+    plan = cooccurrence_score_edges(pairs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # marginals + total come back via broadcast; the pair stream is never
+    # exchanged into a SortMergeJoin
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_round5g_ops_empty_inputs(spark):
+    from ckg_spark.operators.graph_algos import (
+        triangle_counts, clustering_coefficients, link_prediction_features)
+    from ckg_spark.operators.extract import mention_contexts
+    from ckg_spark.operators.kg_qa import schema_violations
+
+    empty_edges = spark.createDataFrame([], "subj long, obj long")
+    assert triangle_counts(empty_edges).count() == 0
+    assert clustering_coefficients(empty_edges).count() == 0
+    assert link_prediction_features(empty_edges).count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_m = spark.createDataFrame([], "doc_id long, term string")
+    assert mention_contexts(empty_m, empty_docs).count() == 0
+    nodes = spark.createDataFrame([], "id string, type string")
+    rules = spark.createDataFrame([], "pred string, subj_type string, obj_type string")
+    ed = spark.createDataFrame([("x", "R", "y")], ["subj", "pred", "obj"])
+    v = schema_violations(ed, nodes, rules).collect()
+    assert len(v) == 1 and v[0].violation == "unknown_subj"
