@@ -44,3 +44,4 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     """Catalog read — the bucketing metadata rides along, so downstream
     joins/aggs on the bucket key plan exchange-free."""
     return spark.table(name)
+

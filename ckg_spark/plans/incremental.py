@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
@@ -153,3 +153,30 @@ def compact_merged(spark: SparkSession, edges_table_dir: str) -> int:
     merged = read_merged_edges(spark, edges_table_dir)
     props = {} if mark is None else {"transcripts_version": mark}
     return T.overwrite(merged, edges_table_dir, properties=props)
+
+
+def validate_edges_delta(spark: SparkSession, edges_table_dir: str,
+                         node_types: DataFrame, rules: DataFrame,
+                         from_version: int | None = None,
+                         to_version: int | None = None) -> DataFrame:
+    """Delta-only schema validation of a snapshot edge table — the
+    incremental form of the KG-QA pass (``kg_qa.schema_violations``):
+    validates ONLY the files appended between two snapshot versions
+    (`table.incremental_files` manifest diff), so a release-cadence QA
+    gate costs O(delta), never O(graph). Same O(delta) contract as the
+    rest of the incremental subsystem (plans/incremental.py); non-append
+    history in the range raises there — re-baseline by validating with
+    ``from_version=None`` (the full current file set).
+
+    Returns the violation summary for the delta (empty = the delta is
+    schema-clean; pair it with the full-table `queries.catalog`
+    'dangling_endpoints' check at re-baseline cadence)."""
+    from ..operators.kg_qa import schema_violations, violation_summary
+
+    files = T.incremental_files(edges_table_dir, from_version, to_version)
+    if not files:
+        schema = T.read(spark, edges_table_dir).schema
+        empty = spark.createDataFrame([], schema)
+        return violation_summary(schema_violations(empty, node_types, rules))
+    delta = spark.read.parquet(*files)
+    return violation_summary(schema_violations(delta, node_types, rules))

@@ -63,3 +63,37 @@ def test_unbucketed_join_pays_the_exchange(bucketed_pair):
         assert "Exchange" in _plan(a.join(b, on="subj"))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_validate_edges_delta_flags_only_the_delta(spark, tmp_path):
+    """Incremental QA: commit an edges snapshot table in two deltas — the
+    first clean, the second carrying planted violations — and assert the
+    delta validation sees ONLY the second delta's problems (O(delta)
+    contract), while a full re-baseline sees both."""
+    from ckg_spark.plans import table as T
+    from ckg_spark.plans.incremental import validate_edges_delta
+
+    d = str(tmp_path / "edges_tbl")
+    nodes = spark.createDataFrame(
+        [("a", "drug"), ("p", "protein")], ["id", "type"])
+    rules = spark.createDataFrame(
+        [("TARGETS", "drug", "protein")], ["pred", "subj_type", "obj_type"])
+    clean = spark.createDataFrame(
+        [("a", "TARGETS", "p")], ["subj", "pred", "obj"])
+    T.append(clean, d)
+    v1 = T.current_version(d)
+    bad = spark.createDataFrame(
+        [("a", "TARGETS", "ghost"), ("p", "TARGETS", "a")],
+        ["subj", "pred", "obj"])
+    T.append(bad, d)
+
+    delta = validate_edges_delta(spark, d, nodes, rules, from_version=v1)
+    got = {(r.violation): r.n_edges for r in delta.collect()}
+    assert got == {"unknown_obj": 1, "domain_range": 1}
+
+    full = validate_edges_delta(spark, d, nodes, rules, from_version=None)
+    assert sum(r.n_edges for r in full.collect()) == 2  # clean delta stays clean
+
+    idle = validate_edges_delta(spark, d, nodes, rules,
+                                from_version=T.current_version(d))
+    assert idle.count() == 0  # no new files -> nothing to flag
