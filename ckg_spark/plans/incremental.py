@@ -178,5 +178,8 @@ def validate_edges_delta(spark: SparkSession, edges_table_dir: str,
         schema = T.read(spark, edges_table_dir).schema
         empty = spark.createDataFrame([], schema)
         return violation_summary(schema_violations(empty, node_types, rules))
-    delta = spark.read.parquet(*files)
+    # read_files, NOT spark.read.parquet: hive-partitioned columns (e.g.
+    # partition_by=["pred"]) live in the manifest and would be silently
+    # dropped by a raw path read, breaking the rules join
+    delta = T.read_files(spark, edges_table_dir, files, to_version)
     return violation_summary(schema_violations(delta, node_types, rules))

@@ -585,3 +585,37 @@ def last_stamped_version(table_dir: str, prop: str) -> int | None:
     seen = [int(s["properties"][prop]) for s in snapshots(table_dir)
             if s.get("properties", {}).get(prop) is not None]
     return max(seen) if seen else None
+
+
+def read_files(spark: SparkSession, table_dir: str, files: list[str],
+               version: int | None = None) -> DataFrame:
+    """Scan a specific SUBSET of a snapshot's data files with partition
+    columns re-attached — the read path for incremental consumers that
+    select files via ``incremental_files`` (a raw ``spark.read.parquet``
+    on those paths would silently DROP hive-partitioned columns, which
+    live in the manifest, not the files). ``files`` must belong to the
+    snapshot's manifest; schema-evolution handling matches ``read``."""
+    from pyspark.sql import functions as F
+
+    m = read_manifest(table_dir, version)
+    known = set(m["files"])
+    missing = [f for f in files if f not in known]
+    if missing:
+        raise ValueError(
+            f"files not in snapshot v{m['version']}'s manifest: {missing[:3]}")
+    evolved = bool(m.get("schema_evolved"))
+    reader = (spark.read.option("mergeSchema", "true") if evolved
+              else spark.read)
+    fparts = m.get("file_partitions", {})
+    ptypes = m.get("partition_types", {})
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        groups.setdefault(tuple(sorted(fparts.get(f, {}).items())), []).append(f)
+    out = None
+    for key, fs in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+        df = reader.parquet(*fs)
+        for c, v in key:
+            df = df.withColumn(c, F.lit(v).cast(ptypes.get(c, "string")))
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=evolved)
+    return out

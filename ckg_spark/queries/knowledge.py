@@ -36,15 +36,13 @@ def knowledge_summary(edges: DataFrame, k: int = 15,
     (edges.where(pred == 'CO_MENTIONED_WITH')) or use method='degree'.
     """
     deg = degrees(edges)
-    if method == "pagerank":
-        pr = pagerank(edges, iters=10)
-        scored = deg.join(pr, on="id", how="left").withColumn(
-            "centrality", F.coalesce("rank", F.lit(0.0))
-        )
-    elif method == "personalized":
-        if seeds is None:
-            raise ValueError("method='personalized' requires seeds")
-        pr = personalized_pagerank(edges, seeds, iters=10)
+    if method in ("pagerank", "personalized"):
+        if method == "personalized":
+            if seeds is None:
+                raise ValueError("method='personalized' requires seeds")
+            pr = personalized_pagerank(edges, seeds, iters=10)
+        else:
+            pr = pagerank(edges, iters=10)
         scored = deg.join(pr, on="id", how="left").withColumn(
             "centrality", F.coalesce("rank", F.lit(0.0))
         )

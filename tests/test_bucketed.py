@@ -97,3 +97,31 @@ def test_validate_edges_delta_flags_only_the_delta(spark, tmp_path):
     idle = validate_edges_delta(spark, d, nodes, rules,
                                 from_version=T.current_version(d))
     assert idle.count() == 0  # no new files -> nothing to flag
+
+
+def test_validate_edges_delta_partitioned_table(spark, tmp_path):
+    """Partitioned edge table (partition_by=['pred'] — the layout the
+    snapshot layer promotes): partition values live in the MANIFEST, so
+    the delta read must re-attach them; a raw path read would drop pred
+    and break the rules join (review finding, fixed via table.read_files)."""
+    from ckg_spark.plans import table as T
+    from ckg_spark.plans.incremental import validate_edges_delta
+
+    d = str(tmp_path / "edges_part")
+    nodes = spark.createDataFrame(
+        [("a", "drug"), ("p", "protein")], ["id", "type"])
+    rules = spark.createDataFrame(
+        [("TARGETS", "drug", "protein")], ["pred", "subj_type", "obj_type"])
+    T.append(spark.createDataFrame(
+        [("a", "TARGETS", "p")], ["subj", "pred", "obj"]),
+        d, partition_by=["pred"])
+    v1 = T.current_version(d)
+    T.append(spark.createDataFrame(
+        [("p", "TARGETS", "a"), ("a", "OTHER_PRED", "p")],
+        ["subj", "pred", "obj"]), d, partition_by=["pred"])
+
+    got = {(r.pred, r.violation): r.n_edges
+           for r in validate_edges_delta(
+               spark, d, nodes, rules, from_version=v1).collect()}
+    assert got == {("TARGETS", "domain_range"): 1,
+                   ("OTHER_PRED", "domain_range"): 1}

@@ -62,14 +62,28 @@ def main() -> int:
               "left_anti").count(),
     }
     if args.rules:
+        cols = ["pred", "subj_type", "obj_type"]
         with open(args.rules) as f:
-            rows = [tuple(r) for r in csv.reader(f) if r]
-        rules = spark.createDataFrame(rows, ["pred", "subj_type", "obj_type"])
+            raw = [r for r in csv.reader(f) if r]
+        if raw and [c.strip().lower() for c in raw[0]] == cols:
+            raw = raw[1:]  # tolerate a header row
+        for i, r in enumerate(raw, 1):
+            if len(r) != 3:
+                raise SystemExit(
+                    f"bad rules CSV at data line {i}: expected 3 fields "
+                    f"(pred,subj_type,obj_type), got {len(r)}: {r!r}")
+        rules = spark.createDataFrame([tuple(r) for r in raw], cols)
         types = nodes.select("id", F.col("label").alias("type"))
         summ = violation_summary(
             schema_violations(edges, types, rules)).collect()
-        out["violations"] = {
-            f"{r.pred}/{r.violation}": int(r.n_edges) for r in summ}
+        # sum across (subj_type, obj_type) combos — the summary is
+        # per-combo, so a plain dict keyed by pred/violation would keep
+        # only the last combo's count (review finding)
+        viol: dict = {}
+        for r in summ:
+            key = f"{r.pred}/{r.violation}"
+            viol[key] = viol.get(key, 0) + int(r.n_edges)
+        out["violations"] = viol
         out["violations_total"] = int(sum(r.n_edges for r in summ))
     if args.comention_triangles:
         com = edges.where(F.col("pred") == "CO_MENTIONED_WITH")

@@ -62,8 +62,11 @@ def main() -> int:
     t0 = time.time()
     preds = [p.strip() for p in args.preds.split(",") if p.strip()]
     edges = spark.read.parquet(args.edges)
+    # persist the positive set: every downstream leg (pool index, draw,
+    # anti-join, both writes) hangs off it, and without the persist the
+    # whole read->distinct lineage re-runs ~5x (review finding)
     pos = (edges.where(F.col("pred").isin(preds))
-           .select("subj", "pred", "obj").distinct())
+           .select("subj", "pred", "obj").distinct().persist())
     pool = (pos.select(F.col("subj").alias("id"))
             .unionAll(pos.select(F.col("obj").alias("id"))).distinct())
     neg = negative_triples(pos, pool, k=args.k, seed=args.seed)
@@ -81,17 +84,23 @@ def main() -> int:
     rows.where(F.col("_is_val")).drop("_is_val").write.mode(
         "overwrite").parquet(os.path.join(args.out, "val"))
 
+    # report counts from the WRITTEN datasets (cheap parquet count-scans)
+    # instead of re-running the construction lineage per metric
     tr = spark.read.parquet(os.path.join(args.out, "train"))
     va = spark.read.parquet(os.path.join(args.out, "val"))
+    both = tr.unionByName(va)
+    n_pos = both.where(F.col("neg_idx").isNull()).count()
+    n_neg = both.where(F.col("neg_idx").isNotNull()).count()
     out = {
-        "positives": pos.count(),
-        "negatives": neg.count(),
+        "positives": n_pos,
+        "negatives": n_neg,
         "entities": pool.count(),
         "train_rows": tr.count(),
         "val_rows": va.count(),
         "val_positive_rows": va.where(F.col("neg_idx").isNull()).count(),
         "wall_sec": round(time.time() - t0, 2),
     }
+    pos.unpersist()
     print(json.dumps(out))
     spark.stop()
     return 0
