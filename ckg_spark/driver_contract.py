@@ -4658,3 +4658,83 @@ Q106_SQL = Q106_SQL.replace("{VOCAB}", _vocab_values_sql()).replace(
 QUERIES.update({
     "q106_edge_intervals": (q106_edge_intervals, Q106_SQL),
 })
+
+
+def q107_personalized_pagerank(spark, sf):
+    """Seed-teleport PageRank (graph_algos.personalized_pagerank) made
+    VALUE-CHECKED: iterative operators normally get rows-only or fixture
+    oracles (q25/q56 precedent), but a FIXED iteration count is exactly
+    expressible as a DuckDB recursive CTE whose working table is the
+    previous iteration's rank vector — the oracle replays all 10 power
+    iterations (teleport vector, per-edge rank/odeg contributions,
+    dangling mass redistributed to the teleport) and must reproduce
+    every rank to 6dp. Graph: the q101 per-nation consecutive-customer
+    DAG; seeds: custkey % 100 == 0. Nodes upstream of every seed hold
+    rank exactly 0 (the defining personalized property, attested on
+    real data here and to 1e-12 vs numpy in tests)."""
+    from .operators.graph_algos import personalized_pagerank
+
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    base = c.select(
+        F.col("c_custkey"),
+        F.lead("c_custkey", 1).over(w).alias("n1"),
+        F.lead("c_custkey", 2).over(w).alias("n2"))
+    edges = (
+        base.where(F.col("n1").isNotNull())
+        .select(F.col("c_custkey").alias("subj"), F.col("n1").alias("obj"))
+        .unionAll(
+            base.where(F.col("n2").isNotNull())
+            .select(F.col("c_custkey").alias("subj"), F.col("n2").alias("obj")))
+    )
+    seeds = c.where(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("id"))
+    out = personalized_pagerank(edges, seeds, iters=10)
+    return out.select("id", F.round("rank", 6).alias("rank"))
+
+
+Q107_SQL = """
+WITH RECURSIVE base AS (
+  SELECT c_custkey,
+         lead(c_custkey, 1) OVER w AS n1,
+         lead(c_custkey, 2) OVER w AS n2
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)),
+links AS (
+  SELECT c_custkey AS src, n1 AS dst FROM base WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT c_custkey, n2 FROM base WHERE n2 IS NOT NULL),
+verts AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM links UNION ALL SELECT dst AS id FROM links)),
+odeg AS (SELECT src AS id, count(*) AS d FROM links GROUP BY src),
+nseeds AS (
+  SELECT count(*) AS n FROM verts WHERE id % 100 = 0),
+tvec AS (
+  SELECT v.id,
+         CASE WHEN v.id % 100 = 0 THEN 1.0 / ns.n ELSE 0.0 END AS t
+  FROM verts v CROSS JOIN nseeds ns),
+r(iter, id, rank) AS (
+  SELECT 0, id, t FROM tvec
+  UNION ALL
+  SELECT cur.iter + 1, tv.id,
+         0.15 * tv.t
+         + 0.85 * (coalesce(inf.s, 0)
+                   + (SELECT coalesce(sum(d2.rank), 0) FROM r d2
+                      LEFT JOIN odeg o2 ON o2.id = d2.id
+                      WHERE o2.id IS NULL) * tv.t)
+  FROM tvec tv
+  CROSS JOIN (SELECT DISTINCT iter FROM r) cur
+  LEFT JOIN (
+    SELECT l.dst AS id, sum(rr.rank / od.d) AS s
+    FROM r rr JOIN links l ON l.src = rr.id
+              JOIN odeg od ON od.id = rr.id
+    GROUP BY l.dst) inf ON inf.id = tv.id
+  WHERE cur.iter < 10)
+SELECT id, round(rank, 6) AS rank FROM r WHERE iter = 10
+"""
+
+
+QUERIES.update({
+    "q107_personalized_pagerank": (q107_personalized_pagerank, Q107_SQL),
+})
