@@ -4738,3 +4738,70 @@ SELECT id, round(rank, 6) AS rank FROM r WHERE iter = 10
 QUERIES.update({
     "q107_personalized_pagerank": (q107_personalized_pagerank, Q107_SQL),
 })
+
+
+def q108_pagerank(spark, sf):
+    """Uniform PageRank (graph_algos.pagerank — the reference's headline
+    centrality, knowledge.py:501-530) value-checked with the q107
+    recursive-CTE technique: the oracle replays all 10 power iterations
+    with uniform teleport and uniform dangling redistribution. Graph:
+    the q101 per-nation consecutive-customer DAG."""
+    from .operators.graph_algos import pagerank
+
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    base = c.select(
+        F.col("c_custkey"),
+        F.lead("c_custkey", 1).over(w).alias("n1"),
+        F.lead("c_custkey", 2).over(w).alias("n2"))
+    edges = (
+        base.where(F.col("n1").isNotNull())
+        .select(F.col("c_custkey").alias("subj"), F.col("n1").alias("obj"))
+        .unionAll(
+            base.where(F.col("n2").isNotNull())
+            .select(F.col("c_custkey").alias("subj"), F.col("n2").alias("obj")))
+    )
+    out = pagerank(edges, iters=10)
+    return out.select("id", F.round("rank", 6).alias("rank"))
+
+
+Q108_SQL = """
+WITH RECURSIVE base AS (
+  SELECT c_custkey,
+         lead(c_custkey, 1) OVER w AS n1,
+         lead(c_custkey, 2) OVER w AS n2
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)),
+links AS (
+  SELECT c_custkey AS src, n1 AS dst FROM base WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT c_custkey, n2 FROM base WHERE n2 IS NOT NULL),
+verts AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM links UNION ALL SELECT dst AS id FROM links)),
+odeg AS (SELECT src AS id, count(*) AS d FROM links GROUP BY src),
+nv AS (SELECT count(*) AS n FROM verts),
+r(iter, id, rank) AS (
+  SELECT 0, v.id, 1.0 / nv.n FROM verts v CROSS JOIN nv
+  UNION ALL
+  SELECT cur.iter + 1, v.id,
+         (0.15 + 0.85 * (SELECT coalesce(sum(d2.rank), 0) FROM r d2
+                         LEFT JOIN odeg o2 ON o2.id = d2.id
+                         WHERE o2.id IS NULL)) / nv.n
+         + 0.85 * coalesce(inf.s, 0)
+  FROM verts v
+  CROSS JOIN nv
+  CROSS JOIN (SELECT DISTINCT iter FROM r) cur
+  LEFT JOIN (
+    SELECT l.dst AS id, sum(rr.rank / od.d) AS s
+    FROM r rr JOIN links l ON l.src = rr.id
+              JOIN odeg od ON od.id = rr.id
+    GROUP BY l.dst) inf ON inf.id = v.id
+  WHERE cur.iter < 10)
+SELECT id, round(rank, 6) AS rank FROM r WHERE iter = 10
+"""
+
+
+QUERIES.update({
+    "q108_pagerank": (q108_pagerank, Q108_SQL),
+})

@@ -45,7 +45,7 @@ EXPECTED_NAMES = {
     "q100_negative_sampling", "q101_triangle_counts", "q102_linking_contexts",
     "q103_cooccurrence_scores", "q104_embedding_disambiguation",
     "q105_link_prediction", "q106_edge_intervals",
-    "q107_personalized_pagerank",
+    "q107_personalized_pagerank", "q108_pagerank",
 }
 
 # Round 5: zero rows-only entries remain — q33 runs the md5 hash variant
@@ -56,7 +56,7 @@ ROWS_ONLY: set = set()
 
 def test_registry_names_stable():
     assert set(DC.queries_dict()) == EXPECTED_NAMES
-    assert len(DC.queries_dict()) == 107
+    assert len(DC.queries_dict()) == 108
 
 
 def test_oracle_coverage_complete_except_declared_rows_only():
