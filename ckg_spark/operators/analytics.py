@@ -208,9 +208,15 @@ def with_global_rank(df: DataFrame, sort_cols: list, rank_name: str = "_rank",
     broadcast per-partition offsets (a driver-scale count per partition).
     ``sort_cols`` must be a deterministic total order (include a tiebreaker).
     """
+    from .ckpt import checkpoint_reset_stats
+
+    # materialize ONE range partitioning for both passes: the boundaries
+    # come from sampling seeded by RDD id, so re-executing the subtree for
+    # the offset join could place rows in different partitions than the
+    # collected counts were computed for (rank duplicates/gaps)
     rp = df.repartitionByRange(*sort_cols).withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*sort_cols)
-    local = rp.withColumn("_lrank", F.row_number().over(w))
+    local = checkpoint_reset_stats(rp.withColumn("_lrank", F.row_number().over(w)))
     counts = sorted(
         ((r["_pid"], r["cnt"]) for r in
          local.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()),
@@ -291,10 +297,14 @@ def with_global_cumsum(df: DataFrame, sort_cols: list, value_col: str,
     per-partition totals of all earlier partitions (driver-scale offsets).
     ``sort_cols`` must be a deterministic total order.
     """
+    from .ckpt import checkpoint_reset_stats
+
+    # same materialize-once rule as with_global_rank: one sampled range
+    # partitioning must serve both the totals collect and the offset join
     rp = df.repartitionByRange(*sort_cols).withColumn("_pid", F.spark_partition_id())
     w = (Window.partitionBy("_pid").orderBy(*sort_cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = rp.withColumn("_lsum", F.sum(value_col).over(w))
+    local = checkpoint_reset_stats(rp.withColumn("_lsum", F.sum(value_col).over(w)))
     totals = sorted(
         ((r["_pid"], r["t"]) for r in
          local.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()),

@@ -33,12 +33,25 @@ def _global_cumsum_long(df: DataFrame, sort_cols: list, value_col: str,
                         out_name: str) -> DataFrame:
     """Exact (long) global running sum of ``value_col`` in ``sort_cols``
     order — the two-pass shape of analytics.with_global_cumsum, kept
-    integer because token offsets must be exact."""
+    integer because token offsets must be exact.
+
+    The range-partitioned local result is MATERIALIZED once (eager
+    checkpoint) before the totals collect: range partitioning samples its
+    boundaries per execution (RangePartitioner seeds by RDD id), so
+    executing the subtree twice — once for the per-partition totals, once
+    for the offset join — can assign rows to DIFFERENT partitions than the
+    ones the offsets were computed for, corrupting the cumsum (observed at
+    600k rows: run-dependent duplicate/gapped seq_ids). The checkpoint
+    pins one partitioning for both passes and, as a bonus, stops the
+    sampling pass from recomputing the upstream projection."""
+    from .ckpt import checkpoint_reset_stats
+
     rp = (df.repartitionByRange(*sort_cols)
           .withColumn("_pid", F.spark_partition_id()))
     w = (Window.partitionBy("_pid").orderBy(*sort_cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = rp.withColumn("_lsum", F.sum(value_col).over(w).cast("long"))
+    local = checkpoint_reset_stats(
+        rp.withColumn("_lsum", F.sum(value_col).over(w).cast("long")))
     totals = sorted(
         (r["_pid"], r["t"]) for r in
         local.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect())
