@@ -79,21 +79,34 @@ def connected_components(
     both paths agree).
     """
     if driver_threshold:
-        # cheap probe: limit(threshold+1).count() never scans more than
-        # threshold+1 rows, so big edge sets pay one truncated pass
-        probe = edges.limit(driver_threshold + 1).count()
-        if probe <= driver_threshold:
-            pairs = [
-                (r[0], r[1])
-                for r in edges.select(src, dst).where(
-                    F.col(src) != F.col(dst)).distinct().collect()
-            ]
+        # ONE probe job doubling as the collect: distinct non-self edges,
+        # truncated at threshold+1 rows so a big edge set can never flood
+        # the driver. When the result fits, it IS the edge list (the old
+        # two-job probe-then-collect paid a second full pass); when it
+        # overflows, the distributed path below re-derives its own distinct
+        # (which it needed anyway).
+        rows = (
+            edges.select(src, dst)
+            .where(F.col(src) != F.col(dst))
+            .distinct()
+            .limit(driver_threshold + 1)
+            .collect()
+        )
+        if len(rows) <= driver_threshold:
+            pairs = [(r[0], r[1]) for r in rows]
             mapping = _driver_union_find(pairs)
             spark = edges.sparkSession
             if not mapping:
                 return spark.createDataFrame([], "ident string, component string")
-            return spark.createDataFrame(
-                sorted(mapping.items()), "ident string, component string")
+            # broadcast hint: a Python createDataFrame plans as an
+            # ExistingRDD scan with UNKNOWN stats (defaultSizeInBytes), so
+            # a downstream join picks SortMergeJoin + two exchanges for a
+            # relation this function GUARANTEES is <= driver_threshold
+            # rows (it was just collected). The hint turns e.g.
+            # canonical_mapping's left join into a BroadcastHashJoin
+            # (measured: 2.45s -> sub-second fixed cost in the kg bench).
+            return F.broadcast(spark.createDataFrame(
+                sorted(mapping.items()), "ident string, component string"))
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -252,9 +265,36 @@ def incremental_canonical_parts(
         .distinct()
     )
     if prev_mapping is None:
+        # first fold: no history means no touched components, no stars, no
+        # untouched pass-through and no remaps — short-circuit those to
+        # empty literals instead of running ~5 provably-empty join/ckpt
+        # jobs (driver-contract q93 pays this fold's fixed cost per bench)
         prev = spark.createDataFrame([], "ident string, canonical_id string")
-    else:
-        prev = prev_mapping.select("ident", "canonical_id")
+        empty = spark.createDataFrame([], "ident string, canonical_id string")
+        comps = connected_components(e, driver_threshold=driver_threshold)
+        changed = _ckpt(
+            comps.select("ident", F.col("component").alias("canonical_id")))
+        raw_endpoints = (
+            new_edges.select(F.col(src).alias("ident"))
+            .unionByName(new_edges.select(F.col(dst).alias("ident")))
+            .where(F.col("ident").isNotNull())
+            .distinct()
+        )
+        ni = raw_endpoints
+        if new_idents is not None:
+            ni = ni.unionByName(
+                new_idents.select(F.col(new_idents.columns[0]).alias("ident"))
+                .where(F.col("ident").isNotNull())
+            ).distinct()
+        iso = (
+            ni.join(changed, on="ident", how="left_anti")
+            .select("ident", F.col("ident").alias("canonical_id"))
+        )
+        return {"untouched": empty, "changed": changed, "isolated": iso,
+                "affected_prev": empty,
+                "remaps": spark.createDataFrame(
+                    [], "old_canonical_id string, new_canonical_id string")}
+    prev = prev_mapping.select("ident", "canonical_id")
 
     touched = (
         e.select(F.col("ident_a").alias("ident"))

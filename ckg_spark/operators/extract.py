@@ -113,6 +113,9 @@ def extract_mentions(
     if strategy == "lead" and not single_scan:
         return _extract_lead(toks, alias_grams, keys, ns)
 
+    if strategy == "fused" and not single_scan:
+        return _extract_fused(toks, alias_grams, keys, ns)
+
     if strategy == "slice" and not single_scan:
         return _extract_slice(toks, alias_grams, keys, ns)
 
@@ -173,6 +176,85 @@ def extract_mentions(
     return matched.select(
         *keys,
         F.col("pos").cast("int").alias("pos"),
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("gram").alias("alias_lc"),
+    )
+
+
+def _extract_fused(toks: DataFrame, alias_grams: DataFrame,
+                   keys: Sequence[str], ns: list[int]) -> DataFrame:
+    """'fused' strategy: ONE scan + ONE positions explode for BOTH the
+    unigram and the multi-word branches — no union of branches (Spark has
+    no cross-branch common-subexpression elimination, so 'lead'/'slice'
+    tokenize and explode the corpus twice), and no window sort ('slice'
+    form: each position carries its following-token window via slice()).
+
+    Shape: explode positions once with their token window; one broadcast
+    inner join against the COMBINED first-token dictionary (unigram
+    aliases ∪ first words of multi-word aliases, flagged is_uni/is_first)
+    keeps only positions that can start any match; candidate grams for
+    every alias length explode from the surviving positions (unigram
+    candidates reuse the token string — no new allocation); one broadcast
+    join against the alias set finalizes. Output identical to
+    'lead'/'union'/'slice'/'hash' (tests assert equality)."""
+    max_n = max(ns) if ns else 1
+    multi_ns = [n for n in ns if n >= 2]
+    if not multi_ns:
+        # no multi-word aliases: plain posexplode + join, no windows at all
+        return _extract_lead(toks, alias_grams, keys, ns)
+
+    uni_words = (
+        alias_grams.where(F.col("n_words") == 1)
+        .select(F.col("gram").alias("w"), F.lit(True).alias("is_uni"))
+    )
+    first_words = (
+        alias_grams.where(F.col("n_words") >= 2)
+        .select(F.split("gram", " ")[0].alias("w"))
+        .distinct()
+        .withColumn("is_first", F.lit(True))
+    )
+    dict0 = (
+        uni_words.join(first_words, on="w", how="full_outer")
+        .select(
+            "w",
+            F.coalesce("is_uni", F.lit(False)).alias("is_uni"),
+            F.coalesce("is_first", F.lit(False)).alias("is_first"),
+        )
+        if 1 in ns
+        else first_words.select(
+            "w", F.lit(False).alias("is_uni"), F.col("is_first"))
+    )
+
+    win_rows = toks.select(
+        *keys,
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 1 THEN "
+                "transform(sequence(1, size(toks)), "
+                f"i -> named_struct('pos', i-1, 'win', slice(toks, i, {max_n}))) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    ).select(*keys, F.col("g.pos").alias("pos"), F.col("g.win").alias("win")) \
+     .where(F.col("win")[0] != "")
+
+    j = win_rows.join(
+        F.broadcast(dict0), on=win_rows["win"][0] == dict0["w"], how="inner")
+
+    gram_exprs = (
+        [F.when(F.col("is_uni"), F.col("w"))] if 1 in ns else []
+    ) + [
+        F.when(F.col("is_first") & (F.size("win") >= n),
+               F.array_join(F.slice("win", 1, n), " "))
+        for n in multi_ns
+    ]
+    cands = j.select(
+        *keys, "pos", F.explode(F.array(*gram_exprs)).alias("gram")
+    ).where(F.col("gram").isNotNull())
+    return cands.join(
+        F.broadcast(alias_grams.select("gram", "n_words")), on="gram"
+    ).select(
+        *keys, F.col("pos").cast("int").alias("pos"),
         F.col("n_words").cast("int").alias("n_words"),
         F.col("gram").alias("alias_lc"),
     )
@@ -347,7 +429,20 @@ def _extract_hash(toks: DataFrame, alias_grams: DataFrame,
 def _extract_lead(toks: DataFrame, alias_grams: DataFrame,
                   keys: Sequence[str], ns: list[int]) -> DataFrame:
     """'lead' strategy: token rows + lead() window + first-word-filtered
-    multi-gram construction (see extract_mentions docstring)."""
+    multi-gram construction (see extract_mentions docstring).
+
+    Single-pass form (r6): the unigram and multi-word branches used to be
+    separate subtrees unioned at the end; Spark has no cross-branch
+    common-subexpression elimination, so the scan + tokenize + posexplode
+    (and, under an upstream repartition, the full-text exchange) ran
+    TWICE. Both branches now come off ONE token-row stream: a single
+    broadcast inner join against the combined first-token dictionary
+    (unigram aliases ∪ first words of multi-word aliases, flagged
+    is_uni/is_first) keeps positions that can start any match, then one
+    explode emits the unigram hit (the token string itself — no new
+    allocation) and/or the lead-windowed multi-gram candidates, finalized
+    by one broadcast join against the alias set. Output is identical
+    (tests assert equality vs 'union'/'single_scan'/'slice'/'hash')."""
     from pyspark.sql import Window
 
     max_n = max(ns) if ns else 1
@@ -355,23 +450,23 @@ def _extract_lead(toks: DataFrame, alias_grams: DataFrame,
         *keys, F.posexplode("toks").alias("pos", "w")
     ).where(F.col("w") != "")
 
-    uni = (
-        tok_rows.join(
-            F.broadcast(
-                alias_grams.where(F.col("n_words") == 1)
-                .select(F.col("gram").alias("w"), "n_words")
-            ),
-            on="w",
-        ).select(*keys, "pos", F.col("n_words").cast("int").alias("n_words"),
-                 F.col("w").alias("alias_lc"))
-        if 1 in ns
-        else None
-    )
     multi_ns = [n for n in ns if n >= 2]
     if not multi_ns:
-        return uni if uni is not None else tok_rows.limit(0).select(
-            *keys, F.col("pos").cast("int").alias("pos"),
-            F.lit(0).alias("n_words"), F.col("w").alias("alias_lc"))
+        if 1 not in ns:
+            return tok_rows.limit(0).select(
+                *keys, F.col("pos").cast("int").alias("pos"),
+                F.lit(0).alias("n_words"), F.col("w").alias("alias_lc"))
+        return (
+            tok_rows.join(
+                F.broadcast(
+                    alias_grams.where(F.col("n_words") == 1)
+                    .select(F.col("gram").alias("w"), "n_words")
+                ),
+                on="w",
+            ).select(*keys, F.col("pos").cast("int").alias("pos"),
+                     F.col("n_words").cast("int").alias("n_words"),
+                     F.col("w").alias("alias_lc"))
+        )
 
     w = Window.partitionBy(*keys).orderBy("pos")
     lead_cols = [F.lead("w", i).over(w).alias(f"w{i}") for i in range(1, max_n)]
@@ -381,28 +476,43 @@ def _extract_lead(toks: DataFrame, alias_grams: DataFrame,
         alias_grams.where(F.col("n_words") >= 2)
         .select(F.split("gram", " ")[0].alias("w"))
         .distinct()
+        .withColumn("is_first", F.lit(True))
     )
-    cand = led.join(F.broadcast(first_words), on="w", how="left_semi")
+    if 1 in ns:
+        uni_words = (
+            alias_grams.where(F.col("n_words") == 1)
+            .select(F.col("gram").alias("w"), F.lit(True).alias("is_uni"))
+        )
+        dict0 = (
+            uni_words.join(first_words, on="w", how="full_outer")
+            .select(
+                "w",
+                F.coalesce("is_uni", F.lit(False)).alias("is_uni"),
+                F.coalesce("is_first", F.lit(False)).alias("is_first"),
+            )
+        )
+    else:
+        dict0 = first_words.select(
+            "w", F.lit(False).alias("is_uni"), F.col("is_first"))
 
-    gram_exprs = []
+    cand = led.join(F.broadcast(dict0), on="w", how="inner")
+
+    gram_exprs = [F.when(F.col("is_uni"), F.col("w"))] if 1 in ns else []
     for n in multi_ns:
         parts = ["w"] + [f"w{i}" for i in range(1, n)]
         gram_exprs.append(
-            F.when(F.col(f"w{n-1}").isNotNull(), F.concat_ws(" ", *parts))
+            F.when(F.col("is_first") & F.col(f"w{n-1}").isNotNull(),
+                   F.concat_ws(" ", *parts))
         )
-    multi_grams = cand.select(
+    cands = cand.select(
         *keys, "pos", F.explode(F.array(*gram_exprs)).alias("gram")
     ).where(F.col("gram").isNotNull())
-    multi = multi_grams.join(
-        F.broadcast(alias_grams.where(F.col("n_words") >= 2).select("gram", "n_words")),
-        on="gram",
-    ).select(*keys, "pos", F.col("n_words").cast("int").alias("n_words"),
-             F.col("gram").alias("alias_lc"))
-
-    out = multi if uni is None else uni.unionByName(multi)
-    return out.select(
+    return cands.join(
+        F.broadcast(alias_grams.select("gram", "n_words")), on="gram"
+    ).select(
         *keys, F.col("pos").cast("int").alias("pos"),
-        F.col("n_words").cast("int").alias("n_words"), "alias_lc"
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("gram").alias("alias_lc"),
     )
 
 

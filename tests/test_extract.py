@@ -69,7 +69,9 @@ def test_strategies_all_agree(spark, vocab_tables, transcripts_df):
     single = _sorted(X.extract_mentions(transcripts_df, grams, single_scan=True).toPandas())
     sliced = _sorted(X.extract_mentions(transcripts_df, grams, strategy="slice").toPandas())
     hashed = _sorted(X.extract_mentions(transcripts_df, grams, strategy="hash").toPandas())
+    fused = _sorted(X.extract_mentions(transcripts_df, grams, strategy="fused").toPandas())
     pd.testing.assert_frame_equal(lead, union, check_dtype=False)
     pd.testing.assert_frame_equal(lead, single, check_dtype=False)
     pd.testing.assert_frame_equal(lead, sliced, check_dtype=False)
     pd.testing.assert_frame_equal(lead, hashed, check_dtype=False)
+    pd.testing.assert_frame_equal(lead, fused, check_dtype=False)
