@@ -110,7 +110,11 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4,
     bands*rows must equal the signature length. ``bucket_cap`` drops
     degenerate buckets (boilerplate floods) before the quadratic self-join.
     """
-    banded = band_rows(sigs, bands=bands, rows=rows)
+    # banded feeds BOTH the bucket-size filter and the pairing self-join;
+    # left lazy, the whole signature pipeline (64 hash aggs over the
+    # shingle table) runs twice. The band table is tiny (docs x bands
+    # rows of 3 longs) — materialize it once.
+    banded = band_rows(sigs, bands=bands, rows=rows).localCheckpoint(eager=True)
 
     counts = banded.groupBy("band", "bh").count().where(F.col("count") <= bucket_cap)
     small = banded.join(counts.select("band", "bh"), on=["band", "bh"], how="left_semi")
@@ -125,24 +129,38 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4,
 
 
 def exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for each candidate pair."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # count common shingles via equi-join on (doc_b, shingle)
-    common = (
-        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), on="doc_a")
-        .join(
-            sh.withColumnRenamed("doc_id", "doc_b"),
-            on=["doc_b", "shingle"],
+    """Exact shingle-set Jaccard for each candidate pair.
+
+    Shape (r6): ONE aggregation packs each doc's distinct shingle set into
+    an array of 8-byte xxhash64 values, and the candidate pairs join that
+    per-doc array table twice; the intersection is a JVM array_intersect
+    over fixed-width longs. The previous form expanded every pair to
+    (pair x shingles-of-doc_a) rows and shuffled the shingle STRING table
+    three times (per-doc sizes, doc_a attach, (doc_b, shingle) probe) —
+    the guide §2.3 "shuffle keys, not payloads" case. Set sizes stay exact
+    string-level counts; the intersection counts hash values, identical to
+    string intersection up to xxhash64 collisions (~|sh|^2/2^64 — the same
+    immaterial-odds standard minhash_signatures already rests on; the
+    exact-truth q31 oracle and test_exact_jaccard_matches_python pin it).
+    """
+    sets = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.collect_set(F.xxhash64("shingle")).alias("_hs"),
+            F.count(F.lit(1)).alias("sz"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    a = sets.select(F.col("doc_id").alias("doc_a"),
+                    F.col("_hs").alias("_ha"), F.col("sz").alias("sz_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"),
+                    F.col("_hs").alias("_hb"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("_ha", "_hb"))
     return (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")
+        pairs.join(a, on="doc_a")
+        .join(b, on="doc_b")
         .select(
             "doc_a", "doc_b",
-            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+            (inter / (F.col("sz_a") + F.col("sz_b") - inter)).alias("jaccard"),
         )
     )
 
@@ -328,35 +346,41 @@ def repetition_flags(df: DataFrame, id_col: str = "doc_id",
         tokens_of(F.col("_t")).alias("toks"),
     )
 
-    def gram_metric(n: int, mode: str):
-        grams = base.select(
-            "_id", "nsp_chars",
-            F.explode(F.expr(
-                f"CASE WHEN size(toks) >= {n} THEN "
-                f"transform(sequence(1, size(toks)-{n}+1), "
-                f"i -> array_join(slice(toks, i, {n}), ' ')) "
-                f"ELSE array() END")).alias("gram"),
+    # ONE explode emits the 2-grams and 5-grams together (tagged by n) and
+    # ONE count shuffle serves both metrics; the previous per-n branches
+    # each re-derived `base` (re-tokenizing every doc) and shuffled their
+    # own gram stream, then joined twice. max semantics preserved exactly:
+    # max(struct(c, gchars, c*gchars)).v orders by (c, gchars) first —
+    # the same ordering the old max_by(c*gchars, struct(c, gchars)) used.
+    def _gram_arm(n: int) -> str:
+        return (
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(1, size(toks)-{n}+1), "
+            f"i -> named_struct('n', {n}, "
+            f"'gram', array_join(slice(toks, i, {n}), ' '))) "
+            f"ELSE array() END"
         )
-        counts = grams.groupBy("_id", "nsp_chars", "gram").agg(
-            F.count(F.lit(1)).alias("c"))
-        gchars = F.length(F.regexp_replace(F.col("gram"), r"\s+", ""))
-        if mode == "top":
-            # char mass of the most frequent n-gram (count * its char len)
-            return counts.groupBy("_id").agg(
-                (F.max_by(F.col("c") * gchars, F.struct(F.col("c"), gchars))
-                 / F.first("nsp_chars")).alias(f"top{n}gram_char_frac"))
-        # char mass of all n-grams occurring more than once
-        return counts.groupBy("_id").agg(
-            (F.sum(F.when(F.col("c") > 1, F.col("c") * gchars)
-                   .otherwise(F.lit(0))) / F.first("nsp_chars"))
-            .alias(f"dup{n}gram_char_frac"))
 
-    top2 = gram_metric(2, "top")
-    dup5 = gram_metric(5, "dup")
+    grams = base.select(
+        "_id", "nsp_chars",
+        F.explode(F.expr(f"concat({_gram_arm(2)}, {_gram_arm(5)})")).alias("g"),
+    )
+    counts = grams.groupBy(
+        "_id", F.col("g.n").alias("_n"), F.col("g.gram").alias("gram")
+    ).agg(F.count(F.lit(1)).alias("c"), F.first("nsp_chars").alias("_nsp"))
+    gchars = F.length(F.regexp_replace(F.col("gram"), r"\s+", ""))
+    per_id = counts.groupBy("_id").agg(
+        (F.max(F.when(F.col("_n") == 2,
+                      F.struct(F.col("c"), gchars.alias("gc"),
+                               (F.col("c") * gchars).alias("v"))))["v"]
+         / F.first("_nsp")).alias("top2gram_char_frac"),
+        (F.sum(F.when((F.col("_n") == 5) & (F.col("c") > 1),
+                      F.col("c") * gchars).otherwise(F.lit(0)))
+         / F.first("_nsp")).alias("dup5gram_char_frac"),
+    )
     out = (
         base.select("_id", "dup_line_frac", "dup_line_char_frac")
-        .join(top2, on="_id", how="left")
-        .join(dup5, on="_id", how="left")
+        .join(per_id, on="_id", how="left")
         .select(
             F.col("_id").alias(id_col),
             "dup_line_frac", "dup_line_char_frac",

@@ -56,13 +56,20 @@ def quality_filter(docs: DataFrame, gopher_kwargs: dict | None = None,
             base, text_col="text", id_col="doc_id",
             min_line_words=min_line_words)
         base = cleaned.select("doc_id", F.col("clean_text").alias("text"))
-    g = T.gopher_quality_flags(base, **(gopher_kwargs or {}))
-    r = D.repetition_flags(base)
+    # Gopher rules are pure per-row expressions — apply them as a FILTER
+    # fused into the scan instead of computing a flags table and joining it
+    # back (the join recomputed the scan and shuffled/broadcast flag rows
+    # for a predicate the row itself already determines). The repetition
+    # rules need per-doc n-gram aggregation, so they keep a join — but now
+    # over the Gopher survivors only (fewer docs explode to grams), and as
+    # a semi-join of bare ids.
+    gkept = base.where(T.gopher_keep_expr(F.col("text"),
+                                          **(gopher_kwargs or {})))
+    r = D.repetition_flags(gkept)
     return (
-        base
-        .join(g.select("doc_id", F.col("keep").alias("_kq")), on="doc_id")
-        .join(r.select("doc_id", F.col("keep").alias("_kr")), on="doc_id")
-        .where(F.col("_kq") & F.col("_kr"))
+        gkept
+        .join(r.where(F.col("keep")).select("doc_id"),
+              on="doc_id", how="left_semi")
         .select("doc_id", "text")
     )
 
