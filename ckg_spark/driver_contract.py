@@ -4513,7 +4513,11 @@ def q105_link_prediction(spark, sf):
             base.where(F.col("n2").isNotNull())
             .select(F.col("c_custkey").alias("subj"), F.col("n2").alias("obj")))
     )
-    return link_prediction_features(edges)
+    # max_degree=None matches the oracle explicitly (the DuckDB SQL models
+    # no hub cap; the default cap of 1000 never binds on this graph — max
+    # degree 4 — but a silent dependency on that coincidence is a latent
+    # parity trap, ADVICE r5)
+    return link_prediction_features(edges, max_degree=None)
 
 
 Q105_SQL = """

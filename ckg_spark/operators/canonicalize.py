@@ -335,21 +335,17 @@ def incremental_canonical_parts(
             new_idents.select(F.col(new_idents.columns[0]).alias("ident"))
             .where(F.col("ident").isNotNull())
         ).distinct()
-    # prev is only PROBED (left_semi joins keyed on the ident set — AQE
+    # prev is only PROBED (anti joins keyed on the ident set — AQE
     # broadcasts the set when it is dictionary-scale and falls back to a
     # shuffle when a backfill-sized delta makes it corpus-scale; NO
     # explicit broadcast hint — a forced hint overrides AQE's size check
     # and OOMs the driver, the defect class tools/neardup_scale_probe.py
-    # caught in plans/neardup.py)
-    known = (
-        prev.join(ni, on="ident", how="left_semi")
-        .select("ident")
-        .unionByName(
-            changed.join(ni, on="ident", how="left_semi")
-            .select("ident"))
-    )
+    # caught in plans/neardup.py). anti-(prev ∪ changed) expressed as two
+    # chained anti joins — same set, two fewer operators than the old
+    # semi+semi+union+anti form.
     iso = (
-        ni.join(known, on="ident", how="left_anti")
+        ni.join(prev.select("ident"), on="ident", how="left_anti")
+        .join(changed.select("ident"), on="ident", how="left_anti")
         .select("ident", F.col("ident").alias("canonical_id"))
     )
 

@@ -879,8 +879,14 @@ def get_network_communities(edges: DataFrame, algorithm: str = "louvain",
     raise KeyError(f"unknown communities_algorithm {algorithm!r}")
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame,
+                    canonical_edges: DataFrame | None = None) -> DataFrame:
     """Per-node triangle counts via degree-oriented wedge join.
+
+    ``canonical_edges``: optionally pass the already-materialized distinct
+    undirected a<b edge set (exactly what this function would build) so a
+    caller that needs the same set — clustering_coefficients — does not
+    pay the canonicalization shuffle twice.
 
     The reference reports networkx graph summaries driver-side
     (report_manager/knowledge.py:501-530); triangle/clustering structure
@@ -899,11 +905,11 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     triangle; each triangle contributes once to each of its 3 corners.
     Deterministic at any parallelism (pure set algebra).
     """
-    e = (edges.select(F.least("subj", "obj").alias("a"),
-                      F.greatest("subj", "obj").alias("b"))
-         .where(F.col("a") != F.col("b"))
-         .distinct())
-    e = _ckpt(e)
+    e = canonical_edges if canonical_edges is not None else _ckpt(
+        edges.select(F.least("subj", "obj").alias("a"),
+                     F.greatest("subj", "obj").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct())
     deg = (e.select(F.col("a").alias("id"))
            .unionAll(e.select(F.col("b").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("d")))
@@ -938,14 +944,18 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     over the canonical undirected simple graph (distinct-neighbor
     degree), 0.0 for degree < 2 — triangle_counts plus one degree
     aggregation and a broadcast-free full-outer stitch on id."""
-    e = (edges.select(F.least("subj", "obj").alias("a"),
-                      F.greatest("subj", "obj").alias("b"))
-         .where(F.col("a") != F.col("b"))
-         .distinct())
+    e = _ckpt(
+        edges.select(F.least("subj", "obj").alias("a"),
+                     F.greatest("subj", "obj").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct())
     deg = (e.select(F.col("a").alias("id"))
            .unionAll(e.select(F.col("b").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("degree")))
-    tri = triangle_counts(edges)
+    # share the materialized canonical edge set with the triangle pass
+    # (ADVICE r5: it was rebuilt — and its dedup shuffle re-paid — inside
+    # triangle_counts on every call)
+    tri = triangle_counts(edges, canonical_edges=e)
     return (deg.join(tri, on="id", how="left")
             .select(
                 "id", "degree",
