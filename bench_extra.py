@@ -118,11 +118,35 @@ def breakdown_q31(spark) -> dict:
 
 
 def breakdown_q93(spark) -> dict:
-    from ckg_spark.driver_contract import q93_incremental_canonicalize
+    from pyspark.sql import Window, functions as F
+
+    from ckg_spark.operators.canonicalize import incremental_canonical_mapping
+    from ckg_spark.operators.ckpt import checkpoint_reset_stats
 
     out: dict = {}
-    _timed(spark, "q93:full",
-           lambda: q93_incremental_canonicalize(spark, SF_DIR).count(), out)
+    c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet")).select(
+        F.concat(F.lit("c"), F.lpad(F.col("c_custkey").cast("string"),
+                                    7, "0")).alias("ident"),
+        "c_nationkey", "c_custkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    edges = (
+        c.withColumn("ident_b", F.lead("ident").over(w))
+        .where(F.col("ident_b").isNotNull())
+        .select(F.col("ident").alias("ident_a"), "ident_b")
+    )
+    parity = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "ident_a", "ident_b")), 1, 4),
+        16, 10).cast("long") % 2
+    edges = _timed(spark, "q93:00_edges_ckpt", lambda: checkpoint_reset_stats(
+        edges.withColumn("_p", parity)), out)
+    m1 = _timed(spark, "q93:10_fold1", lambda: incremental_canonical_mapping(
+        None, edges.where(F.col("_p") == 0))[0], out)
+    m1 = _timed(spark, "q93:20_m1_ckpt",
+                lambda: checkpoint_reset_stats(m1), out)
+    m2 = _timed(spark, "q93:30_fold2", lambda: incremental_canonical_mapping(
+        m1, edges.where(F.col("_p") == 1),
+        new_idents=c.select("ident"))[0], out)
+    _timed(spark, "q93:40_final_count", lambda: m2.count(), out)
     return out
 
 
