@@ -60,6 +60,13 @@ def _driver_union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
 # size. Union-find on the collected edge list takes milliseconds.
 DRIVER_CC_MAX_EDGES = 1_000_000
 
+# the whole-parts driver fast path additionally requires the PRIOR MAPPING
+# (and the ident dictionary) collected; row conversion makes a 1M-row
+# collect several seconds, and at ~200k rows the fast path only breaks
+# even against the distributed plan (tools/canon_scale_probe.py), so it
+# engages at a tighter cap than the edge-list union-find
+DRIVER_PARTS_MAX_ROWS = 100_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -264,6 +271,49 @@ def incremental_canonical_parts(
         .where(F.col("ident_a") != F.col("ident_b"))
         .distinct()
     )
+    # Driver-scale fast path (same two-tier design as connected_components'
+    # DRIVER_CC_MAX_EDGES): when the delta, the prior mapping and the
+    # ident dictionary all fit under the threshold — probed with truncated
+    # collects that can never flood the driver — the entire parts
+    # computation is a few Python set operations instead of ~a dozen tiny
+    # distributed join/checkpoint jobs, each of which costs fixed
+    # driver-coordination time regardless of data size. Anything oversize
+    # falls through to the distributed path unchanged (tests assert both
+    # paths agree).
+    parts_cap = min(driver_threshold or 0, DRIVER_PARTS_MAX_ROWS)
+    if parts_cap:
+        e_rows = e.limit(parts_cap + 1).collect()
+        if len(e_rows) <= parts_cap:
+            # prev / the ident dictionary are probed by the same truncated
+            # collect (one job each); with the tight parts cap the wasted
+            # transfer on an oversize side is bounded at parts_cap rows —
+            # cheap relative to the distributed path it falls back to
+            prev_rows = None
+            if prev_mapping is None:
+                prev_rows = []
+            else:
+                collected = (prev_mapping.select("ident", "canonical_id")
+                             .limit(parts_cap + 1).collect())
+                if len(collected) <= parts_cap:
+                    prev_rows = [(r[0], r[1]) for r in collected]
+            if prev_rows is not None:
+                ep = (
+                    new_edges.select(F.col(src).alias("ident"))
+                    .unionByName(new_edges.select(F.col(dst).alias("ident")))
+                    .where(F.col("ident").isNotNull())
+                    .distinct().limit(parts_cap + 1).collect()
+                )
+                ni = {r[0] for r in ep} if len(ep) <= parts_cap else None
+                if ni is not None and new_idents is not None:
+                    extra = (new_idents.select(
+                        F.col(new_idents.columns[0]).alias("ident"))
+                        .where(F.col("ident").isNotNull())
+                        .distinct().limit(parts_cap + 1).collect())
+                    ni = (ni | {r[0] for r in extra}
+                          if len(extra) <= parts_cap else None)
+                if ni is not None:
+                    return _driver_incremental_parts(
+                        spark, [(r[0], r[1]) for r in e_rows], prev_rows, ni)
     if prev_mapping is None:
         # first fold: no history means no touched components, no stars, no
         # untouched pass-through and no remaps — short-circuit those to
@@ -361,6 +411,47 @@ def incremental_canonical_parts(
     return {"untouched": untouched.select("ident", "canonical_id"),
             "changed": changed, "isolated": iso,
             "affected_prev": affected_prev, "remaps": remaps}
+
+
+_MAPPING_SCHEMA = "ident string, canonical_id string"
+_REMAP_SCHEMA = "old_canonical_id string, new_canonical_id string"
+
+
+def _driver_incremental_parts(spark, e_pairs: list, prev_rows: list,
+                              ni: set) -> dict:
+    """Driver-side rendition of ``incremental_canonical_parts`` for
+    dictionary-scale inputs (see the call site for the probing contract).
+    Semantics identical to the distributed path: union-find over
+    {delta edges} ∪ {stars of touched components} relabels exactly the
+    affected idents; untouched rows pass through; brand-new edge-less
+    idents self-map; remaps log (old -> new) for absorbed components."""
+
+    def _df(rows, schema):
+        if not rows:
+            return spark.createDataFrame([], schema)
+        # broadcast hint: ExistingRDD scans carry no stats (see
+        # connected_components); every list here is <= driver_threshold
+        return F.broadcast(spark.createDataFrame(rows, schema))
+
+    prev_map = dict(prev_rows)
+    touched = {a for a, _ in e_pairs} | {b for _, b in e_pairs}
+    touched_canons = {prev_map[i] for i in touched if i in prev_map}
+    affected = [(i, c) for i, c in prev_rows if c in touched_canons]
+    changed_map = _driver_union_find(
+        list(e_pairs) + [(i, c) for i, c in affected if i != c])
+    untouched = sorted((i, c) for i, c in prev_rows
+                       if c not in touched_canons)
+    known = prev_map.keys() | changed_map.keys()
+    iso = sorted((i, i) for i in ni if i not in known)
+    remaps = sorted({(c, changed_map[i]) for i, c in affected
+                     if changed_map[i] != c})
+    return {
+        "untouched": _df(untouched, _MAPPING_SCHEMA),
+        "changed": _df(sorted(changed_map.items()), _MAPPING_SCHEMA),
+        "isolated": _df(iso, _MAPPING_SCHEMA),
+        "affected_prev": _df(sorted(affected), _MAPPING_SCHEMA),
+        "remaps": _df(remaps, _REMAP_SCHEMA),
+    }
 
 
 def apply_remaps(edges: DataFrame, remaps: DataFrame,

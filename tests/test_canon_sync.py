@@ -60,6 +60,34 @@ def test_incremental_distributed_cc_path_agrees(spark):
     assert _as_map(m2) == _as_map(m2d)
 
 
+def test_driver_parts_fast_path_equals_distributed(spark):
+    """The r6 driver-scale fast path of incremental_canonical_parts must
+    reproduce every piece of the distributed computation — including the
+    remap log and self-mapped new idents — on a merge-heavy delta."""
+    from ckg_spark.operators.canonicalize import incremental_canonical_parts
+
+    d1 = [("a", "b"), ("c", "d"), ("x", "y"), ("q", "q2")]
+    # delta 2 merges {a,b}+{c,d}, touches {x,y} without merging, adds a
+    # self-loop vertex and a brand-new pair
+    d2 = [("b", "c"), ("x", "y"), ("z", "z"), ("m", "n")]
+    ni = spark.createDataFrame([("iso1",), ("a",)], "ident string")
+
+    m1, _ = incremental_canonical_mapping(None, _edges(spark, d1))
+    m1 = m1.cache()
+    fast = incremental_canonical_parts(m1, _edges(spark, d2), new_idents=ni)
+    slow = incremental_canonical_parts(m1, _edges(spark, d2), new_idents=ni,
+                                       driver_threshold=0)
+    for key in ("untouched", "changed", "isolated", "affected_prev"):
+        assert sorted(map(tuple, fast[key].collect())) == \
+            sorted(map(tuple, slow[key].collect())), key
+    assert sorted(map(tuple, fast["remaps"].collect())) == \
+        sorted(map(tuple, slow["remaps"].collect()))
+    # the fast path engaged (driver DataFrames have no shuffle lineage):
+    # sanity — merged component relabels to the global min 'a'
+    changed = {r["ident"]: r["canonical_id"] for r in fast["changed"].collect()}
+    assert changed["d"] == "a" and changed["c"] == "a"
+
+
 def test_untouched_components_pass_through_unchanged(spark):
     m1, _ = incremental_canonical_mapping(
         None, _edges(spark, [("b", "c"), ("x", "y")]))
