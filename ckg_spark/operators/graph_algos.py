@@ -64,32 +64,45 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
 
+    # loop-invariant pieces materialized ONCE: lazy, every iteration's
+    # chain re-derived the edge scan + degree aggregation + join, and the
+    # per-iteration dangling .collect() re-executed the whole accumulated
+    # chain a second time (quadratic work between checkpoints)
     out_deg = edges.groupBy("subj").agg(F.count(F.lit(1)).alias("odeg"))
-    links = edges.select("subj", "obj").join(out_deg, on="subj")
+    links = _ckpt(edges.select("subj", "obj").join(out_deg, on="subj"))
+    dangling_ids = _ckpt(
+        verts.join(out_deg.withColumnRenamed("subj", "id"), on="id",
+                   how="left_anti"))
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
 
-    for it in range(iters):
+    for _ in range(iters):
         contribs = (
             links.join(ranks.withColumnRenamed("id", "subj"), on="subj")
             .select("obj", (F.col("rank") / F.col("odeg")).alias("c"))
             .groupBy("obj")
             .agg(F.sum("c").alias("inflow"))
         )
-        dangling = (
-            ranks.join(out_deg.withColumnRenamed("subj", "id"), on="id", how="left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass as an IN-PLAN broadcast 1-row aggregate instead of
+        # a per-iteration collect: zero Python round trips, and the
+        # arithmetic tree mirrors the old Python-scalar expression exactly
+        # ((1-d)/n literal; (d * dang) / n; left-associated sum) so ranks
+        # are bit-identical
+        dang = (
+            ranks.join(dangling_ids.select("id"), on="id", how="left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
-        ranks = (
-            verts.join(contribs.withColumnRenamed("obj", "id"), on="id", how="left")
+        ranks = _ckpt(
+            verts.join(contribs.withColumnRenamed("obj", "id"), on="id",
+                       how="left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+                (F.lit((1.0 - damping) / n)
+                 + (F.lit(damping) * F.col("_dang")) / F.lit(float(n))
+                 + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                 ).alias("rank"),
             )
         )
-        if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ranks = _ckpt(ranks)
     return ranks
 
 
@@ -998,34 +1011,40 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
         .select("id", F.coalesce("_t", F.lit(0.0)).alias("t"))
     tvec = _ckpt(tvec)
 
+    # same loop restructure as ``pagerank``: loop invariants materialized
+    # once, dangling mass folded into the plan as a broadcast 1-row
+    # aggregate (no per-iteration collect re-executing the rank chain),
+    # ranks checkpointed per iteration so every chain is depth 1. The
+    # rank expression tree is unchanged, so values are bit-identical.
     out_deg = edges.groupBy("subj").agg(F.count(F.lit(1)).alias("odeg"))
-    links = edges.select("subj", "obj").join(out_deg, on="subj")
+    links = _ckpt(edges.select("subj", "obj").join(out_deg, on="subj"))
+    dangling_ids = _ckpt(
+        verts.join(out_deg.withColumnRenamed("subj", "id"), on="id",
+                   how="left_anti"))
     ranks = tvec.select("id", F.col("t").alias("rank"))
 
-    for it in range(iters):
+    for _ in range(iters):
         contribs = (
             links.join(ranks.withColumnRenamed("id", "subj"), on="subj")
             .select("obj", (F.col("rank") / F.col("odeg")).alias("c"))
             .groupBy("obj")
             .agg(F.sum("c").alias("inflow"))
         )
-        dangling = (
-            ranks.join(out_deg.withColumnRenamed("subj", "id"), on="id",
-                       how="left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        dang = (
+            ranks.join(dangling_ids.select("id"), on="id", how="left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
-        ranks = (
-            tvec.join(contribs.withColumnRenamed("obj", "id"), on="id", how="left")
+        ranks = _ckpt(
+            tvec.join(contribs.withColumnRenamed("obj", "id"), on="id",
+                      how="left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 ((1.0 - damping) * F.col("t")
                  + damping * (F.coalesce("inflow", F.lit(0.0))
-                              + F.lit(float(dangling)) * F.col("t"))).alias("rank"),
+                              + F.col("_dang") * F.col("t"))).alias("rank"),
             )
         )
-        if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ranks = _ckpt(ranks)
     return ranks
 
 

@@ -501,7 +501,10 @@ def semantic_dedup_pairs(df: DataFrame, k: int = 8, threshold: float = 0.99,
     if not seeds:
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cluster int, cosine double")
-    assigned = assign_to_seeds(df, seeds, id_col, vec_col)
+    # both sides of the cluster self-join read the assignment; lazy, the
+    # k-seed scoring pass (k dot products per row) runs twice
+    assigned = assign_to_seeds(df, seeds, id_col, vec_col).localCheckpoint(
+        eager=True)
     a, b = assigned.alias("a"), assigned.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"),
