@@ -282,12 +282,14 @@ def incremental_canonical_parts(
     # paths agree).
     parts_cap = min(driver_threshold or 0, DRIVER_PARTS_MAX_ROWS)
     if parts_cap:
-        e_rows = e.limit(parts_cap + 1).collect()
-        if len(e_rows) <= parts_cap:
-            # prev / the ident dictionary are probed by the same truncated
-            # collect (one job each); with the tight parts cap the wasted
-            # transfer on an oversize side is bounded at parts_cap rows —
-            # cheap relative to the distributed path it falls back to
+        # cheapest probe first: a truncated COUNT of the prior mapping
+        # (scans at most cap+1 rows, transfers one number), so the normal
+        # at-scale regime — big history, small delta — rejects the fast
+        # path for the price of one trivial job before anything collects
+        prev_small = prev_mapping is None or (
+            prev_mapping.limit(parts_cap + 1).count() <= parts_cap)
+        e_rows = e.limit(parts_cap + 1).collect() if prev_small else []
+        if prev_small and len(e_rows) <= parts_cap:
             prev_rows = None
             if prev_mapping is None:
                 prev_rows = []
@@ -385,17 +387,23 @@ def incremental_canonical_parts(
             new_idents.select(F.col(new_idents.columns[0]).alias("ident"))
             .where(F.col("ident").isNotNull())
         ).distinct()
-    # prev is only PROBED (anti joins keyed on the ident set — AQE
+    # prev is only PROBED (left_semi joins keyed on the ident set — AQE
     # broadcasts the set when it is dictionary-scale and falls back to a
     # shuffle when a backfill-sized delta makes it corpus-scale; NO
     # explicit broadcast hint — a forced hint overrides AQE's size check
     # and OOMs the driver, the defect class tools/neardup_scale_probe.py
-    # caught in plans/neardup.py). anti-(prev ∪ changed) expressed as two
-    # chained anti joins — same set, two fewer operators than the old
-    # semi+semi+union+anti form.
+    # caught in plans/neardup.py). Keep prev on the LEFT of a semi join —
+    # an anti join against prev as the build side would shuffle the whole
+    # O(history) mapping (measured +~50% sync wall at 2M history rows).
+    known = (
+        prev.join(ni, on="ident", how="left_semi")
+        .select("ident")
+        .unionByName(
+            changed.join(ni, on="ident", how="left_semi")
+            .select("ident"))
+    )
     iso = (
-        ni.join(prev.select("ident"), on="ident", how="left_anti")
-        .join(changed.select("ident"), on="ident", how="left_anti")
+        ni.join(known, on="ident", how="left_anti")
         .select("ident", F.col("ident").alias("canonical_id"))
     )
 
