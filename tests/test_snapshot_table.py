@@ -441,9 +441,14 @@ def test_concurrent_writers_across_real_processes(tmp_path):
     wins = dict(o.split(" won ") for o in outs)
     versions = {w.split(" after ")[0] for w in wins.values()}
     assert versions == {"v1", "v2"}, outs
-    # exactly one process paid exactly one conflict
-    assert sorted(int(w.split(" after ")[1].split()[0])
-                  for w in wins.values()) == [0, 1], outs
+    # the v1 winner paid zero conflicts and the loser at least one (it can
+    # legitimately pay more than one under load: a stale latest-version
+    # read makes a retry re-collide before it observes the winner's
+    # commit — the count is schedule-dependent, the single-winner-per-
+    # version property above is what the protocol guarantees)
+    conflicts = sorted(int(w.split(" after ")[1].split()[0])
+                       for w in wins.values())
+    assert conflicts[0] == 0 and conflicts[1] >= 1, outs
     log = T.snapshots(d)
     assert [s["version"] for s in log] == [1, 2]
     assert {s["snapshot_id"] for s in log} == {"alpha", "beta"}
