@@ -62,7 +62,9 @@ def get_spark(
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
                 str(2_000_000))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+        .config("spark.driver.extraJavaOptions",
+                "-Dio.netty.tryReflectionSetAccessible=true "
+                + os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
