@@ -598,8 +598,8 @@ def read_files(spark: SparkSession, table_dir: str, files: list[str],
     from pyspark.sql import functions as F
 
     m = read_manifest(table_dir, version)
-    known = set(m["files"])
-    missing = [f for f in files if f not in known]
+    manifest_files = set(m["files"])
+    missing = [f for f in files if f not in manifest_files]
     if missing:
         raise ValueError(
             f"files not in snapshot v{m['version']}'s manifest: {missing[:3]}")
@@ -608,14 +608,37 @@ def read_files(spark: SparkSession, table_dir: str, files: list[str],
               else spark.read)
     fparts = m.get("file_partitions", {})
     ptypes = m.get("partition_types", {})
+    # every partition column the table has ever had: groups from a spec era
+    # that never recorded a column still need it (as typed nulls) so the
+    # cross-group union lines up even when the column is in neither the
+    # file's data nor its manifest entry
+    pcols = set(m.get("partition_by") or [])
+    for v in fparts.values():
+        pcols.update(v)
+
+    def attach(df, items):
+        for c, v in items:
+            df = df.withColumn(c, F.lit(v).cast(ptypes.get(c, "string")))
+        for c in sorted(pcols - set(df.columns)):
+            df = df.withColumn(c, F.lit(None).cast(ptypes.get(c, "string")))
+        return df
+
+    if not files:
+        # empty selection (e.g. an idle incremental sync): an empty frame
+        # with the snapshot's schema, never None
+        if not m["files"]:
+            raise ValueError(
+                f"snapshot v{m['version']} has no data files to derive a "
+                "schema from")
+        f0 = m["files"][0]
+        df = attach(reader.parquet(f0), sorted(fparts.get(f0, {}).items()))
+        return df.where(F.lit(False))
     groups: dict[tuple, list[str]] = {}
     for f in files:
         groups.setdefault(tuple(sorted(fparts.get(f, {}).items())), []).append(f)
     out = None
     for key, fs in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-        df = reader.parquet(*fs)
-        for c, v in key:
-            df = df.withColumn(c, F.lit(v).cast(ptypes.get(c, "string")))
+        df = attach(reader.parquet(*fs), key)
         out = df if out is None else out.unionByName(
             df, allowMissingColumns=evolved)
     return out

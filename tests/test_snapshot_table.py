@@ -529,3 +529,37 @@ def test_partition_spec_change_between_columns(spark, tmp_path):
               if p.get("pred") == "B"}
     scanned = {f.replace("file://", "") for f in by_pred.inputFiles()}
     assert pred_b and not (pred_b & scanned)
+
+
+def test_read_files_empty_selection_returns_empty_frame(spark, tmp_path):
+    """read_files([]) must yield an EMPTY frame with the snapshot schema,
+    never None (ADVICE r5: an idle incremental sync selects zero files and
+    would otherwise trip an AttributeError on the result)."""
+    d = str(tmp_path / "tbl")
+    T.append(spark.createDataFrame(_pdf(["A", "B"], [1, 2])), d,
+             partition_by=["pred"])
+    out = T.read_files(spark, d, [])
+    assert out is not None and out.count() == 0
+    assert set(out.columns) == set(T.read(spark, d).columns)
+
+
+def test_read_files_mixed_partition_entries_union(spark, tmp_path):
+    """A selection spanning a manifest-partitioned file and a file with no
+    file_partitions entry must union cleanly with every partition column
+    present on both sides (ADVICE r5: differing group column sets)."""
+    d = str(tmp_path / "tbl")
+    # era 1: unpartitioned (pred lives in the data files, no manifest entry)
+    T.append(spark.createDataFrame(_pdf(["A"], [1])), d)
+    # era 2: partitioned (pred lives in the manifest, not the data)
+    T.append(spark.createDataFrame(_pdf(["B"], [2])), d,
+             partition_by=["pred"])
+    m = T.read_manifest(d)
+    era1 = [f for f in m["files"] if f not in m["file_partitions"]]
+    era2 = [f for f in m["files"] if f in m["file_partitions"]]
+    assert era1 and era2
+    out = T.read_files(spark, d, era1 + era2)
+    assert sorted((r["pred"], r["n"]) for r in out.collect()) == [
+        ("A", 1), ("B", 2)]
+    # unknown files still refused loudly
+    with pytest.raises(ValueError, match="not in snapshot"):
+        T.read_files(spark, d, ["nope.parquet"])
