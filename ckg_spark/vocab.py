@@ -174,8 +174,19 @@ def _union_find_canonical(idents: list[str], edges: list[tuple[str, str]]) -> di
 
 
 def vocab_to_spark(spark, vocab: Vocab) -> dict:
-    """Lift the pandas vocabulary into (broadcast-scale) Spark DataFrames."""
+    """Lift the pandas vocabulary into (broadcast-scale) Spark DataFrames.
+
+    Partition count is derived from row count, not defaultParallelism:
+    createDataFrame slices even a thousand-row dictionary into one slice
+    per core, so every downstream action (broadcast builds, the CC probe
+    collect) schedules a full wave of near-empty tasks. ~50k rows per
+    partition keeps tiny vocabularies at one task while a millions-row
+    ontology load retains its parallelism (coalesce never increases the
+    slice count)."""
     from pyspark.sql import types as T
+
+    def sized(df, n_rows: int):
+        return df.coalesce(max(1, -(-int(n_rows) // 50_000)))
 
     terms_schema = T.StructType([
         T.StructField("id", T.StringType()),
@@ -186,15 +197,20 @@ def vocab_to_spark(spark, vocab: Vocab) -> dict:
         T.StructField("synonyms", T.ArrayType(T.StringType())),
     ])
     out = {
-        "terms": spark.createDataFrame(vocab.terms, schema=terms_schema),
-        "aliases": spark.createDataFrame(vocab.aliases),
-        "stoplist": spark.createDataFrame(vocab.stoplist)
+        "terms": sized(spark.createDataFrame(vocab.terms, schema=terms_schema),
+                       len(vocab.terms)),
+        "aliases": sized(spark.createDataFrame(vocab.aliases),
+                         len(vocab.aliases)),
+        "stoplist": sized(spark.createDataFrame(vocab.stoplist),
+                          len(vocab.stoplist))
         if len(vocab.stoplist)
         else spark.createDataFrame([], "entity_type string, ident string"),
-        "parent_rels": spark.createDataFrame(vocab.parent_rels)
+        "parent_rels": sized(spark.createDataFrame(vocab.parent_rels),
+                             len(vocab.parent_rels))
         if len(vocab.parent_rels)
         else spark.createDataFrame([], "start_id string, end_id string, type string"),
-        "identity_edges": spark.createDataFrame(vocab.identity_edges)
+        "identity_edges": sized(spark.createDataFrame(vocab.identity_edges),
+                                len(vocab.identity_edges))
         if vocab.identity_edges is not None and len(vocab.identity_edges)
         else spark.createDataFrame([], "ident_a string, ident_b string"),
     }
